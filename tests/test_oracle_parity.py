@@ -1,0 +1,68 @@
+"""Differential tests: every catalog query vs its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS gate (row count + schema-agnostic,
+order-insensitive value comparison) at sf0.001 so iteration stays fast;
+the driver re-runs the same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+from .conftest import SF_SMOKE
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, rows by string repr — order-insensitive."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v!r}"
+        return repr(v)
+
+    normed = [tuple(norm_cell(row[i]) for i in order) for row in rows]
+    return sorted(normed)
+
+
+ORACLE_QUERIES = [name for name, q in CATALOG.items() if q.oracle is not None]
+NO_ORACLE_QUERIES = [name for name, q in CATALOG.items() if q.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = CATALOG[name]
+    sdf = q.fn(spark, SF_SMOKE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(
+        c.lower() for c in duck_cols
+    ), f"{name}: column sets differ: {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    sn = _normalize(spark_rows, [c.lower() for c in spark_cols])
+    dn = _normalize(duck_rows, [c.lower() for c in duck_cols])
+    mismatches = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first: "
+        f"spark={sn[mismatches[0]]} duck={dn[mismatches[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+def test_query_runs(spark, name):
+    q = CATALOG[name]
+    df = q.fn(spark, SF_SMOKE)
+    assert df.count() >= 0

@@ -1,0 +1,214 @@
+"""Deduplication operators for document corpora (SURVEY.md §2.9).
+
+Four tiers, cheapest first:
+
+1. exact          — md5 fingerprint group-by (one shuffle on a 128-bit key)
+2. n-gram Jaccard — shingle self-join, exact set similarity
+3. MinHash + LSH  — banded signatures, near-dup at 100 TB without the
+                    quadratic pair join
+4. SimHash        — 64-bit locality-sensitive fingerprint, hamming buckets
+
+All hash material is md5-derived (``conv(substr(md5(x),1,15),16,10)``)
+rather than Spark's ``hash()``/``xxhash64`` so results are
+engine-independent (the DuckDB oracle reproduces them bit-for-bit) and
+stable across Spark versions. md5 costs a few ns/row more than
+xxhash64 but is dwarfed by the shuffle it keys.
+
+MinHash universal-hash arithmetic is kept strictly below 2^62 so it is
+exact in any signed-64 engine (no silent wraparound; DuckDB would
+error on overflow).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import text_fingerprint, tokenize
+
+#: Mersenne prime 2^31-1: the universal-hash modulus. h < 2^31 and
+#: a,b < 2^30 keep a*h+b < 2^62 — exact in signed 64-bit everywhere.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def md5_int(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (engine-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash coefficients per seed index.
+
+    Derived from md5 of the seed label, not ``random()``, so the Spark
+    plan and the DuckDB oracle can embed identical constants.
+    """
+    params = []
+    for i in range(num_hashes):
+        a = int.from_bytes(hashlib.md5(f"a{i}".encode()).digest()[:4], "big") % (1 << 30)
+        b = int.from_bytes(hashlib.md5(f"b{i}".encode()).digest()[:4], "big") % (1 << 30)
+        params.append((a * 2 + 1, b))
+    return params
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document as array<string>.
+
+    Documents shorter than ``n`` tokens yield an empty shingle set.
+    """
+    toks = tokenize(F.lower(text))
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct (normalized) text.
+
+    Returns ``text_hash, keep_id, n_copies`` — keep_id is the minimal
+    doc_id of the group (deterministic survivor). A single hash
+    shuffle; at 100 TB the md5 key means the shuffle carries 16 bytes +
+    id per row, never the document bodies.
+    """
+    return (
+        df.select(text_fingerprint(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded distinct (doc_id, shingle) pairs."""
+    return df.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Pairs are generated only where at least one shingle is shared (the
+    shingle self-join), so the quadratic blowup is bounded by shingle
+    co-occurrence, and Jaccard = inter / (|A| + |B| - inter) is exact
+    integer arithmetic. Emits ``doc_a < doc_b`` pairs with
+    ``jaccard >= threshold``.
+    """
+    sh = doc_shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: ``doc_id, sig array<bigint>``.
+
+    h_i(s) = (a_i * md5int31(s) + b_i) mod (2^31-1), coefficients from
+    :func:`minhash_params`. One projection over the exploded shingle
+    set + one groupBy(doc_id): a single shuffle keyed by doc_id, with
+    map-side partial mins.
+    """
+    sh = doc_shingles(df, text_col, n).withColumn(
+        "h0", md5_int(F.col("shingle")) % F.lit(MINHASH_PRIME)
+    )
+    sig_cols = [
+        F.min((F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    wide = sh.groupBy("doc_id").agg(*sig_cols)
+    return wide.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on any full band become a candidate pair.
+
+    Scale path for near-dup at 100 TB: instead of the quadratic shingle
+    join, each doc emits ``bands`` (band, band_hash) keys; only bucket
+    collisions are joined. Emits distinct ``doc_a < doc_b``.
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", i * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint per document: ``doc_id, simhash``.
+
+    Every token occurrence votes ±1 on each bit position of its
+    md5-derived 60-bit hash; the sign of the per-bit sum forms the
+    fingerprint. Near-dups land within small hamming distance;
+    bucketing on bit-chunks gives the scale path (same banding idea as
+    LSH). Pure integer column expressions — one shuffle on doc_id.
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
+    )
+    h = md5_int(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", fp.alias("simhash"))

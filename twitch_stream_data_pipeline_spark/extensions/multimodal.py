@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (SURVEY.md §2.9).
+
+Images / audio / video are opaque ``binary`` payload columns with a
+typed metadata struct alongside. The Spark-side machinery — schema,
+partitioning, Arrow-batched UDF signatures, batch shapes — is real and
+tested; the actual media decoding is STUBBED (the image/audio libraries
+are not in this environment) behind :func:`decode_stub`, which either
+raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake feature vector so downstream plumbing can be
+exercised end to end.
+
+Reference precedent for media-as-columns: ``thumbnail_url`` /
+``profile_image_url`` carried as string columns
+(``scripts/process_raw_data/process_raw_streams_data.py:83``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried next to every binary payload column.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image/audio/video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Make a documents table multimodal: utf-8 payload bytes + metadata.
+
+    Stand-in for real media ingestion: the payload is the encoded text
+    (deterministic), the metadata struct is typed and NULL-defaulted
+    the way a real image ingest would fill it.
+    """
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, strict: bool = False) -> list[float]:
+    """STUB media decoder.
+
+    Real implementation would decode the image/audio payload and run a
+    feature extractor. Not available in this environment; strict mode
+    raises, lenient mode emits a deterministic md5-derived fake feature
+    vector (so batch shapes, schemas and partitioning are testable).
+    """
+    if strict:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present; "
+            "payload is an opaque binary column by design"
+        )
+    import hashlib
+
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` so each task streams Arrow batches through the
+    (stubbed) decoder — the exact shape a real GPU/CPU feature
+    extractor needs: per-partition batching, no driver collect, output
+    schema fixed up front.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "payload_md5": payloads.map(
+                        lambda b: __import__("hashlib").md5(b).hexdigest()
+                    ),
+                    "features": payloads.map(decode_stub),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def binary_meta(df: DataFrame) -> DataFrame:
+    """JVM-only binary metadata projection (no Python in the loop):
+    byte length + md5 of the payload — the cheap pre-filter a real
+    pipeline runs before shipping payloads to decoders.
+    """
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

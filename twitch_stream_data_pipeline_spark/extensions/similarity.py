@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (SURVEY.md §2.9).
+
+Two paths:
+
+- :func:`cosine_knn` — brute-force top-k, the correctness baseline.
+  O(Q x N) but fully distributed: the (small) query set broadcasts,
+  candidates never shuffle, and the only wide op is the per-query
+  top-k window over Q*N scored rows.
+- :func:`lsh_bucketed_knn` — the scale path: random-hyperplane LSH
+  buckets candidates so each query scores only its bucket collisions
+  (sub-linear in N for recall < 1).
+
+Scores use *quantized* integer arithmetic: each float is rounded to
+``round(x * 1000)`` (bigint) and dot products / norms are exact integer
+sums, so the final ``dot / sqrt(na * nb)`` double is bit-identical in
+any engine — the DuckDB oracle reproduces it exactly. The quantization
+error (<0.1% per element) is irrelevant for ranking and for near-dup
+thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+
+
+def quantized_embedding(c: Column) -> Column:
+    """array<float> -> array<bigint> via round(x * 1000)."""
+    return F.transform(c, lambda x: F.round(x * QUANT_SCALE).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine over quantized vectors (double output)."""
+    qa, qb = quantized_embedding(a), quantized_embedding(b)
+    return _dot(qa, qb).cast("double") / F.sqrt(
+        _norm2(qa).cast("double") * _norm2(qb).cast("double")
+    )
+
+
+def cosine_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: ``query_id, neighbor_id, cosine, rank``.
+
+    The query side is broadcast (ANN query sets are small relative to
+    the corpus); scoring is a narrow map over candidates; ranking is a
+    window partitioned by query — the only shuffle, sized Q*N rows of
+    three columns, never the vectors themselves.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit per plane, packed.
+
+    ``planes`` are fixed integer hyperplanes (deterministic, shipped in
+    the plan as literals) applied to the quantized vector; bucket =
+    sum(2^i * [dot_i > 0]).
+    """
+    qv = quantized_embedding(vec)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(p).cast("long") for p in plane])
+        d = _dot(qv, arr)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def make_planes(dim: int, num_planes: int = 8) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes from md5 bytes (+/-1)."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        digest = b""
+        while len(digest) < dim:
+            digest += hashlib.md5(f"plane{p}:{len(digest)}".encode()).digest()
+        planes.append([1 if byte & 1 else -1 for byte in digest[:dim]])
+    return planes
+
+
+def lsh_bucketed_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    With 2^num_planes buckets the candidate set per query shrinks by
+    ~2^num_planes, at some recall cost (mitigate with multiple tables —
+    here one table keeps the plan simple; recall is asserted in tests
+    against :func:`cosine_knn`).
+    """
+    planes = make_planes(dim, num_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators over a ``documents(doc_id, text, ...)`` table.
+
+All pure column expressions — no UDFs — so they run inside whole-stage
+codegen and scale linearly with input splits. The reference's only text
+column is the stream ``title`` (``scripts/process_raw_data/
+process_raw_streams_data.py:79``); these operators generalize that to a
+training-corpus pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker lists for the n-gram/stopword
+#: language-id heuristic. Order = tie-break precedence.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "los", "una", "por"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenizer: split on runs of whitespace, trimmed."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-delimited tokens (BPE-free token proxy)."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(tokenize(text))
+    )
+
+
+def text_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    lowercased, whitespace-stripped text. Identical content maps to an
+    identical 128-bit key regardless of spacing/case — the join key for
+    exact dedup at any scale.
+    """
+    return F.md5(F.replace(F.lower(text), F.lit(" "), F.lit("")))
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring projection: length, token, punctuation and
+    stopword statistics per document. All ratios are double divisions
+    of exact integer counts (deterministic across engines).
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_tokens = token_count(text)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?]"), 0))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language-ID heuristic.
+
+    Scores each language by marker-token hits and picks the best with a
+    fixed precedence chain (en > de > es > fr > zh on ties) so the
+    result is deterministic. Zero hits anywhere -> 'und'.
+    """
+    toks = tokenize(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # precedence chain built in reverse so earlier langs win ties
+    pred = F.lit("und")
+    max_rest = F.lit(0)
+    for lang in reversed(langs):
+        s = scores[lang]
+        pred = F.when((s > 0) & (s >= max_rest), F.lit(lang)).otherwise(pred)
+        max_rest = F.greatest(max_rest, s)
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        max_rest.alias("marker_hits"),
+    )

@@ -1,0 +1,1051 @@
+"""The query catalog: every operator from SURVEY.md §2 (and the §2.9
+extensions) as a named (PySpark plan, DuckDB oracle SQL) pair over the
+driver's synthetic star schema (FIXTURES.md §B).
+
+Determinism rules that make Spark and DuckDB hash-identical:
+
+- **Sums/avgs of doubles** go through ``DECIMAL(25,6)`` (exact,
+  order-independent) and cast back to double — both engines produce
+  the same bits regardless of partial-aggregation order.
+- **Timestamps never appear in output**; date/slot derivations are
+  epoch arithmetic (timezone-free), emitted as strings or bigints.
+- **All hashes are md5-derived** (``conv(substr(md5(x),1,15),16,10)``
+  == DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``), never
+  engine-private hash functions.
+- **Integer products stay < 2^62** (DuckDB errors on overflow rather
+  than wrapping).
+- **DuckDB integer SUMs are cast back to BIGINT** (DuckDB widens to
+  HUGEINT, Spark keeps long).
+- Every tie is broken explicitly (row_number orderings carry a key
+  tiebreak).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..extensions.dedup_text import (
+    MINHASH_PRIME,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    md5_int,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..extensions.multimodal import attach_binary_payload, binary_meta, extract_features
+from ..extensions.similarity import cosine_knn, lsh_bucketed_knn
+from ..extensions.text_analysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    language_id,
+    text_fingerprint,
+    text_quality,
+    token_count,
+)
+from ..operators.dedup import dedup_keep_first
+from ..operators.joins import positional_join
+from ..sources.generators import day_dates_dim, time_of_day_dim
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: str | None, tags: tuple[str, ...], doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with timestamp normalized to integer columns.
+
+    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    only reads via the ``nanosAsLong`` legacy conf — so ``ts`` arrives
+    as epoch *nanoseconds* (long). We derive ``secs`` (epoch seconds)
+    and ``ts_us`` (epoch microseconds — DuckDB's native timestamp
+    precision, used for order parity) and keep everything
+    timezone-free.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumns(
+        {
+            "secs": F.expr("ts div 1000000000"),
+            "ts_us": F.expr("ts div 1000"),
+        }
+    )
+
+
+def dsum(c: Column | str) -> Column:
+    """Exact, order-independent sum of a double column (see module doc)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast("decimal(25,6)")).cast("double")
+
+
+def _osum(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# epoch arithmetic helpers (timezone-free on both engines)
+
+
+_OSECS = "CAST(floor(epoch({ts})) AS BIGINT)"
+
+
+def _hhmm(slot_secs: Column) -> Column:
+    day_secs = slot_secs % 86400
+    hh = F.floor(day_secs / 3600).cast("int")
+    mm = F.floor((day_secs % 3600) / 60).cast("int")
+    return F.concat(
+        F.lpad(hh.cast("string"), 2, "0"), F.lpad(mm.cast("string"), 2, "0")
+    )
+
+
+def _ohhmm(slot: str) -> str:
+    return (
+        f"lpad(CAST(({slot} % 86400) // 3600 AS VARCHAR), 2, '0') || "
+        f"lpad(CAST((({slot} % 86400) % 3600) // 60 AS VARCHAR), 2, '0')"
+    )
+
+
+# ===========================================================================
+# Core relational operators (SURVEY.md §2.3-2.6) over the star schema
+# ===========================================================================
+
+
+@_register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           {_osum('l_extendedprice')} AS sum_base_price,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_osum('l_quantity')} / COUNT(*) AS avg_qty,
+           {_osum('l_extendedprice')} / COUNT(*) AS avg_price,
+           {_osum('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ("aggregate", "A1", "flagship"),
+    "TPC-H Q1 pricing summary — the flagship scan+agg (SURVEY.md §7 step 1).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "popularity_by_type",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    ("aggregate", "A1", "O1"),
+    "Category-popularity analog (scripts/other/get_category_popularity.py:23-26): "
+    "group-by count over the event stream.",
+)
+def q_popularity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_register(
+    "curate_events",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value,
+             {_OSECS.format(ts='ts')} AS secs
+      FROM events
+    )
+    SELECT event_id AS stream_id,
+           strftime(DATE '1970-01-01' + CAST(secs // 86400 AS INT), '%Y%m%d') AS day_date_id,
+           {_ohhmm('(secs // 900) * 900')} AS time_of_day_id,
+           user_id,
+           event_type AS category_id,
+           value AS viewer_count,
+           value * 0.25 AS hours_watched
+    FROM base
+    """,
+    ("projection", "P1", "P2", "P4", "P5"),
+    "The curate-streams transform (scripts/curate_data/curate_streams_data.py:29-48): "
+    "project, rename, inject batch grid-cell ids, derive hours_watched.",
+)
+def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    secs = F.col("secs")
+    day = F.date_add(
+        F.lit("1970-01-01").cast("date"), F.floor(secs / 86400).cast("int")
+    )
+    return ev.select(
+        F.col("event_id").alias("stream_id"),
+        F.date_format(day, "yyyyMMdd").alias("day_date_id"),
+        _hhmm(F.floor(secs / 900).cast("long") * 900).alias("time_of_day_id"),
+        "user_id",
+        F.col("event_type").alias("category_id"),
+        F.col("value").alias("viewer_count"),
+        (F.col("value") * 0.25).alias("hours_watched"),
+    )
+
+
+@_register(
+    "validity_filter",
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+    """,
+    ("filter", "P6", "S7"),
+    "Validity filter (process_raw_streams_data.py:48-53): cast-null-check on a "
+    "JSON-extracted field instead of per-row try/except.",
+)
+def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", "user_id", k.alias("k")).filter(
+        F.col("k").isNotNull() & (F.col("k") % 2 == 0)
+    )
+
+
+@_register(
+    "sentinel_defaults",
+    """
+    SELECT doc_id,
+           CASE WHEN lang IS NULL OR lang = '' THEN 'notavailable' ELSE lang END AS language_id,
+           CASE WHEN source IS NULL OR source = '' THEN 'NA' ELSE source END AS source_id
+    FROM documents
+    """,
+    ("projection", "P8"),
+    "Sentinel defaulting (process_raw_streams_data.py:57-61): empty string -> "
+    "per-column sentinel.",
+)
+def q_sentinel_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    def dflt(c, s):
+        return F.when(F.col(c).isNull() | (F.col(c) == ""), F.lit(s)).otherwise(F.col(c))
+    return docs.select(
+        "doc_id",
+        dflt("lang", "notavailable").alias("language_id"),
+        dflt("source", "NA").alias("source_id"),
+    )
+
+
+@_register(
+    "language_dim_sentinel",
+    """
+    SELECT DISTINCT lang AS language_id FROM documents
+    UNION ALL SELECT 'NA' AS language_id
+    """,
+    ("union", "P10", "A3", "U1"),
+    "Sentinel dimension member (curate_genres_data.py:21): distinct dim values "
+    "plus the 'NA' member.",
+)
+def q_language_dim_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sentinel = spark.createDataFrame([("NA",)], "language_id string")
+    return docs.select(F.col("lang").alias("language_id")).distinct().unionByName(
+        sentinel
+    )
+
+
+@_register(
+    "dedup_keep_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    ("dedup", "A2", "W1"),
+    "Deterministic keep-first dedup (drop_duplicates keep='first', "
+    "process_raw_streams_data.py:120) with explicit (ts, event_id) tiebreak.",
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return dedup_keep_first(
+        ev, ["user_id", "event_type"], [F.col("ts_us"), F.col("event_id")]
+    ).select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id"), "value"
+    )
+
+
+@_register(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    ("dedup", "A3"),
+    "Full-row dedup (drop_duplicates(), process_raw_categories_data.py:61).",
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select("user_id", "event_type").distinct()
+
+
+@_register(
+    "anti_join_customers",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    ("join", "J3"),
+    "Left anti join (set difference on keys, get_raw_users_data.py:126-134): "
+    "customers with no orders.",
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "delta_except_all",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    EXCEPT ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    ("join", "J4", "U2"),
+    "Full-row delta via exceptAll (curate_categories_data.py:70-77 symmetric "
+    "difference restated).",
+)
+def q_delta_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return orders.exceptAll(orders.filter(F.col("o_orderstatus") == "F"))
+
+
+@_register(
+    "upsert_delta",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer old
+      WHERE old.c_custkey % 3 = 0 AND old.c_custkey = c.c_custkey)
+    """,
+    ("upsert", "J4", "K5"),
+    "Keyed upsert delta (curate_users_data.py:79-86): batch rows whose key is "
+    "absent from the state (state = every third customer here).",
+)
+def q_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import upsert_state
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    state = cust.filter(F.col("c_custkey") % 3 == 0)
+    return upsert_state(cust, state, ["c_custkey"]).delta
+
+
+@_register(
+    "star_revenue_by_region",
+    f"""
+    SELECT r.r_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           {_osum('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    ("join", "J1", "aggregate", "star"),
+    "Star join with broadcast dims (J1; the QuickSight dashboard query shape, "
+    "SURVEY.md §2.5): revenue by region.",
+)
+def q_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "left_join_defaults",
+    f"""
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.total_spent, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders, {_osum('o_totalprice')} AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    ("join", "J2", "P9"),
+    "Left outer join + default fill (create_category_group_messages.py:107-108): "
+    "customers with no orders get 0.",
+)
+def q_left_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spent")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", "n_orders", "total_spent")
+        .fillna({"n_orders": 0, "total_spent": 0.0})
+    )
+
+
+@_register(
+    "nearest_slot",
+    f"""
+    WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs FROM events),
+    slotted AS (
+      SELECT CAST(round(secs / 900.0) AS BIGINT) * 900 AS slot_secs FROM base
+    )
+    SELECT {_ohhmm('slot_secs')} AS time_of_day_id, COUNT(*) AS n_events
+    FROM slotted GROUP BY 1
+    """,
+    ("join", "J5", "A5"),
+    "As-of/nearest join against the 96-slot grid (get_raw_categories_data.py:52-71) "
+    "as round-to-nearest arithmetic; the 23:52 day rollover falls out of rounding.",
+)
+def q_nearest_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    secs = F.col("secs")
+    slot_secs = F.round(secs / 900.0).cast("long") * 900
+    return (
+        ev.select(_hhmm(slot_secs).alias("time_of_day_id"))
+        .groupBy("time_of_day_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@_register(
+    "day_dates_dim",
+    """
+    SELECT strftime(d, '%Y%m%d') AS day_date_id,
+           CAST(d AS DATE) AS the_date,
+           strftime(d, '%m/%d/%Y') AS date_MMDDYYYY,
+           dayname(d) AS day_of_week,
+           strftime(d, '%m') AS month,
+           strftime(d, '%d') AS day,
+           strftime(d, '%Y') AS year,
+           monthname(d) AS month_name,
+           upper(strftime(d, '%b')) AS month_abbrev,
+           strftime(d, '%y') AS year_YY
+    FROM generate_series(DATE '2025-01-01', DATE '2027-12-31', INTERVAL 1 DAY) t(d)
+    """,
+    ("source", "S8"),
+    "Generated calendar dimension (get_raw_day_dates_data.py:13-50), declarative.",
+)
+def q_day_dates_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return day_dates_dim(spark)
+
+
+@_register(
+    "time_of_day_dim",
+    """
+    SELECT lpad(CAST(i // 4 AS VARCHAR), 2, '0') || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0') AS time_of_day_id,
+           lpad(CAST(i // 4 AS VARCHAR), 2, '0') || ':' || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0') AS time_24h,
+           lpad(CAST(CASE WHEN (i // 4) % 12 = 0 THEN 12 ELSE (i // 4) % 12 END AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0')
+             || CASE WHEN i // 4 < 12 THEN ' AM' ELSE ' PM' END AS time_12h,
+           CAST(i // 4 AS INT) AS hour,
+           CAST((i % 4) * 15 AS INT) AS minute,
+           CASE WHEN i // 4 < 12 THEN 'AM' ELSE 'PM' END AS AM_PM,
+           CASE WHEN i < 20 THEN 'night' WHEN i < 48 THEN 'morning'
+                WHEN i < 68 THEN 'afternoon' WHEN i < 84 THEN 'evening'
+                ELSE 'night' END AS part_of_day
+    FROM range(96) t(i)
+    """,
+    ("source", "S9"),
+    "Generated 96-slot time-of-day dimension (get_raw_time_of_day_data.py:16-94).",
+)
+def q_time_of_day_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_of_day_dim(spark)
+
+
+@_register(
+    "explode_words",
+    """
+    SELECT w AS word, COUNT(*) AS n
+    FROM part, unnest(string_split(p_type, ' ')) t(w)
+    GROUP BY w
+    """,
+    ("explode", "E1"),
+    "Explode/UNNEST (process_raw_genre_bridge_data.py:85-92): array -> rows.",
+)
+def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "argmin_per_type",
+    """
+    SELECT event_type, event_id AS argmin_event, value AS min_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    ("aggregate", "A5"),
+    "Argmin scalar aggregate (get_raw_categories_data.py:61-69) with "
+    "deterministic (value, event_id) tiebreak.",
+)
+def q_argmin_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("argmin_event"),
+            F.col("value").alias("min_value"),
+        )
+    )
+
+
+@_register(
+    "topk_customers",
+    f"""
+    SELECT c_custkey, total_spent FROM (
+      SELECT o_custkey AS c_custkey, {_osum('o_totalprice')} AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) ORDER BY total_spent DESC, c_custkey LIMIT 10
+    """,
+    ("sort", "O1", "O2"),
+    "Sort + limit (get_category_popularity.py:26, API page caps): top-10 "
+    "customers by spend with key tiebreak.",
+)
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(dsum("o_totalprice").alias("total_spent"))
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {_osum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    ("aggregate", "rollup"),
+    "Hierarchical rollup — the dashboard drill-up shape implied by the star "
+    "schema (SURVEY.md §2.5 note).",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@_register(
+    "window_15min",
+    f"""
+    WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs, event_type, value FROM events)
+    SELECT (secs // 900) * 900 AS window_start_unix,
+           event_type,
+           COUNT(*) AS n_events,
+           {_osum('value')} AS sum_value
+    FROM base GROUP BY 1, 2
+    """,
+    ("streaming", "window", "A1"),
+    "15-minute tumbling window aggregate — the batch statement of the "
+    "reference's micro-batch cadence (SURVEY.md §2.7).",
+)
+def q_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window(F.timestamp_seconds("secs"), "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_unix"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "positional_join",
+    """
+    WITH lhs AS (
+      SELECT event_type, n,
+             row_number() OVER (ORDER BY n DESC, event_type) AS pos
+      FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+    ),
+    rhs AS (SELECT CAST(i + 1 AS BIGINT) AS pos, CAST(100 - 10 * i AS BIGINT) AS weight
+            FROM range(5) t(i))
+    SELECT lhs.event_type, lhs.n, rhs.weight
+    FROM lhs FULL OUTER JOIN rhs USING (pos)
+    """,
+    ("join", "J6"),
+    "Positional (index-aligned) join (create_category_group_messages.py:111-114) "
+    "re-expressed with explicit row_number ordering.",
+)
+def q_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    weights = spark.range(5).select(
+        (F.col("id") + 1).alias("rpos"), (100 - 10 * F.col("id")).alias("weight")
+    )
+    joined = positional_join(
+        counts, weights.orderBy("rpos"), [F.desc("n"), F.col("event_type")], [F.col("rpos")]
+    )
+    return joined.select("event_type", "n", "weight")
+
+
+# ===========================================================================
+# Extension operators (SURVEY.md §2.9): text analysis
+# ===========================================================================
+
+
+@_register(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+    """,
+    ("text", "ext"),
+    "Token counting (whitespace tokenizer) + char length per document.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@_register(
+    "text_quality",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars AS n_chars_measured,
+           len(toks) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / n_chars AS punct_ratio
+    FROM t
+    """,
+    ("text", "ext"),
+    "Quality scoring: length/token/stopword/punctuation statistics.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(_t(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)  # en, de, es, fr, zh — earlier wins ties
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [score[l2] for l2 in langs[i + 1 :]]
+        cond = f"s_{lang} > 0"
+        if rest:
+            cond += f" AND s_{lang} >= greatest({', '.join('s_' + l2 for l2 in langs[i+1:])})"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    score_cols = ",\n             ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    greatest_all = ", ".join("s_" + lang for lang in langs)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE {' '.join(cases)} ELSE 'und' END AS pred_lang,
+           greatest({greatest_all}, 0) AS marker_hits
+    FROM s
+    """
+
+
+@_register(
+    "lang_id",
+    _langid_oracle(),
+    ("text", "ext"),
+    "Marker-stopword language-ID heuristic with fixed tie precedence.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fingerprint FROM documents",
+    ("text", "ext"),
+    "Deterministic document fingerprint (md5 of normalized text).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ===========================================================================
+# Extension operators: dedup family
+# ===========================================================================
+
+
+@_register(
+    "exact_dedup",
+    """
+    SELECT md5(replace(lower(text), ' ', '')) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    ("dedup", "ext"),
+    "Exact dedup by md5 fingerprint; deterministic min-id survivor.",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = r"""
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 CASE WHEN len(toks) - 2 >= 1
+                      THEN generate_series(1, len(toks) - 2)
+                      ELSE [] END,
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+      )
+"""
+
+
+@_register(
+    "ngram_jaccard",
+    rf"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.5
+    """,
+    ("dedup", "ext"),
+    "Exact n-gram Jaccard near-dup pairs via shingle self-join.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_sig_sql(num_hashes: int = 32) -> tuple[str, str]:
+    """(CTE defining sigs table, list of mh col names) for the oracle."""
+    params = minhash_params(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN((h0 * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return (
+        rf"""
+    sh AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h0
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    )""",
+        ", ".join(f"mh{i}" for i in range(num_hashes)),
+    )
+
+
+def _minhash_pairs_oracle(bands: int = 8, rows_per_band: int = 4) -> str:
+    sig_cte, _cols = _minhash_sig_sql(bands * rows_per_band)
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, md5("
+        + " || ',' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + ") AS band_hash, "
+        + f"{b} AS band FROM sigs"
+        for b in range(bands)
+    )
+    return rf"""
+    WITH {sig_cte},
+    banded AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    """
+
+
+@_register(
+    "minhash_lsh_pairs",
+    _minhash_pairs_oracle(),
+    ("dedup", "ext", "lsh"),
+    "MinHash(32) + LSH banding (8 bands x 4 rows): candidate near-dup pairs. "
+    "The 100 TB-scale near-dup path — no quadratic join.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h0 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0 FROM toks
+    ),
+    sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM sums
+    """
+
+
+@_register(
+    "simhash",
+    _simhash_oracle(),
+    ("dedup", "ext"),
+    "60-bit SimHash fingerprint per document (token bit votes).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Extension operators: similarity search
+# ===========================================================================
+
+_QVEC = "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+_DOT = (
+    "CAST(CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)"
+)
+_NORM = "CAST(CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT) AS DOUBLE)"
+
+
+@_register(
+    "cosine_knn",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    ("similarity", "ext"),
+    "Brute-force cosine top-5 for query vectors vec_id<10 (quantized exact "
+    "arithmetic; broadcast queries, windowed top-k).",
+)
+def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@_register(
+    "embedding_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DOT.format(a='a.qv', b='b.qv')} / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')}) AS cosine
+      FROM v a, v b WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.75
+    """,
+    ("similarity", "dedup", "ext"),
+    "Embedding-cosine near-duplicate pairs (threshold 0.75) over the first "
+    "200 vectors.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import quantized_cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            quantized_cosine(F.col("ea"), F.col("eb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.75)
+    )
+
+
+@_register(
+    "lsh_knn",
+    None,  # approximate by construction; verified against cosine_knn in tests
+    ("similarity", "ext", "lsh"),
+    "LSH-bucketed approximate top-5 (random-hyperplane buckets) — the "
+    "sub-linear scale path; recall asserted against cosine_knn in tests.",
+)
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ===========================================================================
+# Extension operators: multimodal plumbing
+# ===========================================================================
+
+
+@_register(
+    "binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    ("multimodal", "ext"),
+    "Binary-payload metadata projection (JVM-only pre-filter before decode).",
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return binary_meta(attach_binary_payload(docs))
+
+
+@_register(
+    "multimodal_features",
+    None,  # python-side stub decoder — rows-only check
+    ("multimodal", "ext"),
+    "Arrow-batched (mapInPandas) feature extraction over binary payloads with "
+    "the STUBBED decoder — exercises schema/batch plumbing end to end.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "payload_md5",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+# ===========================================================================
+# Entry points consumed by __spark_entry__.py
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}

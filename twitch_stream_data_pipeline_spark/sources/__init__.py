@@ -1,0 +1,13 @@
+"""Scan & generator sources (SURVEY.md §2.1, S1–S9)."""
+
+from .star import load_star, register_star_views
+from .json_envelope import read_envelope_records
+from .generators import day_dates_dim, time_of_day_dim
+
+__all__ = [
+    "load_star",
+    "register_star_views",
+    "read_envelope_records",
+    "day_dates_dim",
+    "time_of_day_dim",
+]
