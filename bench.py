@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from twitch_stream_data_pipeline_spark.plans import CATALOG
+from twitch_stream_data_pipeline_spark.session import get_spark
+
+#: headline queries — one per major operator family (scan-agg, star join,
+#: window, dedup, sort/limit, rollup, text, minhash-LSH, ANN).
+HEADLINE = (
+    "pricing_summary",
+    "star_revenue_by_region",
+    "window_15min",
+    "topk_customers",
+    "dedup_keep_first",
+    "rollup_lineitem",
+    "curate_events",
+    "text_quality",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "cosine_knn",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # warm the JVM + file listing with a trivial action so per-query
+    # timings measure the queries, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s ({len(rows)} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,9 +85,28 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Exploded distinct (doc_id, shingle) pairs."""
-    return df.select(
-        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """Exploded distinct (doc_id, shingle) pairs.
+
+    The token array is projected as its own column *before* the
+    n-gram lambda: referencing an inline ``split()`` from inside
+    ``transform()`` makes Catalyst re-evaluate the split for every
+    ``element_at`` (~3n evaluations per document — measured 15x slower
+    at sf0.1). With ``toks`` materialized per row, whole-stage codegen
+    computes it once.
+    """
+    toksdf = df.select(
+        "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks")
+    )
+    cnt = F.size("toks") - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)]),
+    )
+    return toksdf.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -102,7 +121,11 @@ def ngram_jaccard_pairs(
     integer arithmetic. Emits ``doc_a < doc_b`` pairs with
     ``jaccard >= threshold``.
     """
-    sh = doc_shingles(df, text_col, n)
+    # the shingle set feeds three plan branches (a-side, b-side, sizes);
+    # persist so the explode+distinct runs once, not three times. At
+    # warehouse scale this materialization would be a parquet stage
+    # (write once, join from storage) — same idea.
+    sh = doc_shingles(df, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -157,6 +180,10 @@ def lsh_candidate_pairs(
     join, each doc emits ``bands`` (band, band_hash) keys; only bucket
     collisions are joined. Emits distinct ``doc_a < doc_b``.
     """
+    # both sides of the self-join derive from the signature plan;
+    # persist so signatures compute once (the 100 TB design materializes
+    # them to a table between the signature and banding stages).
+    signatures = signatures.persist()
     banded = signatures.select(
         "doc_id",
         F.posexplode(

@@ -67,19 +67,26 @@ def cosine_knn(
     window partitioned by query — the only shuffle, sized Q*N rows of
     three columns, never the vectors themselves.
     """
+    # quantize + norm once per side (narrow projections) so the
+    # quadratic stage computes only the dot product per pair.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        quantized_embedding(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_norm", _norm2(F.col("q_vec")))
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        quantized_embedding(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_norm", _norm2(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / F.sqrt(F.col("q_norm").cast("double") * F.col("c_norm").cast("double"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -92,14 +99,8 @@ def cosine_knn(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign-bit per plane, packed.
-
-    ``planes`` are fixed integer hyperplanes (deterministic, shipped in
-    the plan as literals) applied to the quantized vector; bucket =
-    sum(2^i * [dot_i > 0]).
-    """
-    qv = quantized_embedding(vec)
+def _qbucket(qv: Column, planes: list[list[int]]) -> Column:
+    """Bucket id from an already-quantized vector column."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(p).cast("long") for p in plane])
@@ -108,6 +109,16 @@ def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit per plane, packed.
+
+    ``planes`` are fixed integer hyperplanes (deterministic, shipped in
+    the plan as literals) applied to the quantized vector; bucket =
+    sum(2^i * [dot_i > 0]).
+    """
+    return _qbucket(quantized_embedding(vec), planes)
 
 
 def make_planes(dim: int, num_planes: int = 8) -> list[list[int]]:
@@ -142,13 +153,21 @@ def lsh_bucketed_knn(
     planes = make_planes(dim, num_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        quantized_embedding(F.col(vec_col)).alias("q_vec"),
+    ).select(
+        "query_id",
+        "q_vec",
+        _norm2(F.col("q_vec")).alias("q_norm"),
+        _qbucket(F.col("q_vec"), planes).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        quantized_embedding(F.col(vec_col)).alias("c_vec"),
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        _norm2(F.col("c_vec")).alias("c_norm"),
+        _qbucket(F.col("c_vec"), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
@@ -156,7 +175,10 @@ def lsh_bucketed_knn(
         .select(
             "query_id",
             "neighbor_id",
-            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / F.sqrt(F.col("q_norm").cast("double") * F.col("c_norm").cast("double"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))

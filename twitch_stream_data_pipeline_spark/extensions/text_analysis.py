@@ -51,13 +51,18 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword statistics per document. All ratios are double divisions
     of exact integer counts (deterministic across engines).
     """
-    text = F.col(text_col)
-    toks = tokenize(text)
-    n_tokens = token_count(text)
+    # project the token array once per row — inline `split()` inside
+    # several expressions is re-evaluated by Catalyst per use.
+    base = df.select(
+        "doc_id", F.col(text_col).alias("__text"), tokenize(F.col(text_col)).alias("toks")
+    )
+    text = F.col("__text")
+    toks = F.col("toks")
+    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
     n_chars = F.length(text)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?]"), 0))
-    return df.select(
+    return base.select(
         "doc_id",
         n_chars.alias("n_chars_measured"),
         n_tokens.alias("n_tokens"),
@@ -74,7 +79,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     fixed precedence chain (en > de > es > fr > zh on ties) so the
     result is deterministic. Zero hits anywhere -> 'und'.
     """
-    toks = tokenize(F.col(text_col))
+    base = df.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
+    toks = F.col("toks")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -87,7 +93,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         s = scores[lang]
         pred = F.when((s > 0) & (s >= max_rest), F.lit(lang)).otherwise(pred)
         max_rest = F.greatest(max_rest, s)
-    return df.select(
+    return base.select(
         "doc_id",
         pred.alias("pred_lang"),
         max_rest.alias("marker_hits"),

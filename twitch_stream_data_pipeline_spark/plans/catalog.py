@@ -77,6 +77,27 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table, repartitioned for CPU-heavy per-row operators.
+
+    The testdata ships one parquet file per table, and a single parquet
+    row group cannot be split — so a plain scan is one task no matter
+    how many cores exist. Hash-repartitioning on doc_id costs one tiny
+    shuffle (the table is small relative to the work per row) and lets
+    shingling/hashing use every core. At 100 TB inputs arrive in many
+    splits and this repartition is a cheap no-op-sized rebalance that
+    also evens out document-length skew before the CPU-bound stage.
+    """
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table, repartitioned for vector-math operators."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with timestamp normalized to integer columns.
 
@@ -266,7 +287,7 @@ def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-column sentinel.",
 )
 def q_sentinel_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     def dflt(c, s):
         return F.when(F.col(c).isNull() | (F.col(c) == ""), F.lit(s)).otherwise(F.col(c))
     return docs.select(
@@ -287,7 +308,7 @@ def q_sentinel_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus the 'NA' member.",
 )
 def q_language_dim_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sentinel = spark.createDataFrame([("NA",)], "language_id string")
     return docs.select(F.col("lang").alias("language_id")).distinct().unionByName(
         sentinel
@@ -682,7 +703,7 @@ def q_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Token counting (whitespace tokenizer) + char length per document.",
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
@@ -714,7 +735,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     "Quality scoring: length/token/stopword/punctuation statistics.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_quality(_t(spark, sf_dir, "documents"))
+    return text_quality(_docs(spark, sf_dir))
 
 
 def _langid_oracle() -> str:
@@ -754,7 +775,7 @@ def _langid_oracle() -> str:
     "Marker-stopword language-ID heuristic with fixed tie precedence.",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(_t(spark, sf_dir, "documents"))
+    return language_id(_docs(spark, sf_dir))
 
 
 @_register(
@@ -764,7 +785,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deterministic document fingerprint (md5 of normalized text).",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", text_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -785,6 +806,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exact dedup by md5 fingerprint; deterministic min-id survivor.",
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no pre-repartition: the groupBy(text_hash) is itself the shuffle
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
@@ -823,7 +845,7 @@ _SHINGLES_SQL = r"""
     "Exact n-gram Jaccard near-dup pairs via shingle self-join.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def _minhash_sig_sql(num_hashes: int = 32) -> tuple[str, str]:
@@ -879,7 +901,7 @@ def _minhash_pairs_oracle(bands: int = 8, rows_per_band: int = 4) -> str:
     "The 100 TB-scale near-dup path — no quadratic join.",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(_docs(spark, sf_dir))
     return lsh_candidate_pairs(sigs)
 
 
@@ -916,7 +938,7 @@ def _simhash_oracle(bits: int = 60) -> str:
     "60-bit SimHash fingerprint per document (token bit votes).",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash64(_docs(spark, sf_dir))
 
 
 # ===========================================================================
@@ -951,7 +973,7 @@ _NORM = "CAST(CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT) AS DOUBL
     "arithmetic; broadcast queries, windowed top-k).",
 )
 def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return cosine_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
@@ -973,7 +995,7 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import quantized_cosine
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
@@ -995,7 +1017,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sub-linear scale path; recall asserted against cosine_knn in tests.",
 )
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return lsh_bucketed_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
@@ -1016,7 +1038,7 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Binary-payload metadata projection (JVM-only pre-filter before decode).",
 )
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return binary_meta(attach_binary_payload(docs))
 
 
@@ -1028,7 +1050,7 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the STUBBED decoder — exercises schema/batch plumbing end to end.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = extract_features(attach_binary_payload(docs))
     return feats.select(
         "doc_id",
