@@ -1,0 +1,186 @@
+"""Golden replay: run the Spark pipeline on the reference's own shipped
+raw-layer batches and diff against its processed/curated CSVs
+(SURVEY.md §5 — the reference's de-facto correctness strategy).
+
+Batches used (FIXTURES.md §A7):
+- streams 20260111_1715: raw JSON shard -> processed (3,912) -> curated
+- categories 20260111_1645: raw JSON -> processed (4,503)
+- genre / game-mode bridge 20260111_1645: raw JSON + curated categories
+  -> processed (10,884) -> curated pairs
+- users 20260111_1715: processed -> curated upsert from empty state
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark import schemas
+from twitch_stream_data_pipeline_spark.pipeline import (
+    curate_bridge,
+    curate_streams,
+    curate_users,
+    process_raw_bridge,
+    process_raw_categories,
+    process_raw_streams,
+    process_raw_users,
+)
+from twitch_stream_data_pipeline_spark.sources import read_envelope_records
+
+REF = "/root/reference/data"
+RAW = f"{REF}/twitch_project_raw_layer"
+PROCESSED = f"{REF}/twitch_project_processed_layer"
+CURATED = f"{REF}/twitch_project_curated_layer"
+
+
+def golden(path: str) -> pd.DataFrame:
+    """Reference CSV with the reference's own read semantics: literal
+    "NA" is data, everything compared as strings."""
+    return pd.read_csv(path, keep_default_na=False, dtype=str)
+
+
+def as_multiset(df_pandas: pd.DataFrame):
+    cols = sorted(df_pandas.columns)
+    return sorted(tuple(row[c] for c in cols) for _, row in df_pandas[cols].iterrows())
+
+
+def spark_multiset(sdf):
+    """Normalize a Spark DataFrame to golden-CSV string form."""
+    out = sdf.select(
+        *[
+            F.when(F.col(c).cast("string") == "true", "True")
+            .when(F.col(c).cast("string") == "false", "False")
+            .otherwise(F.col(c).cast("string"))
+            .alias(c)
+            for c in sdf.columns
+        ]
+    )
+    pdf = out.toPandas().fillna("")
+    return as_multiset(pdf)
+
+
+def assert_matches_golden(sdf, golden_path: str):
+    g = golden(golden_path)
+    s = spark_multiset(sdf)
+    expect = as_multiset(g)
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in g.columns
+    ), f"columns: {sdf.columns} vs {list(g.columns)}"
+    assert len(s) == len(expect), f"rows: {len(s)} vs {len(expect)}"
+    diff = [i for i, (a, b) in enumerate(zip(s, expect)) if a != b]
+    assert not diff, f"{len(diff)} mismatches; first: {s[diff[0]]} vs {expect[diff[0]]}"
+
+
+@pytest.fixture(scope="module")
+def stream_records(spark):
+    return read_envelope_records(
+        spark,
+        f"{RAW}/raw_streams_data/20260111_1715/*.json",
+        schemas.RAW_STREAMS_ENVELOPE,
+    )
+
+
+def test_process_streams_golden(spark, stream_records):
+    out = process_raw_streams(stream_records)
+    assert_matches_golden(
+        out,
+        f"{PROCESSED}/processed_streams_data/20260111/processed_streams_data_20260111_1715.csv",
+    )
+
+
+def test_curate_streams_golden(spark, stream_records):
+    out = curate_streams(process_raw_streams(stream_records), "20260111", "1715")
+    assert_matches_golden(
+        out,
+        f"{CURATED}/curated_streams_data/20260111/curated_stream_data_20260111_1715.csv",
+    )
+
+
+def test_process_categories_golden(spark):
+    records = read_envelope_records(
+        spark,
+        f"{RAW}/raw_categories_data/20260111/raw_categories_data_20260111_1645.json",
+        schemas.RAW_CATEGORIES_ENVELOPE,
+    )
+    out = process_raw_categories(records)
+    assert_matches_golden(
+        out,
+        f"{PROCESSED}/processed_categories_data/20260111/processed_categories_data_20260111_1645.csv",
+    )
+
+
+def _curated_categories_dim(spark):
+    """Curated categories CSV with explicit file order (the keep-first
+    tiebreak the reference's pandas probe relies on)."""
+    path = f"{CURATED}/curated_categories_data/20260111/curated_categories_data_20260111_1645.csv"
+    sdf = spark.read.csv(
+        path, header=True, schema="category_id string, category_name string, igdb_id string"
+    )
+    return sdf.withColumn("__row_order", F.monotonically_increasing_id())
+
+
+@pytest.mark.parametrize(
+    "kind,array_col,out_col",
+    [("genre", "genres", "genre_id"), ("game_mode", "game_modes", "game_mode_id")],
+)
+def test_bridge_golden(spark, kind, array_col, out_col):
+    env = (
+        schemas.RAW_GENRE_BRIDGE_ENVELOPE
+        if kind == "genre"
+        else schemas.RAW_GAME_MODE_BRIDGE_ENVELOPE
+    )
+    records = read_envelope_records(
+        spark,
+        f"{RAW}/raw_{kind}_bridge_data/20260111/raw_{kind}_bridge_data_20260111_1645.json",
+        env,
+    )
+    dim = _curated_categories_dim(spark)
+    processed = process_raw_bridge(records, dim, array_col, out_col)
+    assert_matches_golden(
+        processed,
+        f"{PROCESSED}/processed_{kind}_bridge_data/20260111/processed_{kind}_bridge_data_20260111_1645.csv",
+    )
+    assert_matches_golden(
+        curate_bridge(processed, out_col),
+        f"{CURATED}/curated_{kind}_bridge_data/20260111/curated_{kind}_bridge_data_20260111_1645.csv",
+    )
+
+
+def test_curate_users_golden_from_empty_state(spark):
+    """Batch 20260111_1715 is the state's first run: curated == full
+    processed set (verified: current_users == curated_users == 3,912)."""
+    pdf = golden(
+        f"{PROCESSED}/processed_users_data/20260111/processed_users_data_20260111_1715.csv"
+    )
+    processed = spark.createDataFrame(pdf)
+    empty_state = spark.createDataFrame(
+        [], "user_id string, user_name string, login_name string, broadcaster_type string"
+    )
+    result = curate_users(processed, empty_state)
+    assert_matches_golden(
+        result.delta,
+        f"{CURATED}/curated_users_data/20260111/curated_users_data_20260111_1715.csv",
+    )
+    assert result.new_state.count() == result.delta.count()
+
+
+def test_category_upsert_state_semantics(spark):
+    """Upsert keeps state attributes for known keys and emits only new
+    keys — the reference's concat + keep-first + symmetric-difference
+    behavior (curate_categories_data.py:70-77)."""
+    from twitch_stream_data_pipeline_spark.pipeline import curate_categories
+
+    state = spark.createDataFrame(
+        [("1", "Old Name", "10")], "category_id string, category_name string, igdb_id string"
+    )
+    batch = spark.createDataFrame(
+        [("1", "New Name", "10"), ("2", "Fresh", "NA")],
+        "category_id string, category_name string, igdb_id string",
+    )
+    res = curate_categories(batch, state)
+    delta = {tuple(r) for r in res.delta.collect()}
+    assert delta == {("2", "Fresh", "NA")}
+    new_state = {tuple(r) for r in res.new_state.collect()}
+    assert ("1", "Old Name", "10") in new_state  # state attrs win
+    assert len(new_state) == 2

@@ -1,0 +1,25 @@
+"""The Twitch medallion pipeline (raw -> processed -> curated) as pure
+DataFrame transforms (SURVEY.md §3).
+
+Each stage of the reference's Lambda cascade becomes a function of
+DataFrames: no process boundaries, no files-as-IR — Catalyst sees the
+whole lineage, so projections and filters push into the scan and every
+dim join broadcasts. Golden-replay tests run these against the
+reference's own shipped batch snapshots.
+"""
+
+from .streams import process_raw_streams, curate_streams
+from .categories import process_raw_categories, curate_categories
+from .users import process_raw_users, curate_users
+from .bridges import process_raw_bridge, curate_bridge
+
+__all__ = [
+    "process_raw_streams",
+    "curate_streams",
+    "process_raw_categories",
+    "curate_categories",
+    "process_raw_users",
+    "curate_users",
+    "process_raw_bridge",
+    "curate_bridge",
+]
