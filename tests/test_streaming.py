@@ -1,0 +1,88 @@
+"""Structured Streaming tests: availableNow replay of the reference raw
+layer asserting curated parity, windowed popularity, and foreachBatch
+dim maintenance (SURVEY.md §5 strategy (c))."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark.streaming import (
+    DimUpserter,
+    curated_streams_stream,
+    run_streams_replay,
+    stream_raw_streams,
+    windowed_popularity_stream,
+)
+
+RAW_GLOB = "/root/reference/data/twitch_project_raw_layer/raw_streams_data/20260111_1715/*.json"
+CURATED_GOLDEN = (
+    "/root/reference/data/twitch_project_curated_layer/curated_streams_data/"
+    "20260111/curated_stream_data_20260111_1715.csv"
+)
+
+
+def test_streaming_curated_matches_golden(spark):
+    out = run_streams_replay(spark, RAW_GLOB, query_name="t_curated")
+    got = {
+        tuple(r)
+        for r in out.select(
+            "stream_id", "day_date_id", "time_of_day_id", "user_id",
+            "category_id", "language_id",
+            F.col("viewer_count").cast("string"),
+            F.col("hours_watched").cast("string"),
+        ).collect()
+    }
+    import pandas as pd
+
+    g = pd.read_csv(CURATED_GOLDEN, keep_default_na=False, dtype=str)
+    expect = {tuple(row) for row in g.itertuples(index=False)}
+    assert len(got) == len(expect) == 3912
+    assert got == expect
+
+
+def test_streaming_windowed_popularity(spark):
+    out = run_streams_replay(
+        spark,
+        RAW_GLOB,
+        query_name="t_pop",
+        transform=lambda records: windowed_popularity_stream(
+            curated_streams_stream(records)
+        ),
+        output_mode="complete",
+    )
+    rows = out.collect()
+    # one 15-min window (single batch), one row per category
+    assert len({r["window_start"] for r in rows}) == 1
+    assert sum(r["num_of_streamers"] for r in rows) == 3912
+    top = max(rows, key=lambda r: r["num_of_streamers"])
+    assert top["num_of_streamers"] > 100  # Just Chatting dominates
+
+
+def test_foreachbatch_dim_upsert(spark, tmp_path):
+    ups = DimUpserter(
+        spark,
+        state_path=str(tmp_path / "dim"),
+        keys=["user_id"],
+        schema_ddl="user_id string, user_name string",
+        delta_path=str(tmp_path / "deltas"),
+    )
+    b1 = spark.createDataFrame([("1", "a"), ("2", "b")], "user_id string, user_name string")
+    ups(b1, 0)
+    assert ups.current_state().count() == 2
+    # second batch: one known key (attrs differ -> ignored), one new
+    b2 = spark.createDataFrame([("2", "B2"), ("3", "c")], "user_id string, user_name string")
+    ups(b2, 1)
+    state = {tuple(r) for r in ups.current_state().collect()}
+    assert state == {("1", "a"), ("2", "b"), ("3", "c")}
+    # empty delta -> no new epoch dir
+    ups(b2, 2)
+    deltas = spark.read.parquet(str(tmp_path / "deltas")).count()
+    assert deltas == 3
+
+
+def test_streaming_source_is_incremental(spark):
+    """The streaming scan must be a real streaming source (file listing
+    per trigger), not a batch read."""
+    df = stream_raw_streams(spark, RAW_GLOB)
+    assert df.isStreaming

@@ -1,0 +1,20 @@
+"""Structured Streaming restatement of the reference's hand-built
+15-minute micro-batch system (SURVEY.md §2.7, §3.1)."""
+
+from .pipeline import (
+    batch_event_time,
+    curated_streams_stream,
+    run_streams_replay,
+    stream_raw_streams,
+    windowed_popularity_stream,
+)
+from .dim_maintenance import DimUpserter
+
+__all__ = [
+    "batch_event_time",
+    "curated_streams_stream",
+    "run_streams_replay",
+    "stream_raw_streams",
+    "windowed_popularity_stream",
+    "DimUpserter",
+]

@@ -1,0 +1,134 @@
+"""Streaming streams-fact pipeline.
+
+The reference's cascade (SURVEY.md §3.1) — EventBridge schedule -> 25
+ingest Lambdas -> process -> curate -> load, with files as the IR at
+every hop — collapses into one streaming query: file-source over the
+raw layer, the same pure transforms as batch (``pipeline.streams``),
+watermarked dedup, curated sink. Batch identity (``day_date_id``,
+``time_of_day_id``) stays as columns for star-schema parity; event time
+for watermarking is derived from the grid cell.
+
+At scale: the file source lists only new files per trigger
+(``maxFilesPerTrigger`` is the reference's 100-page throttle analog,
+SURVEY.md §4), state for dedup is bounded by the watermark, and
+``availableNow`` gives deterministic replay for tests/backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..pipeline.streams import curate_streams, process_raw_streams
+from ..sources.json_envelope import read_envelope_records
+
+
+def batch_event_time(day_date_id: Column, time_of_day_id: Column) -> Column:
+    """Event-time timestamp of a batch grid cell (tz-free parse).
+
+    The reference models time dimensionally (SURVEY.md §1.2); streaming
+    needs a real timestamp for watermarks, so the grid cell converts
+    back: "20260111" + "1715" -> 2026-01-11 17:15:00 UTC.
+    """
+    return F.to_timestamp(
+        F.concat(day_date_id, F.lit(" "), time_of_day_id), "yyyyMMdd HHmm"
+    )
+
+
+def stream_raw_streams(spark: SparkSession, raw_glob: str) -> DataFrame:
+    """Streaming scan of the raw streams layer (S1/S2/S3, streaming)."""
+    return read_envelope_records(
+        spark, raw_glob, schemas.RAW_STREAMS_ENVELOPE, streaming=True
+    )
+
+
+def curated_streams_stream(records: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Raw records stream -> curated fact stream.
+
+    Same transform chain as batch (process -> curate) except the
+    cross-shard dedup becomes ``dropDuplicatesWithinWatermark`` on the
+    fact grain: state is bounded — a duplicate arriving later than the
+    watermark is the reference's "at-most-once by choice" tradeoff
+    (SURVEY.md §2.7) made explicit and tunable.
+    """
+    from ..operators.cleaning import valid_integer_ids
+
+    cleaned = valid_integer_ids(records, "id", "user_id").withColumn(
+        "language",
+        F.when(F.col("language") == "", F.lit("notavailable")).otherwise(
+            F.col("language")
+        ),
+    )
+    curated = cleaned.select(
+        F.col("id").alias("stream_id"),
+        "day_date_id",
+        "time_of_day_id",
+        "user_id",
+        F.col("game_id").alias("category_id"),
+        F.col("language").alias("language_id"),
+        "viewer_count",
+        (F.col("viewer_count") * 0.25).alias("hours_watched"),
+        batch_event_time(F.col("day_date_id"), F.col("time_of_day_id")).alias(
+            "event_time"
+        ),
+    )
+    return curated.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["stream_id", "day_date_id", "time_of_day_id"]
+    )
+
+
+def windowed_popularity_stream(
+    curated: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Per-window category popularity (A1 as a streaming aggregate).
+
+    The reference computes this per batch and feeds it back into the
+    next batch's fan-out (get_category_popularity.py:23-26 ->
+    create_category_group_messages.py). Here it is a watermarked
+    15-minute tumbling-window aggregate; the feedback consumer reads
+    the sink table per micro-batch (stream-static join pattern).
+
+    ``watermark`` must stay ``None`` when ``curated`` is already
+    watermarked upstream (e.g. by :func:`curated_streams_stream` —
+    Spark disallows redefining a watermark); pass a duration only when
+    feeding a raw un-watermarked stream.
+    """
+    if watermark is not None:
+        curated = curated.withWatermark("event_time", watermark)
+    return (
+        curated.groupBy(F.window("event_time", "15 minutes"), "category_id")
+        .agg(F.count("stream_id").alias("num_of_streamers"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "category_id",
+            "num_of_streamers",
+        )
+    )
+
+
+def run_streams_replay(
+    spark: SparkSession,
+    raw_glob: str,
+    query_name: str = "curated_streams",
+    transform=curated_streams_stream,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Deterministic availableNow replay into a memory sink (tests /
+    backfills). Returns the materialized result DataFrame.
+
+    Use ``output_mode="complete"`` for windowed aggregates replayed in
+    a single trigger: in append mode a window only emits once the
+    watermark passes its end, which never happens when the replay data
+    stops inside the last window.
+    """
+    stream = transform(stream_raw_streams(spark, raw_glob))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)
