@@ -1,0 +1,111 @@
+"""Unit tests for operators without a SQL-oracle query: greedy packer
+(A4), SQS work-unit parsing (S7), dimension generators vs reference
+CSVs, LSH-kNN recall vs brute force."""
+
+from __future__ import annotations
+
+import ast
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark.operators.packing import pack_into_groups
+from twitch_stream_data_pipeline_spark.sources.generators import (
+    day_dates_dim,
+    time_of_day_dim,
+)
+from twitch_stream_data_pipeline_spark.sources.queue_events import (
+    parse_work_units,
+    read_sqs_batch_events,
+)
+
+SQS_DIR = "/root/reference/data/sample_data/SQS_batch_event_input"
+
+
+def test_pack_into_groups_respects_cap_and_balance(spark):
+    weights = spark.createDataFrame(
+        [(f"c{i}", w) for i, w in enumerate([6000, 5000, 4000, 3000, 2500, 2000, 500])],
+        "category_id string, num_of_streamers int",
+    )
+    groups = pack_into_groups(weights, max_groups=3, cap=7000)
+    assert len(groups) <= 3
+    packed = [c for g in groups for c in g]
+    assert sorted(packed) == sorted(f"c{i}" for i in range(7))
+    # first-fit-decreasing: heaviest item opens group 0; 500 fits beside 6000
+    assert groups[0][0] == "c0"
+
+
+def test_pack_overflow_goes_to_least_loaded(spark):
+    weights = spark.createDataFrame(
+        [("a", 7000), ("b", 7000), ("c", 7000)],
+        "category_id string, num_of_streamers int",
+    )
+    groups = pack_into_groups(weights, max_groups=2, cap=7000)
+    assert len(groups) == 2
+    assert sum(len(g) for g in groups) == 3
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_sqs_work_units_match_literal_eval(spark, n):
+    path = f"{SQS_DIR}/example_SQS_batch_event_input{n}.json"
+    got = (
+        parse_work_units(read_sqs_batch_events(spark, path))
+        .select("category_id")
+        .collect()
+    )
+    got_ids = sorted(r["category_id"] for r in got)
+    event = json.load(open(path))
+    expect = sorted(
+        cid for rec in event["Records"] for cid in ast.literal_eval(rec["body"])
+    )
+    assert got_ids == expect
+
+
+def test_day_dates_dim_matches_reference_csv(spark):
+    ours = day_dates_dim(spark).toPandas().astype(str)
+    ref = pd.read_csv(
+        "/root/reference/data/twitch_project_raw_layer/raw_day_dates_data/raw_day_dates_data.csv",
+        dtype=str,
+        keep_default_na=False,
+    )
+    assert len(ours) == len(ref) == 1095
+    for col in ["day_date_id", "date_MMDDYYYY", "day_of_week", "month", "day",
+                "year", "month_name", "month_abbrev", "year_YY"]:
+        assert ours[col].tolist() == ref[col].tolist(), col
+
+
+def test_time_of_day_dim_matches_reference_csv(spark):
+    ours = time_of_day_dim(spark).toPandas().astype(str)
+    ref = pd.read_csv(
+        "/root/reference/data/twitch_project_raw_layer/raw_time_of_day_data/raw_time_of_day_data.csv",
+        dtype=str,
+        keep_default_na=False,
+    )
+    assert len(ours) == len(ref) == 96
+    for col in ours.columns:
+        assert ours[col].tolist() == ref[col].tolist(), col
+
+
+def test_lsh_knn_recall_vs_brute_force(spark):
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        cosine_knn,
+        lsh_bucketed_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_knn(q, emb, k=5, num_planes=4).collect()
+    }
+    # LSH is approximate: every returned pair must be a real candidate
+    # (same bucket), and recall must be non-trivial at 4 planes.
+    assert approx, "LSH returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"

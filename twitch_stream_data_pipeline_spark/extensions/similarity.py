@@ -121,7 +121,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return _qbucket(quantized_embedding(vec), planes)
 
 
-def make_planes(dim: int, num_planes: int = 8) -> list[list[int]]:
+def make_planes(dim: int, num_planes: int = 8, table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes from md5 bytes (+/-1)."""
     import hashlib
 
@@ -129,9 +129,16 @@ def make_planes(dim: int, num_planes: int = 8) -> list[list[int]]:
     for p in range(num_planes):
         digest = b""
         while len(digest) < dim:
-            digest += hashlib.md5(f"plane{p}:{len(digest)}".encode()).digest()
+            digest += hashlib.md5(f"t{table}:plane{p}:{len(digest)}".encode()).digest()
         planes.append([1 if byte & 1 else -1 for byte in digest[:dim]])
     return planes
+
+
+def _bucket_array(qv: Column, dim: int, num_planes: int, num_tables: int) -> Column:
+    """array of (table-local) bucket ids, one per hash table."""
+    return F.array(
+        *[_qbucket(qv, make_planes(dim, num_planes, t)) for t in range(num_tables)]
+    )
 
 
 def lsh_bucketed_knn(
@@ -142,15 +149,19 @@ def lsh_bucketed_knn(
     vec_col: str = "embedding",
     num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket candidates.
+    """Approximate top-k: score only candidates colliding with the
+    query in at least one of ``num_tables`` LSH tables.
 
-    With 2^num_planes buckets the candidate set per query shrinks by
-    ~2^num_planes, at some recall cost (mitigate with multiple tables —
-    here one table keeps the plan simple; recall is asserted in tests
-    against :func:`cosine_knn`).
+    AND-amplification (num_planes sign bits per bucket) shrinks each
+    table's candidate set ~2^num_planes-fold; OR-amplification
+    (num_tables independent tables) recovers recall. Each side emits
+    ``num_tables`` (table, bucket) keys; the join is keyed on both and
+    deduped per pair before scoring — the 100 TB shape: shuffle carries
+    (id, bucket) pairs, vectors travel only into the final scoring
+    join. Recall vs :func:`cosine_knn` is asserted in tests.
     """
-    planes = make_planes(dim, num_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
@@ -158,7 +169,9 @@ def lsh_bucketed_knn(
         "query_id",
         "q_vec",
         _norm2(F.col("q_vec")).alias("q_norm"),
-        _qbucket(F.col("q_vec"), planes).alias("bucket"),
+        F.posexplode(
+            _bucket_array(F.col("q_vec"), dim, num_planes, num_tables)
+        ).alias("table", "bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -167,10 +180,12 @@ def lsh_bucketed_knn(
         "neighbor_id",
         "c_vec",
         _norm2(F.col("c_vec")).alias("c_norm"),
-        _qbucket(F.col("c_vec"), planes).alias("bucket"),
+        F.posexplode(
+            _bucket_array(F.col("c_vec"), dim, num_planes, num_tables)
+        ).alias("table", "bucket"),
     )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -180,6 +195,7 @@ def lsh_bucketed_knn(
                 / F.sqrt(F.col("q_norm").cast("double") * F.col("c_norm").cast("double"))
             ).alias("cosine"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
