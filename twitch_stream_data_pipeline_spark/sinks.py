@@ -1,0 +1,60 @@
+"""Sinks (SURVEY.md §2.2 K1-K5).
+
+The engine-native storage layer is parquet partitioned by
+``day_date_id`` — the Spark restatement of the reference's
+``{dataset}/{day}/{slot}`` path scheme (``scripts/process_raw_data/
+process_raw_streams_data.py:123-125``), which is what makes partition
+pruning work: a dashboard query filtered to one day touches one
+directory. CSV remains available for byte-compatible exports, JDBC for
+the Postgres warehouse load (K3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("day_date_id",),
+    mode: str = "append",
+) -> None:
+    """Partitioned parquet write (K2, engine-native).
+
+    At 100 TB: one directory per day keeps file listing bounded and
+    lets Catalyst prune to the queried days; within a partition, file
+    count follows task parallelism (AQE coalescing keeps files from
+    fragmenting).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_csv_compat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Byte-compatible CSV export (K2 as the reference writes it:
+    header, no index).
+    """
+    df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Warehouse bulk load (K3): the reference's S3 -> Postgres COPY
+    (``src/other/insert_data_to_db.py:19-96``) becomes a straight
+    ``df.write.jdbc``. Requires a JDBC driver jar on the classpath —
+    not present in this environment, so callers must gate on
+    availability (import-try pattern); the function itself is a thin
+    passthrough kept for API completeness.
+    """
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
