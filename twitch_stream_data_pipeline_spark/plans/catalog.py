@@ -1197,6 +1197,278 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Join completeness, sketches, as-of, and fan-out packing
+# ===========================================================================
+
+
+@_register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    """,
+    ("join", "J3", "semi"),
+    "Left-semi join (EXISTS): customers with at least one large order. "
+    "Complements the reference's left-anti gap-fetch "
+    "(scripts/get_raw_data/get_raw_users_data.py:126-134) — same broadcast/"
+    "shuffled-hash plan family, existence instead of absence.",
+)
+def q_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "full_outer_nation_counts",
+    """
+    WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust
+               FROM customer WHERE c_mktsegment = 'BUILDING'
+               GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey, COUNT(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT CAST(COALESCE(c_nationkey, s_nationkey) AS INTEGER) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL JOIN s ON c_nationkey = s_nationkey
+    """,
+    ("join", "full_outer"),
+    "Full-outer join of two pre-aggregated sides with COALESCE defaulting — "
+    "the snapshot-reconciliation shape of the reference's state-delta "
+    "machinery (SURVEY.md J4) when neither side subsumes the other.",
+)
+def q_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0).cast("long")).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0).cast("long")).alias("n_supp"),
+    )
+
+
+@_register(
+    "cube_volume",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    ("aggregate", "cube", "grouping_sets"),
+    "CUBE grouping-sets aggregate (all 4 rollup levels in one pass) — "
+    "partial-agg friendly: Spark expands grouping sets map-side, one shuffle.",
+)
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@_register(
+    "count_distinct_star",
+    f"""
+    SELECT n_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           {_osum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    ("aggregate", "join", "distinct_agg", "dashboard"),
+    "The dashboard star metric SURVEY.md §2.5 names as the engine target: "
+    "COUNT(DISTINCT user) + SUM(revenue) per dimension. Fact->customer is a "
+    "shuffled hash/sort-merge join (both scale with SF); nation is broadcast.",
+)
+def q_count_distinct_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "approx_distinct_users",
+    None,  # HLL sketches are engine-specific by design; driver checks rows-only
+    ("aggregate", "sketch", "approx"),
+    "HyperLogLog++ approximate COUNT(DISTINCT) per event_type beside the "
+    "exact count. At 100 TB the sketch is the scale path: mergeable partial "
+    "state, no exact-distinct shuffle of the key universe.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_ASOF_WIN = (
+    "OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@_register(
+    "asof_join_click_attribution",
+    f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events
+    ), m AS (
+        SELECT event_id, user_id, event_type, ts_us,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) {_ASOF_WIN} AS click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                          IGNORE NULLS) {_ASOF_WIN} AS click_ts
+        FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, click_id,
+           ts_us - click_ts AS gap_us
+    FROM m WHERE event_type = 'purchase'
+    """,
+    ("join", "J5", "asof", "window"),
+    "General as-of join (SURVEY.md J5's general pattern): attribute each "
+    "purchase to the latest click at-or-before it per user. One shuffle on "
+    "user_id (window), no join at all — the union+last() formulation scales "
+    "linearly and never explodes like a naive range join.",
+)
+def q_asof_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts_us")
+        .withColumns(
+            {
+                "click_id": F.last(
+                    F.when(is_click, F.col("event_id")), ignorenulls=True
+                ).over(w),
+                "click_ts": F.last(
+                    F.when(is_click, F.col("ts_us")), ignorenulls=True
+                ).over(w),
+            }
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
+        )
+    )
+
+
+@_register(
+    "range_join_quantity_buckets",
+    f"""
+    WITH b AS (SELECT CAST(id AS INTEGER) AS bucket,
+                      id * 5 AS lo, (id + 1) * 5 AS hi
+               FROM range(10) t(id))
+    SELECT bucket, COUNT(*) AS n_items,
+           {_osum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN b ON l_quantity > lo AND l_quantity <= hi
+    GROUP BY bucket
+    """,
+    ("join", "range", "non_equi"),
+    "Range (interval) join against a generated bucket dimension. The only "
+    "scale-sane physical plan for a non-equi join is broadcast-nested-loop "
+    "with the tiny side broadcast — hinted explicitly so the 10-row build "
+    "side never shuffles the fact table.",
+)
+def q_range_join_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = spark.range(10).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") * 5).alias("lo"),
+        ((F.col("id") + 1) * 5).alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(b),
+            (li.l_quantity > b.lo) & (li.l_quantity <= b.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "pack_groups",
+    None,  # greedy bin-packing is iterative/procedural — not SQL-expressible
+    ("driver", "A4", "packing"),
+    "Greedy weighted bin-packing (SURVEY.md A4, "
+    "scripts/other/create_category_group_messages.py:57-80): pack per-user "
+    "event weights into <=25 balanced groups. Deliberately driver-side over "
+    "an aggregated (tiny) input — at fact scale the same balancing job is "
+    "done by AQE skew handling, not by this operator.",
+)
+def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_into_groups
+
+    weights = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    rows = {r["user_id"]: r["n_events"] for r in weights.collect()}
+    cap = max(1, -(-sum(rows.values()) // 20))  # ~20 groups at any SF
+    groups = pack_into_groups(
+        weights, key="user_id", weight="n_events", max_groups=25, cap=cap
+    )
+    out = [
+        (i, len(g), sum(rows[k] for k in g)) for i, g in enumerate(groups)
+    ]
+    return spark.createDataFrame(
+        out, "group_id INT, n_keys INT, total_weight BIGINT"
+    )
+
+
+# ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
 
