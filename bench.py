@@ -18,7 +18,8 @@ from twitch_stream_data_pipeline_spark.plans import CATALOG
 from twitch_stream_data_pipeline_spark.session import get_spark
 
 #: headline queries — one per major operator family (scan-agg, star join,
-#: window, dedup, sort/limit, rollup, text, minhash-LSH, ANN).
+#: window, dedup, sort/limit, rollup/cube, as-of, range join, distinct-agg,
+#: text, minhash-LSH, ANN).
 HEADLINE = (
     "pricing_summary",
     "star_revenue_by_region",
@@ -26,6 +27,10 @@ HEADLINE = (
     "topk_customers",
     "dedup_keep_first",
     "rollup_lineitem",
+    "cube_volume",
+    "count_distinct_star",
+    "asof_join_click_attribution",
+    "range_join_quantity_buckets",
     "curate_events",
     "text_quality",
     "exact_dedup",

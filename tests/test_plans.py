@@ -74,3 +74,49 @@ def test_dedup_uses_partial_aggregation(spark):
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange hashpartitioning(text_hash" in plan, plan
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """The as-of join is formulated as a single partitioned window over
+    the event stream — the physical plan must contain a Window and one
+    user_id shuffle, and NO join operator (a naive range-join
+    formulation would explode quadratically per user)."""
+    df = CATALOG["asof_join_click_attribution"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_range_join_broadcasts_tiny_side(spark):
+    """Non-equi join against the 10-row bucket dim must be a broadcast
+    nested-loop — never a shuffle of the fact table on a range key."""
+    df = CATALOG["range_join_quantity_buckets"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BuildRight" in plan, plan
+
+
+def test_count_distinct_star_broadcasts_nation(spark):
+    df = CATALOG["count_distinct_star"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # distinct-agg rewrites to two-phase aggregation (partial before final)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_cube_expands_grouping_sets_map_side(spark):
+    """CUBE must plan as Expand + two-phase HashAggregate: all 4
+    grouping sets are produced map-side and partially aggregated before
+    the single shuffle."""
+    df = CATALOG["cube_volume"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Expand" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_join_pushes_filter_into_scan(spark):
+    df = CATALOG["semi_join_big_spenders"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan, plan

@@ -1438,6 +1438,51 @@ def q_range_join_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    ("aggregate", "percentile"),
+    "Exact interpolated percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont; outputs rounded to 6 decimals to absorb last-ulp "
+    "interpolation differences). The 100 TB path swaps in "
+    "approx_percentile's mergeable t-digest-style sketch — same call shape.",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@_register(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    ("set_op", "intersect"),
+    "INTERSECT set op (users who both clicked and purchased) — rounds out "
+    "the reference's union/except set-op family (SURVEY.md §2.6 notes "
+    "intersect as the one missing member).",
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+    )
+
+
+@_register(
     "pack_groups",
     None,  # greedy bin-packing is iterative/procedural — not SQL-expressible
     ("driver", "A4", "packing"),
