@@ -86,3 +86,58 @@ def test_streaming_source_is_incremental(spark):
     per trigger), not a batch read."""
     df = stream_raw_streams(spark, RAW_GLOB)
     assert df.isStreaming
+
+
+def test_stateful_popularity_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-category state ACROSS
+    micro-batches: two files + maxFilesPerTrigger=1 -> two batches; the
+    second emission per category must be cumulative, with the EMA
+    blending both batch means."""
+    from twitch_stream_data_pipeline_spark.streaming import stateful_popularity
+
+    src = tmp_path / "curated"
+    b1 = spark.createDataFrame(
+        [("cat_a", 100), ("cat_a", 300), ("cat_b", 50)],
+        "category_id string, viewer_count int",
+    )
+    b2 = spark.createDataFrame(
+        [("cat_a", 400), ("cat_c", 10)],
+        "category_id string, viewer_count int",
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("category_id string, viewer_count int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    captured = []
+    q = (
+        stateful_popularity(stream)
+        .writeStream.foreachBatch(
+            lambda batch, epoch: captured.append((epoch, batch.collect()))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = [(e, {r["category_id"]: r for r in rows}) for e, rows in captured if rows]
+    assert len(emitted) == 2, f"expected 2 micro-batches, got {captured}"
+    # find which epoch processed which file by the categories present
+    first, second = emitted
+    if "cat_c" in first[1]:
+        first, second = second, first
+    a1 = first[1]["cat_a"]
+    assert (a1["batches"], a1["n_streams"], a1["total_viewers"]) == (1, 2, 400)
+    assert a1["ema_viewers"] == 200.0  # first batch mean
+    a2 = second[1]["cat_a"]
+    assert (a2["batches"], a2["n_streams"], a2["total_viewers"]) == (2, 3, 800)
+    assert a2["ema_viewers"] == 0.5 * 400 + 0.5 * 200.0  # EMA blends batches
+    # cat_b only in batch 1, cat_c only in batch 2 — state is per-key
+    assert first[1]["cat_b"]["total_viewers"] == 50
+    c = second[1]["cat_c"]
+    assert (c["batches"], c["total_viewers"]) == (1, 10)

@@ -9,8 +9,10 @@ from .pipeline import (
     windowed_popularity_stream,
 )
 from .dim_maintenance import DimUpserter
+from .stateful import stateful_popularity
 
 __all__ = [
+    "stateful_popularity",
     "batch_event_time",
     "curated_streams_stream",
     "run_streams_replay",
