@@ -1483,6 +1483,73 @@ def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "above_avg_orders",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(cust_avg, 6) AS cust_avg
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+    ("window", "correlated_subquery"),
+    "Correlated-subquery shape (orders 50% above their customer's average) "
+    "decorrelated into a single window pass — one o_custkey shuffle instead "
+    "of a per-row subquery; the decimal-routed window avg keeps parity.",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
+@_register(
+    "scalar_subquery_filter",
+    f"""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+    FROM part
+    WHERE p_retailprice >
+          (SELECT {_osum('p_retailprice')} / COUNT(*) * 1.2 FROM part)
+    """,
+    ("subquery", "scalar"),
+    "Scalar-subquery filter (parts priced >20% above the global mean): the "
+    "one-row aggregate plans as a broadcast subquery result, so the main "
+    "scan is a single filtered pass with no shuffle.",
+)
+def q_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+        FROM part_v
+        WHERE p_retailprice >
+              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+                      / COUNT(*) * 1.2
+               FROM part_v)
+        """
+    )
+
+
+@_register(
     "pack_groups",
     None,  # greedy bin-packing is iterative/procedural — not SQL-expressible
     ("driver", "A4", "packing"),
