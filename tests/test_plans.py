@@ -120,3 +120,36 @@ def test_semi_join_pushes_filter_into_scan(spark):
     plan = plan_of(df)
     assert "LeftSemi" in plan, plan
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge-join with NO shuffle on either side — the storage
+    layout that makes repeated fact-x-fact joins linear at 100 TB."""
+    from twitch_stream_data_pipeline_spark.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 4, path=str(tmp_path / "bo"))
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", ["o_custkey"], 4, path=str(tmp_path / "bc"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast plan so the bucket co-location is what
+        # eliminates the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # bucket-key aggregation also skips its shuffle
+        agg = spark.table("b_orders").groupBy("o_custkey").count()
+        agg_plan = plan_of(agg)
+        assert "Exchange" not in agg_plan, agg_plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -58,3 +58,34 @@ def write_jdbc(
     passthrough kept for API completeness.
     """
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table (the co-located-join layout).
+
+    Pre-hashing a fact table into ``num_buckets`` files per the join/agg
+    key is the storage-level answer to repeated shuffles: two tables
+    bucketed by the same key with the same bucket count sort-merge-join
+    with **no Exchange on either side**, and aggregations on the bucket
+    key skip their shuffle too. At 100 TB this turns the nightly
+    fact-x-fact join from the dominant shuffle into a local merge —
+    the same economics the reference gets from its path-keyed layout,
+    applied to keys instead of dates. Bucket count should be sized so
+    one bucket of the largest table fits an executor's memory
+    (``tests/test_plans.py`` pins the no-shuffle plan shape).
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
