@@ -153,3 +153,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_distinct_splits_key_state(spark):
+    """The salted count-distinct must aggregate in two keyed phases:
+    first on (key, salt) — splitting any hot key across reducers —
+    then on the key alone."""
+    df = CATALOG["salted_distinct_users"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Exchange hashpartitioning(event_type#" in plan, plan
+    assert "_salt" in plan, plan

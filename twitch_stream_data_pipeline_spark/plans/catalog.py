@@ -1550,6 +1550,25 @@ def q_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    ("aggregate", "distinct_agg", "skew"),
+    "Skew-proof exact count-distinct via value-hash salting "
+    "(operators.aggregates.salted_count_distinct): identical result to the "
+    "naive COUNT(DISTINCT) — the oracle — but the hottest key's state is "
+    "split across 32 reducers instead of one.",
+)
+def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import salted_count_distinct
+
+    ev = _events(spark, sf_dir)
+    return salted_count_distinct(ev, ["event_type"], "user_id", buckets=32)
+
+
+@_register(
     "pack_groups",
     None,  # greedy bin-packing is iterative/procedural — not SQL-expressible
     ("driver", "A4", "packing"),
