@@ -141,3 +141,44 @@ def test_stateful_popularity_across_batches(spark, tmp_path):
     assert first[1]["cat_b"]["total_viewers"] == 50
     c = second[1]["cat_c"]
     assert (c["batches"], c["total_viewers"]) == (1, 10)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window sessionization: events within the gap
+    merge into one session; a gap larger than the threshold opens a
+    new one. Complete-mode replay so the final merged sessions are
+    observable without advancing the watermark past them."""
+    from twitch_stream_data_pipeline_spark.streaming.pipeline import session_stream
+
+    rows = [
+        (7, "2024-01-01 10:00:00"),
+        (7, "2024-01-01 10:10:00"),   # same session (10 min gap)
+        (7, "2024-01-01 11:00:00"),   # new session (50 min gap)
+        (8, "2024-01-01 10:05:00"),   # separate key
+    ]
+    src = tmp_path / "events"
+    spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "event_time", F.to_timestamp("ts")
+    ).drop("ts").coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, event_time timestamp").parquet(
+        str(src)
+    )
+    q = (
+        session_stream(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table("t_sessions").collect()
+    }
+    assert got == {
+        (7, "2024-01-01 10:00:00", 2),
+        (7, "2024-01-01 11:00:00", 1),
+        (8, "2024-01-01 10:05:00", 1),
+    }

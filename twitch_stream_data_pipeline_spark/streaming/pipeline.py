@@ -132,3 +132,32 @@ def run_streams_replay(
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def session_stream(
+    events: DataFrame,
+    ts_col: str = "event_time",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window``.
+
+    The streaming twin of the batch lag+cumsum sessionizer (catalog
+    ``sessionize``): dynamic-gap session windows merge as events
+    arrive, state is bounded by the watermark (a session closes once no
+    event can extend it), and the output is one row per closed session.
+    At 100 TB the state store is keyed by (key, open-session), i.e. the
+    concurrent-session count — never the event count.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
