@@ -182,3 +182,43 @@ def test_streaming_session_window(spark, tmp_path):
         (7, "2024-01-01 11:00:00", 1),
         (8, "2024-01-01 10:05:00", 1),
     }
+
+
+def test_fanout_planner_feedback_loop(spark, tmp_path):
+    """Popularity of batch t must steer the fan-out plan for t+1:
+    every category lands in exactly one of <=25 groups, loads respect
+    the cap where splittable, and the next epoch's plan fully replaces
+    the last (consume-once semantics)."""
+    from twitch_stream_data_pipeline_spark.streaming import FanoutPlanner
+
+    planner = FanoutPlanner(
+        spark, str(tmp_path / "work_list"), max_groups=3, cap=10
+    )
+    b1 = spark.createDataFrame(
+        [("s%d" % i, "cat_a") for i in range(8)]
+        + [("t%d" % i, "cat_b") for i in range(5)]
+        + [("u1", "cat_c")],
+        "stream_id string, category_id string",
+    )
+    planner(b1, 0)
+    plan1 = planner.current_work_list().collect()
+    assigned = {r["category_id"]: r["group_id"] for r in plan1}
+    assert set(assigned) == {"cat_a", "cat_b", "cat_c"}
+    assert len(plan1) == 3  # each category exactly once
+    assert len({r["group_id"] for r in plan1}) <= 3
+    # weights 8+5 > cap 10 -> a and b cannot share a group; c (1) first-fits
+    # into a's group (8+1 <= 10), mirroring the reference's greedy order
+    assert assigned["cat_a"] != assigned["cat_b"]
+    assert assigned["cat_c"] == assigned["cat_a"]
+
+    # epoch 2 overwrites: old categories gone, new plan only
+    b2 = spark.createDataFrame(
+        [("v1", "cat_z")], "stream_id string, category_id string"
+    )
+    planner(b2, 1)
+    plan2 = planner.current_work_list().collect()
+    assert {r["category_id"] for r in plan2} == {"cat_z"}
+
+    # empty batch leaves the previous plan in place
+    planner(b2.limit(0), 2)
+    assert {r["category_id"] for r in planner.current_work_list().collect()} == {"cat_z"}

@@ -10,9 +10,11 @@ from .pipeline import (
 )
 from .dim_maintenance import DimUpserter
 from .stateful import stateful_popularity
+from .feedback import FanoutPlanner
 
 __all__ = [
     "stateful_popularity",
+    "FanoutPlanner",
     "batch_event_time",
     "curated_streams_stream",
     "run_streams_replay",
