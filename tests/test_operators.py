@@ -109,3 +109,20 @@ def test_lsh_knn_recall_vs_brute_force(spark):
     assert approx, "LSH returned nothing"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"recall {recall}"
+
+
+def test_driver_contract(spark):
+    """The driver smoke: entry() runs and yields rows with a stable
+    schema; every oracle_sql() key has a queries() twin; every query
+    callable is (spark, sf_dir) -> DataFrame."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0 and len(df.columns) >= 2
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 50
+    for sql in os_.values():
+        assert isinstance(sql, str) and "SELECT" in sql.upper()
