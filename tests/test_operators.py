@@ -126,3 +126,37 @@ def test_driver_contract(spark):
     assert len(qs) >= 50
     for sql in os_.values():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
+
+
+def test_valid_integer_ids_filters_non_numeric_under_ansi(spark):
+    """ANSI-mode regression (ADVICE r1): Spark 4 runs ANSI by default,
+    where a plain cast('long') of 'test_stream' THROWS instead of
+    yielding NULL. valid_integer_ids must filter-not-fail — the exact
+    "test stream" rejection the reference does with int() try/except
+    (process_raw_streams_data.py:48-53)."""
+    from twitch_stream_data_pipeline_spark.operators.cleaning import (
+        valid_integer_ids,
+    )
+
+    df = spark.createDataFrame(
+        [("123", "456"), ("test_stream", "456"), ("789", "qa_user"), ("1", "2")],
+        "id string, user_id string",
+    )
+    kept = valid_integer_ids(df, "id", "user_id").collect()
+    assert sorted(r["id"] for r in kept) == ["1", "123"]
+
+
+def test_validity_filter_survives_malformed_props(spark):
+    """catalog.q_validity_filter's expression shape must drop rows whose
+    props.k is a non-numeric string, not crash the query (ANSI)."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 4}'), (2, '{"k": "oops"}'), (3, '{"k": 7}'), (4, None)],
+        "event_id int, props string",
+    )
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    out = (
+        df.select("event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") % 2 == 0))
+        .collect()
+    )
+    assert [r["event_id"] for r in out] == [1]

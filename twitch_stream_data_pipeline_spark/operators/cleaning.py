@@ -51,9 +51,12 @@ def is_integer_string(c: Column) -> Column:
 
     Replaces the reference's per-row ``is_integer`` try/except
     (``scripts/process_raw_data/process_raw_streams_data.py:48-53``)
-    with a codegen-able cast-null check.
+    with a codegen-able cast-null check. ``try_cast`` (not ``cast``)
+    because Spark 4 runs ANSI mode by default, where a plain cast of a
+    non-numeric string *throws* instead of yielding NULL — the filter
+    must reject the reference's "test stream" rows, not crash on them.
     """
-    return c.cast("long").isNotNull()
+    return c.try_cast("long").isNotNull()
 
 
 def valid_integer_ids(df: DataFrame, *id_columns: str) -> DataFrame:

@@ -98,18 +98,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
+#: Fixed read schema for the events table (SURVEY §1.5: explicit
+#: StructType per dataset, never inference). ``ts`` is stored as parquet
+#: TIMESTAMP(NANOS); requesting it as ``bigint`` reads the raw INT64
+#: epoch-nanos directly — no ``spark.sql.legacy.parquet.nanosAsLong``
+#: session conf needed, so query builders never mutate session state
+#: and the plan works on any caller-provided SparkSession.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with timestamp normalized to integer columns.
 
-    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    only reads via the ``nanosAsLong`` legacy conf — so ``ts`` arrives
-    as epoch *nanoseconds* (long). We derive ``secs`` (epoch seconds)
-    and ``ts_us`` (epoch microseconds — DuckDB's native timestamp
+    ``ts`` arrives as epoch *nanoseconds* (long, via
+    :data:`EVENTS_SCHEMA`). We derive ``secs`` (epoch seconds) and
+    ``ts_us`` (epoch microseconds — DuckDB's native timestamp
     precision, used for order parity) and keep everything
     timezone-free.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
     return ev.withColumns(
         {
             "secs": F.expr("ts div 1000000000"),
@@ -257,10 +267,10 @@ def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validity_filter",
     """
     SELECT event_id, user_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-      AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
     """,
     ("filter", "P6", "S7"),
     "Validity filter (process_raw_streams_data.py:48-53): cast-null-check on a "
@@ -268,7 +278,9 @@ def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: filter-not-fail semantics under ANSI mode (a malformed
+    # props.k must drop the row, exactly like the oracle's TRY_CAST).
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.select("event_id", "user_id", k.alias("k")).filter(
         F.col("k").isNotNull() & (F.col("k") % 2 == 0)
     )
