@@ -160,3 +160,41 @@ def test_validity_filter_survives_malformed_props(spark):
         .collect()
     )
     assert [r["event_id"] for r in out] == [1]
+
+
+def test_shingle_df_cap_bounds_hot_shingle_blowup(spark):
+    """Skew guard: a stop-shingle shared by every doc would emit O(n²)
+    join rows; with the DF cap it is dropped from the shingle universe
+    and contributes no pairs."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown unique{i} word{i} tail{i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    # 'the quick brown' is in all 300 docs (> cap 100); everything else unique
+    capped = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=100)
+    assert capped.count() == 0
+    # uncapped at this tiny size: the hot shingle creates real candidates
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None)
+    assert uncapped.count() > 0
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """Skew guard: identical docs collapse into one bucket per band;
+    with the cap the quadratic bucket is dropped (exact-dedup owns that
+    case), without it the pair count is O(m²)."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text body for every single document here") for i in range(300)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    assert lsh_candidate_pairs(sigs, max_bucket_size=200).count() == 0
+    assert lsh_candidate_pairs(sigs, max_bucket_size=None).count() == 300 * 299 // 2

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import text_fingerprint, tokenize
@@ -111,7 +111,11 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -120,12 +124,38 @@ def ngram_jaccard_pairs(
     co-occurrence, and Jaccard = inter / (|A| + |B| - inter) is exact
     integer arithmetic. Emits ``doc_a < doc_b`` pairs with
     ``jaccard >= threshold``.
+
+    ``max_shingle_df`` is the skew cap that makes the self-join safe at
+    corpus scale: a shingle present in *f* documents emits O(f²) join
+    rows, so one boilerplate shingle shared by 10⁶ docs would be
+    quadratic no matter how AQE splits it. Shingles whose document
+    frequency exceeds the cap are dropped from the shingle universe
+    *before* the join — sizes and intersections are both computed over
+    the capped universe, so the reported Jaccard stays exact over that
+    universe (stop-shingles carry negligible similarity signal, the
+    standard DF-cap trade). ``None`` disables the cap. The DF count is
+    a window over the same shingle key the join shuffles on, so the
+    cap costs no extra shuffle.
+
+    Caching: the returned plan holds a ``persist()`` on the shingle
+    set (it feeds three branches). The caller owns the cache
+    lifecycle — call ``spark.catalog.clearCache()`` (or unpersist via
+    the storage tab) after consuming the result in a long-lived
+    session.
     """
     # the shingle set feeds three plan branches (a-side, b-side, sizes);
     # persist so the explode+distinct runs once, not three times. At
     # warehouse scale this materialization would be a parquet stage
     # (write once, join from storage) — same idea.
-    sh = doc_shingles(df, text_col, n).persist()
+    sh = doc_shingles(df, text_col, n)
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("shingle_df", F.count("*").over(w))
+            .filter(F.col("shingle_df") <= max_shingle_df)
+            .drop("shingle_df")
+        )
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -172,13 +202,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any full band become a candidate pair.
 
     Scale path for near-dup at 100 TB: instead of the quadratic shingle
     join, each doc emits ``bands`` (band, band_hash) keys; only bucket
     collisions are joined. Emits distinct ``doc_a < doc_b``.
+
+    ``max_bucket_size`` caps degenerate buckets: a bucket of *m* docs
+    emits O(m²) pairs, and pathological corpora (e.g. millions of
+    empty/identical-template docs sharing one band signature) make a
+    single bucket quadratic. Buckets larger than the cap are dropped
+    before the self-join — their members are exact or near-exact
+    duplicates that the cheaper :func:`exact_dedup_groups` tier already
+    collapses, so dropping them loses no information the pipeline
+    needs. The bucket count is a window over the join key itself, so
+    the cap adds no shuffle. ``None`` disables the cap.
+
+    Caching: the returned plan ``persist()``s the signatures (both
+    self-join sides derive from them); the caller owns the cache
+    lifecycle in a long-lived session.
     """
     # both sides of the self-join derive from the signature plan;
     # persist so signatures compute once (the 100 TB design materializes
@@ -203,6 +250,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -839,7 +839,14 @@ _SHINGLES_SQL = r"""
 @_register(
     "ngram_jaccard",
     rf"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    -- shingle document-frequency cap (100): mirrors the Spark operator's
+    -- skew guard — sizes and intersections both over the capped universe
+    sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0
+      JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100) ok
+        USING (shingle)
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -897,7 +904,15 @@ def _minhash_pairs_oracle(bands: int = 8, rows_per_band: int = 4) -> str:
     )
     return rf"""
     WITH {sig_cte},
-    banded AS ({band_selects})
+    banded0 AS ({band_selects}),
+    -- bucket-size cap (200): mirrors the Spark operator's degenerate-
+    -- bucket guard before the self-join
+    banded AS (
+      SELECT banded0.* FROM banded0
+      JOIN (SELECT band, band_hash FROM banded0
+            GROUP BY band, band_hash HAVING COUNT(*) <= 200) ok
+        USING (band, band_hash)
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
