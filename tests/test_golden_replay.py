@@ -27,6 +27,7 @@ from twitch_stream_data_pipeline_spark.pipeline import (
     process_raw_users,
 )
 from twitch_stream_data_pipeline_spark.sources import read_envelope_records
+from twitch_stream_data_pipeline_spark.sources.csv_source import read_csv_reference
 
 REF = "/root/reference/data"
 RAW = f"{REF}/twitch_project_raw_layer"
@@ -34,10 +35,11 @@ PROCESSED = f"{REF}/twitch_project_processed_layer"
 CURATED = f"{REF}/twitch_project_curated_layer"
 
 
-def golden(path: str) -> pd.DataFrame:
-    """Reference CSV with the reference's own read semantics: literal
-    "NA" is data, everything compared as strings."""
-    return pd.read_csv(path, keep_default_na=False, dtype=str)
+def golden(spark, path: str) -> pd.DataFrame:
+    """Reference CSV read through the ENGINE's S4 source (literal "NA"
+    is data, empty field stays "", all strings) — the golden layer and
+    the pipeline under test share one reader."""
+    return read_csv_reference(spark, path).toPandas()
 
 
 def as_multiset(df_pandas: pd.DataFrame):
@@ -61,7 +63,7 @@ def spark_multiset(sdf):
 
 
 def assert_matches_golden(sdf, golden_path: str):
-    g = golden(golden_path)
+    g = golden(sdf.sparkSession, golden_path)
     s = spark_multiset(sdf)
     expect = as_multiset(g)
     assert sorted(c.lower() for c in sdf.columns) == sorted(
@@ -114,8 +116,8 @@ def _curated_categories_dim(spark):
     """Curated categories CSV with explicit file order (the keep-first
     tiebreak the reference's pandas probe relies on)."""
     path = f"{CURATED}/curated_categories_data/20260111/curated_categories_data_20260111_1645.csv"
-    sdf = spark.read.csv(
-        path, header=True, schema="category_id string, category_name string, igdb_id string"
+    sdf = read_csv_reference(
+        spark, path, "category_id string, category_name string, igdb_id string"
     )
     return sdf.withColumn("__row_order", F.monotonically_increasing_id())
 
@@ -150,10 +152,10 @@ def test_bridge_golden(spark, kind, array_col, out_col):
 def test_curate_users_golden_from_empty_state(spark):
     """Batch 20260111_1715 is the state's first run: curated == full
     processed set (verified: current_users == curated_users == 3,912)."""
-    pdf = golden(
-        f"{PROCESSED}/processed_users_data/20260111/processed_users_data_20260111_1715.csv"
+    processed = read_csv_reference(
+        spark,
+        f"{PROCESSED}/processed_users_data/20260111/processed_users_data_20260111_1715.csv",
     )
-    processed = spark.createDataFrame(pdf)
     empty_state = spark.createDataFrame(
         [], "user_id string, user_name string, login_name string, broadcaster_type string"
     )

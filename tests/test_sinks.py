@@ -1,0 +1,96 @@
+"""Sink-layer tests: K1 envelope round-trip, K3 routing + arg shape,
+S4/K2 CSV reference semantics (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import shutil
+from unittest import mock
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark import schemas
+from twitch_stream_data_pipeline_spark.sinks import (
+    warehouse_route,
+    write_csv_compat,
+    write_jdbc,
+    write_json_envelope,
+)
+from twitch_stream_data_pipeline_spark.sources import (
+    read_csv_reference,
+    read_envelope_records,
+)
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def test_json_envelope_roundtrip_with_reference_batch(spark, tmp_path):
+    """K1: write a batch through write_json_envelope, read it back with
+    read_envelope_records — identical record multiset and batch ids
+    (raw-layer envelope shape, get_raw_streams_data.py:113-117,130-139)."""
+    src = read_envelope_records(
+        spark,
+        "/root/reference/data/twitch_project_raw_layer/raw_categories_data/20260111/raw_categories_data_20260111_1645.json",
+        schemas.RAW_CATEGORIES_ENVELOPE,
+    )
+    rec_cols = [
+        c
+        for c in src.columns
+        if c not in ("day_date_id", "time_of_day_id", "source_file", "record_pos")
+    ]
+    out = str(tmp_path / "k1_roundtrip")
+    write_json_envelope(src.select(*rec_cols), out, "20260111", "1645")
+    back = read_envelope_records(spark, f"{out}/*.json", schemas.RAW_CATEGORIES_ENVELOPE)
+    orig = sorted(tuple(r) for r in src.select(*rec_cols).collect())
+    got = sorted(tuple(r) for r in back.select(*rec_cols).collect())
+    assert got == orig
+    ids = back.select("day_date_id", "time_of_day_id").distinct().collect()
+    assert [tuple(r) for r in ids] == [("20260111", "1645")]
+
+
+def test_warehouse_route_parses_reference_keys():
+    """K3 routing contract (insert_data_to_db.py:42-49)."""
+    key = "curated_streams_data/20260111/curated_stream_data_20260111_1715.csv"
+    assert warehouse_route(key) == ("streams", "20260111", "1715")
+    key = "curated_genre_bridge_data/20260111/curated_genre_bridge_data_20260111_1645.csv"
+    assert warehouse_route(key) == ("genre_bridge", "20260111", "1645")
+    key = "curated_users_data/20260111/curated_users_data_20260111_1715.csv"
+    assert warehouse_route(key) == ("users", "20260111", "1715")
+
+
+def test_write_jdbc_arg_shape(spark):
+    """K3: no JDBC jar in this env, so assert the passthrough wires the
+    DataFrameWriter args exactly (url/table/mode/properties)."""
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    with mock.patch.object(type(df.write), "jdbc") as jdbc:
+        write_jdbc(
+            df,
+            "jdbc:postgresql://host:5432/db",
+            "streams",
+            mode="append",
+            properties={"user": "u"},
+        )
+    jdbc.assert_called_once_with(
+        url="jdbc:postgresql://host:5432/db",
+        table="streams",
+        mode="append",
+        properties={"user": "u"},
+    )
+
+
+def test_csv_reference_semantics(spark, tmp_path):
+    """S4: keep_default_na=False — 'NA' and '' are data, never NULL;
+    zero-padded ids survive as strings."""
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        'category_id,igdb_id,time_of_day_id\n10,NA,0015\n11,,1715\n'
+    )
+    df = read_csv_reference(spark, str(p))
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [("10", "NA", "0015"), ("11", "", "1715")]
+    # round-trip through the engine CSV writer preserves all of it
+    out = str(tmp_path / "out")
+    write_csv_compat(df, out)
+    back = sorted(tuple(r) for r in read_csv_reference(spark, out).collect())
+    assert back == rows

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 
 def pack_into_groups(
-    weights: DataFrame,
+    weights: DataFrame | list[tuple],
     key: str = "category_id",
     weight: str = "num_of_streamers",
     max_groups: int = 25,
@@ -29,16 +29,21 @@ def pack_into_groups(
     open a new group while under ``max_groups`` if the current item
     would breach ``cap``, else overflow into the least-loaded group.
     Returns the groups as lists of keys (the SQS work-unit analog, K4).
+
+    ``weights`` is either a (tiny, pre-aggregated) DataFrame or an
+    already-collected list of ``(key, weight)`` tuples — callers that
+    need the weights driver-side anyway pass the list so the aggregate
+    job runs exactly once.
     """
-    rows = (
-        weights.select(key, weight)
-        .orderBy(F.desc(weight), key)
-        .collect()  # intentionally driver-side: input is one row per category
-    )
+    if isinstance(weights, DataFrame):
+        collected = weights.select(key, weight).orderBy(F.desc(weight), key).collect()
+        items = [(r[key], r[weight]) for r in collected]
+    else:
+        items = sorted(weights, key=lambda t: (-(t[1] or 0), t[0]))
     groups: list[list[str]] = []
     loads: list[int] = []
-    for row in rows:
-        k, w = row[key], row[weight] or 0
+    for k, w in items:
+        w = w or 0
         placed = False
         for i, load in enumerate(loads):
             if load + w <= cap:

@@ -1613,16 +1613,59 @@ def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    rows = {r["user_id"]: r["n_events"] for r in weights.collect()}
+    # collect ONCE; the packer takes the already-collected pairs
+    collected = weights.collect()
+    rows = {r["user_id"]: r["n_events"] for r in collected}
     cap = max(1, -(-sum(rows.values()) // 20))  # ~20 groups at any SF
     groups = pack_into_groups(
-        weights, key="user_id", weight="n_events", max_groups=25, cap=cap
+        [(r["user_id"], r["n_events"]) for r in collected], max_groups=25, cap=cap
     )
     out = [
         (i, len(g), sum(rows[k] for k in g)) for i, g in enumerate(groups)
     ]
     return spark.createDataFrame(
         out, "group_id INT, n_keys INT, total_weight BIGINT"
+    )
+
+
+@_register(
+    "csv_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS nation_id,
+           n_name AS nation_name,
+           CASE WHEN n_nationkey % 3 = 0 THEN 'NA'
+                WHEN n_nationkey % 3 = 1 THEN ''
+                ELSE 'g' || CAST(n_nationkey AS VARCHAR) END AS igdb_id
+    FROM nation
+    """,
+    ("source", "S4", "K2"),
+    "CSV write + read round-trip with the reference's read semantics "
+    "(keep_default_na=False, curate_categories_data.py:49,59): the literal "
+    "'NA' sentinel and the empty string survive the engine's CSV layer as "
+    "data — neither becomes NULL. Exercises write_csv_compat (K2) and "
+    "read_csv_reference (S4) end-to-end; the oracle states the invariant "
+    "(round-trip == identity) straight from parquet.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sinks import write_csv_compat
+    from ..sources.csv_source import read_csv_reference
+
+    n = _t(spark, sf_dir, "nation")
+    df = n.select(
+        F.col("n_nationkey").cast("string").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit("NA"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("g"), F.col("n_nationkey").cast("string")))
+        .alias("igdb_id"),
+    )
+    out = "/root/repo/.scratch/csv_roundtrip"
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    write_csv_compat(df, out, mode="overwrite")
+    return read_csv_reference(
+        spark, out, "nation_id string, nation_name string, igdb_id string"
     )
 
 

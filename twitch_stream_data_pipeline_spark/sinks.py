@@ -14,6 +14,37 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_json_envelope(
+    df: DataFrame,
+    path: str,
+    day_date_id: str,
+    time_of_day_id: str,
+    mode: str = "overwrite",
+) -> None:
+    """Raw-layer JSON envelope write (K1).
+
+    Emits the reference's envelope shape — one JSON document
+    ``{"day_date_id": d, "time_of_day_id": t, "data": [record, ...]}``
+    per call (``scripts/get_raw_data/get_raw_streams_data.py:113-117,
+    130-139`` builds and ``json.dump``s exactly this, one file per
+    ingest shard). ``read_envelope_records`` reads it back verbatim.
+
+    Contract mirrors the reference's: one call = one 15-minute-batch
+    shard (a few thousand records — the ``collect_list`` envelope row
+    is bounded by the shard size, never fact-scale). Multi-batch
+    replays loop per slot, exactly like the per-Lambda-invocation
+    writes being modeled.
+    """
+    rec_cols = [c for c in df.columns if c not in ("day_date_id", "time_of_day_id")]
+    env = df.agg(F.collect_list(F.struct(*rec_cols)).alias("data")).select(
+        F.lit(day_date_id).alias("day_date_id"),
+        F.lit(time_of_day_id).alias("time_of_day_id"),
+        "data",
+    )
+    env.coalesce(1).write.mode(mode).json(path)
 
 
 def write_partitioned(
@@ -38,9 +69,34 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
 
 def write_csv_compat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Byte-compatible CSV export (K2 as the reference writes it:
-    header, no index).
+    header, no index, RFC-4180 doubled-quote escaping like pandas
+    ``to_csv``).
     """
-    df.coalesce(1).write.mode(mode).option("header", "true").csv(path)
+    (
+        df.coalesce(1)
+        .write.mode(mode)
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def warehouse_route(file_key: str) -> tuple[str, str, str]:
+    """Warehouse-load routing (K3 contract): derive the target table and
+    batch identity from a curated-layer object key.
+
+    Mirrors ``src/other/insert_data_to_db.py:42-49``: the key
+    ``curated_{table}_data/{day_date_id}/..._{slot}.csv`` routes to
+    Postgres table ``{table}``, with the batch's ``day_date_id`` as the
+    second path segment and ``time_of_day_id`` as the 4 digits before
+    the file extension. Returns ``(table_name, day_date_id,
+    time_of_day_id)``.
+    """
+    parts = file_key.split("/")
+    day_date_id = parts[1]
+    time_of_day_id = parts[2][-8:-4]
+    table_name = file_key.split("curated_")[1].split("_data")[0]
+    return table_name, day_date_id, time_of_day_id
 
 
 def write_jdbc(

@@ -2,12 +2,14 @@
 
 from .star import load_star, register_star_views
 from .json_envelope import read_envelope_records
+from .csv_source import read_csv_reference
 from .generators import day_dates_dim, time_of_day_dim
 
 __all__ = [
     "load_star",
     "register_star_views",
     "read_envelope_records",
+    "read_csv_reference",
     "day_dates_dim",
     "time_of_day_dim",
 ]
