@@ -186,3 +186,33 @@ def test_category_upsert_state_semantics(spark):
     new_state = {tuple(r) for r in res.new_state.collect()}
     assert ("1", "Old Name", "10") in new_state  # state attrs win
     assert len(new_state) == 2
+
+
+@pytest.mark.parametrize(
+    "kind,id_col,name_col",
+    [("genres", "genre_id", "genre_name"), ("game_modes", "game_mode_id", "game_mode_name")],
+)
+def test_igdb_dim_golden(spark, kind, id_col, name_col):
+    """Genres / game-modes dim cascade vs the reference's shipped
+    processed + curated CSVs (curate_genres_data.py:20-21,
+    curate_game_modes_data.py:12)."""
+    from twitch_stream_data_pipeline_spark.pipeline import dims
+
+    records = read_envelope_records(
+        spark,
+        f"{RAW}/raw_{kind}_data/raw_{kind}_data.json",
+        schemas.RAW_GENRES_ENVELOPE,
+    )
+    processed = dims.process_raw_igdb_dim(records, id_col, name_col)
+    assert_matches_golden(
+        processed, f"{PROCESSED}/processed_{kind}_data/processed_{kind}_data.csv"
+    )
+    curated = dims.curate_igdb_dim(processed, id_col, name_col)
+    got = {tuple(r) for r in curated.select(id_col, name_col).collect()}
+    g = golden(spark, f"{CURATED}/curated_{kind}_data/curated_{kind}_data.csv")
+    expect = {(row[id_col], row[name_col]) for _, row in g.iterrows()}
+    # the shipped curated_game_modes snapshot predates the sentinel
+    # append in the reference's own code (curate_game_modes_data.py:12
+    # appends it; the CSV lacks it) — the code is the spec.
+    expect.add(("NA", "Not Available"))
+    assert got == expect

@@ -12,6 +12,12 @@ from .streams import process_raw_streams, curate_streams
 from .categories import process_raw_categories, curate_categories
 from .users import process_raw_users, curate_users
 from .bridges import process_raw_bridge, curate_bridge
+from .dims import (
+    curate_game_modes,
+    curate_genres,
+    process_raw_game_modes,
+    process_raw_genres,
+)
 
 __all__ = [
     "process_raw_streams",
@@ -22,4 +28,8 @@ __all__ = [
     "curate_users",
     "process_raw_bridge",
     "curate_bridge",
+    "process_raw_genres",
+    "curate_genres",
+    "process_raw_game_modes",
+    "curate_game_modes",
 ]

@@ -83,6 +83,23 @@ RAW_GAME_MODE_BRIDGE_RECORD = T.StructType(
 )
 
 
+# IGDB flat dimension lookups (genres / game modes): identical record
+# shape, renamed per-dim downstream
+# (scripts/process_raw_data/process_raw_genres_data.py:55-57,
+#  process_raw_game_modes_data.py).
+RAW_IGDB_DIM_RECORD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("created_at", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("slug", T.StringType()),
+        T.StructField("updated_at", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
 def envelope(record_schema: T.StructType) -> T.StructType:
     """Raw-layer JSON envelope wrapping a record array.
 
@@ -103,6 +120,10 @@ RAW_CATEGORIES_ENVELOPE = envelope(RAW_CATEGORY_RECORD)
 RAW_USERS_ENVELOPE = envelope(RAW_USER_RECORD)
 RAW_GENRE_BRIDGE_ENVELOPE = envelope(RAW_GENRE_BRIDGE_RECORD)
 RAW_GAME_MODE_BRIDGE_ENVELOPE = envelope(RAW_GAME_MODE_BRIDGE_RECORD)
+# genres/game-modes raw envelopes carry day_date_id only; the shared
+# envelope schema still applies (time_of_day_id reads as NULL).
+RAW_GENRES_ENVELOPE = envelope(RAW_IGDB_DIM_RECORD)
+RAW_GAME_MODES_ENVELOPE = envelope(RAW_IGDB_DIM_RECORD)
 
 # ---------------------------------------------------------------------------
 # Processed layer (CSV in the reference; columns per
