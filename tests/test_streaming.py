@@ -222,3 +222,34 @@ def test_fanout_planner_feedback_loop(spark, tmp_path):
     # empty batch leaves the previous plan in place
     planner(b2.limit(0), 2)
     assert {r["category_id"] for r in planner.current_work_list().collect()} == {"cat_z"}
+
+
+def test_max_files_per_trigger_splits_replay(spark, tmp_path):
+    """The maxFilesPerTrigger throttle (the reference's 100-page
+    throttle analog) must split a multi-slot replay into multiple
+    micro-batches instead of one giant first batch."""
+    from twitch_stream_data_pipeline_spark.sinks import write_json_envelope
+
+    raw = tmp_path / "raw"
+    for i, slot in enumerate(["1700", "1715", "1730"]):
+        df = spark.createDataFrame(
+            [(str(100 + i), str(200 + i), "g1", "en", 10, f"s{i}")],
+            "id string, user_id string, game_id string, language string, "
+            "viewer_count int, title string",
+        )
+        write_json_envelope(df, str(raw / slot), "20260111", slot)
+
+    stream = curated_streams_stream(
+        stream_raw_streams(spark, str(raw / "*" / "*.json"), max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_throttle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "replay did not finish"
+    fed = [p for p in q.recentProgress if p.numInputRows > 0]
+    assert len(fed) >= 3, f"expected >=3 micro-batches, got {len(fed)}"
+    assert spark.table("t_throttle").count() == 3

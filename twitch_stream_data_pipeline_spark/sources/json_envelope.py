@@ -26,16 +26,21 @@ def read_envelope_records(
     envelope_schema: T.StructType,
     *,
     streaming: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Read raw envelope files and flatten to one row per record.
 
     Returns columns: ``day_date_id``, ``time_of_day_id``,
     ``source_file`` (shard lineage — the deterministic tiebreak the
     pandas ``keep="first"`` dedup implicitly relies on), plus every
-    record field.
+    record field. ``max_files_per_trigger`` (streaming only) bounds the
+    files per micro-batch so backfills don't arrive as one giant batch.
     """
     reader = spark.readStream if streaming else spark.read
-    raw = reader.schema(envelope_schema).option("multiLine", "true").json(path)
+    reader = reader.schema(envelope_schema).option("multiLine", "true")
+    if streaming and max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(path)
     record_fields = [
         f.name for f in envelope_schema["data"].dataType.elementType.fields
     ]

@@ -36,10 +36,25 @@ def batch_event_time(day_date_id: Column, time_of_day_id: Column) -> Column:
     )
 
 
-def stream_raw_streams(spark: SparkSession, raw_glob: str) -> DataFrame:
-    """Streaming scan of the raw streams layer (S1/S2/S3, streaming)."""
+def stream_raw_streams(
+    spark: SparkSession, raw_glob: str, max_files_per_trigger: int | None = 100
+) -> DataFrame:
+    """Streaming scan of the raw streams layer (S1/S2/S3, streaming).
+
+    ``max_files_per_trigger`` throttles how many raw shard files enter
+    one micro-batch — the engine analog of the reference's 100-per-page
+    API throttle (SURVEY.md §4). Without it, a backfill over months of
+    raw slots arrives as ONE giant first micro-batch (unbounded state
+    growth, one enormous shuffle); with it, ``availableNow`` replays
+    still process everything, split into bounded micro-batches.
+    ``None`` disables the throttle.
+    """
     return read_envelope_records(
-        spark, raw_glob, schemas.RAW_STREAMS_ENVELOPE, streaming=True
+        spark,
+        raw_glob,
+        schemas.RAW_STREAMS_ENVELOPE,
+        streaming=True,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -113,6 +128,8 @@ def run_streams_replay(
     query_name: str = "curated_streams",
     transform=curated_streams_stream,
     output_mode: str = "append",
+    max_files_per_trigger: int | None = 100,
+    timeout_sec: int = 120,
 ) -> DataFrame:
     """Deterministic availableNow replay into a memory sink (tests /
     backfills). Returns the materialized result DataFrame.
@@ -121,8 +138,14 @@ def run_streams_replay(
     a single trigger: in append mode a window only emits once the
     watermark passes its end, which never happens when the replay data
     stops inside the last window.
+
+    Raises ``TimeoutError`` if the replay doesn't finish within
+    ``timeout_sec`` — a partially-populated memory table must never
+    masquerade as a completed backfill.
     """
-    stream = transform(stream_raw_streams(spark, raw_glob))
+    stream = transform(
+        stream_raw_streams(spark, raw_glob, max_files_per_trigger)
+    )
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
@@ -130,7 +153,13 @@ def run_streams_replay(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streams replay {query_name!r} still running after {timeout_sec}s; "
+            "memory table would be incomplete"
+        )
     return spark.table(query_name)
 
 
