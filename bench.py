@@ -19,7 +19,7 @@ from twitch_stream_data_pipeline_spark.session import get_spark
 
 #: headline queries — one per major operator family (scan-agg, star join,
 #: window, dedup, sort/limit, rollup/cube, as-of, range join, distinct-agg,
-#: text, minhash-LSH, ANN).
+#: text, n-gram near-dup, minhash-LSH, ANN, sessionization, salted distinct).
 HEADLINE = (
     "pricing_summary",
     "star_revenue_by_region",
@@ -34,8 +34,11 @@ HEADLINE = (
     "curate_events",
     "text_quality",
     "exact_dedup",
+    "ngram_jaccard",
     "minhash_lsh_pairs",
     "cosine_knn",
+    "sessionize",
+    "salted_distinct_users",
 )
 
 
@@ -71,6 +74,11 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.2f}s ({len(rows)} rows)", file=sys.stderr)
+        # JMH-style isolation: collect the previous query's garbage
+        # OUTSIDE the next timed window, so each timing measures the
+        # query, not its predecessor's allocation debt (measured up to
+        # 2.5x inflation on queries that follow the shingle exploders).
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -99,6 +99,16 @@ def positional_join(
     sides get ``row_number`` over their stated ordering and equi-join
     on position. Rows without a partner keep NULLs (full outer), same
     as pandas' alignment.
+
+    **Size contract: small inputs only** (dimension/control-plane
+    scale, like the reference's ≤25-row weights table). The global
+    ``row_number`` windows necessarily sort each side in ONE task —
+    positional semantics are order-dependent, so there is no
+    partitionable form that preserves them exactly. For large data,
+    redesign the alignment as a keyed join (the engine's own
+    popularity feedback does exactly that); a zipWithIndex-based
+    variant would distribute but silently changes the guarantee from
+    "user-stated ordering" to "partition-file ordering".
     """
     lw = Window.orderBy(*left_order)
     rw = Window.orderBy(*right_order)

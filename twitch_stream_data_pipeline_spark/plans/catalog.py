@@ -861,7 +861,7 @@ _SHINGLES_SQL = r"""
     WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.5
     """,
     ("dedup", "ext"),
-    "Exact n-gram Jaccard near-dup pairs via shingle self-join.",
+    "Exact n-gram Jaccard near-dup pairs via shingle posting-list buckets.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
