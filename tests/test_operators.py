@@ -198,3 +198,103 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     sigs = minhash_signatures(docs)
     assert lsh_candidate_pairs(sigs, max_bucket_size=200).count() == 0
     assert lsh_candidate_pairs(sigs, max_bucket_size=None).count() == 300 * 299 // 2
+
+
+def test_simhash_near_dup_finds_one_word_edit(spark):
+    """A single-token edit flips only a few fingerprint bits, so the
+    pair must surface within hamming<=3 via some shared chunk; an
+    unrelated doc must not pair with either."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base + "closing line one"),
+            (2, base + "closing line seven"),
+            (3, "totally different content about unrelated matters entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(3 not in k for k in pairs)
+
+
+def test_simhash_bucket_cap_bounds_identical_corpus(spark):
+    """Identical docs share every chunk bucket; the cap drops those
+    degenerate buckets (the exact tier's case) instead of going O(m²)."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text body for every single document here") for i in range(300)],
+        "doc_id long, text string",
+    )
+    assert simhash_near_dup_pairs(docs, max_bucket_size=200).count() == 0
+    assert (
+        simhash_near_dup_pairs(docs, max_bucket_size=None).count() == 300 * 299 // 2
+    )
+
+
+def test_tfidf_top_terms_prefers_distinctive_terms(spark):
+    """A term unique to one doc must outrank corpus-wide boilerplate."""
+    from twitch_stream_data_pipeline_spark.extensions.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common words everywhere plus zebra zebra"),
+            (2, "common words everywhere plus yak"),
+            (3, "common words everywhere plus xylophone"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    assert top1 == {1: "zebra", 2: "yak", 3: "xylophone"}
+
+
+def test_ivf_knn_exact_when_probing_all_cells(spark):
+    """n_probe == n_cells must reduce IVF to brute force bit-for-bit."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        cosine_knn,
+        ivf_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = sorted(map(tuple, cosine_knn(q, emb, k=5).collect()))
+    full_probe = sorted(
+        map(tuple, ivf_knn(q, emb, k=5, n_cells=8, n_probe=8).collect())
+    )
+    assert exact == full_probe
+
+
+def test_ivf_knn_recall_vs_brute_force(spark):
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        cosine_knn,
+        ivf_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn(q, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(q, emb, k=5, n_cells=16, n_probe=4).collect()
+    }
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"

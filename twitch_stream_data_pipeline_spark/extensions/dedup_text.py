@@ -283,6 +283,78 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 60,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= max_hamming.
+
+    The scale path for SimHash (Manku et al., WWW'07 fingerprint
+    dedup): split the ``bits``-bit fingerprint into ``chunks`` equal
+    bit-chunks; by pigeonhole, any pair within hamming distance
+    ``chunks - 1`` agrees exactly on at least one chunk, so candidate
+    generation is a chunk-value bucket join — never all-pairs. With the
+    defaults (4 chunks, max_hamming 3) the candidate set is exact: no
+    qualifying pair can be missed. Emits ``doc_a < doc_b, hamming``.
+
+    Same bucket plan as :func:`ngram_jaccard_pairs` /
+    :func:`lsh_candidate_pairs`: one shuffle groups each (chunk,
+    chunk_value) posting list, ``max_bucket_size`` drops degenerate
+    buckets (identical-template corpora — the exact tier's job), and
+    pairs are generated in-array carrying both fingerprints, so the
+    hamming verify needs no join back to the signature table.
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash64(df, text_col, bits)
+    banded = sigs.select(
+        F.struct("doc_id", "simhash").alias("m"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", c * chunk_bits).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    buckets = banded.groupBy("chunk", "chunk_val").agg(
+        F.array_sort(F.collect_list("m")).alias("members")
+    )
+    n = F.size("members")
+    buckets = buckets.filter(n >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(n <= max_bucket_size)
+    # in-bucket pairs carrying (doc_id, simhash) of both sides; members
+    # are sorted by doc_id (struct ordering = field order), so a < b.
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda a, i: F.transform(
+                F.slice("members", i + 2, F.size("members")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["simhash"].alias("sh_a"),
+                    b["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash fingerprint per document: ``doc_id, simhash``.
 

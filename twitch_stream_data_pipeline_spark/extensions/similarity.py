@@ -1,14 +1,18 @@
 """Similarity search over an embedding column (SURVEY.md §2.9).
 
-Two paths:
+Three paths:
 
 - :func:`cosine_knn` — brute-force top-k, the correctness baseline.
   O(Q x N) but fully distributed: the (small) query set broadcasts,
   candidates never shuffle, and the only wide op is the per-query
   top-k window over Q*N scored rows.
-- :func:`lsh_bucketed_knn` — the scale path: random-hyperplane LSH
-  buckets candidates so each query scores only its bucket collisions
-  (sub-linear in N for recall < 1).
+- :func:`lsh_bucketed_knn` — random-hyperplane LSH buckets candidates
+  so each query scores only its bucket collisions (sub-linear in N for
+  recall < 1).
+- :func:`ivf_knn` — FAISS-style inverted-file coarse quantizer: a
+  trained centroid partition replaces the random buckets; queries
+  probe their ``n_probe`` nearest cells. Equals brute force exactly
+  when probing every cell.
 
 Scores use *quantized* integer arithmetic: each float is rounded to
 ``round(x * 1000)`` (bigint) and dot products / norms are exact integer
@@ -231,6 +235,124 @@ def lsh_bucketed_knn(
             ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_size: int = 256,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer ANN
+    scale path (FAISS IVF-Flat shape, re-expressed as a Spark plan).
+
+    1. **Train** a spherical k-means coarse quantizer on a
+       deterministic sample (first ``train_size`` candidates by id) —
+       driver-side numpy, model-state-sized (n_cells x dim floats),
+       fixed ``iters`` Lloyd rounds from a fixed init, so the centroids
+       are bit-reproducible.
+    2. **Assign + score in one Arrow pass**: each candidate batch is
+       assigned to its nearest centroid (one matmul) and scored —
+       exact quantized-int cosine, identical numerics to
+       :func:`cosine_knn` — against exactly the queries probing that
+       cell. Candidates never shuffle; there is no per-cell join
+       because the probe sets ride into the closure (Q x n_probe ids,
+       control-plane-sized).
+    3. Per-query top-k window over the reduced candidate set.
+
+    With ``n_probe == n_cells`` the output equals :func:`cosine_knn`
+    exactly (asserted in tests); recall at ``n_probe < n_cells`` is the
+    speed/recall dial. At warehouse scale the assignment becomes a
+    materialized ``cell`` column (partition key), making each query a
+    partition-pruned scan of its probed cells — the true inverted file.
+    """
+    import numpy as np
+    import pandas as pd
+
+    train = (
+        candidates.orderBy(id_col)
+        .limit(train_size)
+        .select(quantized_embedding(F.col(vec_col)).alias("v"))
+        .collect()  # intentionally driver-side: quantizer training sample
+    )
+    X = np.array([r["v"] for r in train], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cent = X[: min(n_cells, len(X))].copy()
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_embedding(F.col(vec_col)).alias("q_vec"),
+    ).collect()  # ANN contract: Q << N
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.int64)
+    q_norm = (q_mat * q_mat).sum(axis=1)
+    qf = q_mat.astype(np.float64)
+    qn = qf / np.linalg.norm(qf, axis=1, keepdims=True)
+    probe_order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")
+    probes = {
+        qid: frozenset(probe_order[i, :n_probe].tolist())
+        for i, qid in enumerate(q_ids)
+    }
+
+    def assign_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(pdf["c_vec"].tolist(), dtype=np.int64)
+            c_norm = (c_mat * c_mat).sum(axis=1)
+            cf = c_mat.astype(np.float64)
+            cells = (
+                (cf / np.sqrt(c_norm.astype(np.float64))[:, None]) @ cent.T
+            ).argmax(axis=1)
+            dots = c_mat @ q_mat.T  # exact int64
+            denom = np.sqrt(
+                c_norm.astype(np.float64)[:, None]
+                * q_norm.astype(np.float64)[None, :]
+            )
+            cos = dots.astype(np.float64) / denom
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cells, list(probes[qid]))
+                out_q.append(np.full(int(mask.sum()), qid, dtype=np.int64))
+                out_n.append(ids[mask])
+                out_c.append(cos[mask, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantized_embedding(F.col(vec_col)).alias("c_vec"),
+        )
+        .mapInPandas(assign_score, "query_id long, neighbor_id long, cosine double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (

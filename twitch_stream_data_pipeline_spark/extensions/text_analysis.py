@@ -9,7 +9,7 @@ training-corpus pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker lists for the n-gram/stopword
@@ -69,6 +69,49 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (sklearn's smooth-idf
+    formula): tf = term occurrences in the doc, df = number of docs
+    containing the term, N = corpus size. Ties broken by term asc so
+    ranking is total. Emits ``doc_id, term, tf, tfidf, rnk``.
+
+    Plan shape: two hash aggregations (doc×term tf, then term df — both
+    with map-side partial counts), the df relation broadcast back onto
+    tf (it is |vocabulary|-sized, bounded in practice; at web scale the
+    standard move is the same join un-broadcast, or a df-cap like the
+    dedup tier), corpus size N as a broadcast 1-row cross join, then
+    one per-doc top-k window. The ln runs on an IEEE-correctly-rounded
+    rational (N+1)/(df+1), bit-identical across engines (checked
+    against the DuckDB oracle).
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf = (
+        F.log(
+            (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double")
+        )
+        + F.lit(1.0)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
 
 

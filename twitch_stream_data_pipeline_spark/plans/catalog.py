@@ -37,15 +37,17 @@ from ..extensions.dedup_text import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dup_pairs,
 )
 from ..extensions.multimodal import attach_binary_payload, binary_meta, extract_features
-from ..extensions.similarity import cosine_knn, lsh_bucketed_knn
+from ..extensions.similarity import cosine_knn, ivf_knn, lsh_bucketed_knn
 from ..extensions.text_analysis import (
     LANG_MARKERS,
     STOPWORDS,
     language_id,
     text_fingerprint,
     text_quality,
+    tfidf_top_terms,
     token_count,
 )
 from ..operators.dedup import dedup_keep_first
@@ -1048,6 +1050,19 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+@_register(
+    "ivf_knn",
+    None,  # approximate by construction; exact-equality vs cosine_knn at
+    # n_probe == n_cells and recall at n_probe < n_cells asserted in tests
+    ("similarity", "ext", "ivf"),
+    "IVF coarse-quantizer approximate top-5 (trained centroid cells, "
+    "n_probe=4 of 16) — the FAISS-IVF-shaped ANN scale path.",
+)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ivf_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 # ===========================================================================
 # Extension operators: multimodal plumbing
 # ===========================================================================
@@ -1666,6 +1681,134 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_csv_compat(df, out, mode="overwrite")
     return read_csv_reference(
         spark, out, "nation_id string, nation_name string, igdb_id string"
+    )
+
+
+def _simhash_pairs_oracle(
+    bits: int = 60, chunks: int = 4, max_hamming: int = 3, max_bucket: int = 200
+) -> str:
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_list = ", ".join(str(c) for c in range(chunks))
+    return rf"""
+    WITH sigs AS ({_simhash_oracle(bits)}),
+    banded AS (
+      SELECT doc_id, simhash, c.chunk,
+             (simhash >> (c.chunk * {chunk_bits})) & {mask} AS chunk_val
+      FROM sigs CROSS JOIN (SELECT unnest([{chunk_list}]) AS chunk) c
+    ),
+    capped AS (
+      SELECT chunk, chunk_val FROM banded
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a
+      JOIN banded b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                   AND a.doc_id < b.doc_id
+      JOIN capped ON capped.chunk = a.chunk AND capped.chunk_val = a.chunk_val
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@_register(
+    "simhash_near_dup",
+    _simhash_pairs_oracle(),
+    ("dedup", "ext", "lsh"),
+    "SimHash near-dup pairs via pigeonhole chunk-bucketing (4 chunks of "
+    "15 bits => hamming<=3 candidate generation is exact, never all-pairs).",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    ("text", "ext"),
+    "Top-3 characteristic terms per document by smoothed TF-IDF "
+    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing).",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@_register(
+    "corpus_curation",
+    rf"""
+    WITH survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(replace(lower(text), ' ', ''))
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    lang AS (
+      SELECT doc_id, pred_lang FROM ({_langid_oracle()})
+    )
+    SELECT d.doc_id, q.n_tokens, q.chars_per_token, l.pred_lang
+    FROM documents d
+    JOIN survivors USING (doc_id)
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN lang l ON l.doc_id = d.doc_id
+    WHERE l.pred_lang = 'en' AND q.n_tokens >= 20 AND q.punct_ratio <= 0.2
+    """,
+    ("text", "dedup", "ext", "pipeline"),
+    "End-to-end corpus curation composite: exact-dedup survivors -> "
+    "language filter (en) -> quality thresholds. The one-query statement "
+    "of the LLM-data-pipeline pattern: each stage is an already-tested "
+    "operator, composed as plain DataFrame plans so Catalyst fuses the "
+    "three filters into one pass over the corpus plus one dedup shuffle.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    survivors = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    quality = text_quality(docs).select(
+        "doc_id", "n_tokens", "chars_per_token", "punct_ratio"
+    )
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.join(survivors, "doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= 20)
+            & (F.col("punct_ratio") <= 0.2)
+        )
+        .select("doc_id", "n_tokens", "chars_per_token", "pred_lang")
     )
 
 
