@@ -253,3 +253,56 @@ def test_max_files_per_trigger_splits_replay(spark, tmp_path):
     fed = [p for p in q.recentProgress if p.numInputRows > 0]
     assert len(fed) >= 3, f"expected >=3 micro-batches, got {len(fed)}"
     assert spark.table("t_throttle").count() == 3
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (availableNow replay) must equal the
+    same join run as a static batch query."""
+    from twitch_stream_data_pipeline_spark.streaming import interval_join_streams
+
+    base = 1_700_000_000
+    imps = [
+        (u, base + off, f"imp{u}_{off}")
+        for u in (1, 2, 3)
+        for off in (0, 300, 1200)
+    ]
+    clicks = [
+        (u, base + off, f"clk{u}_{off}")
+        for u in (1, 2)
+        for off in (60, 900, 3000)
+    ]
+    imp_df = spark.createDataFrame(
+        imps, "user_id long, secs long, imp_id string"
+    ).select("user_id", F.timestamp_seconds("secs").alias("l_time"), "imp_id")
+    clk_df = spark.createDataFrame(
+        clicks, "user_id long, secs long, click_id string"
+    ).select("user_id", F.timestamp_seconds("secs").alias("r_time"), "click_id")
+    imp_path, clk_path = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imp_df.write.parquet(imp_path)
+    clk_df.write.parquet(clk_path)
+
+    left = spark.readStream.schema(imp_df.schema).parquet(imp_path)
+    right = spark.readStream.schema(clk_df.schema).parquet(clk_path)
+    joined = interval_join_streams(left, right, upper="15 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.table("t_interval_join").collect()
+    }
+
+    batch = imp_df.join(
+        clk_df,
+        (imp_df["user_id"] == clk_df["user_id"])
+        & (clk_df["r_time"] >= imp_df["l_time"])
+        & (clk_df["r_time"] <= imp_df["l_time"] + F.expr("INTERVAL 15 minutes")),
+    )
+    expect = {(r["imp_id"], r["click_id"]) for r in batch.collect()}
+    assert got == expect and len(got) > 0

@@ -4,6 +4,7 @@
 from .pipeline import (
     batch_event_time,
     curated_streams_stream,
+    interval_join_streams,
     run_streams_replay,
     stream_raw_streams,
     windowed_popularity_stream,
@@ -17,6 +18,7 @@ __all__ = [
     "FanoutPlanner",
     "batch_event_time",
     "curated_streams_stream",
+    "interval_join_streams",
     "run_streams_replay",
     "stream_raw_streams",
     "windowed_popularity_stream",

@@ -190,3 +190,36 @@ def session_stream(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_time",
+    right_ts: str = "r_time",
+    upper: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join within an event-time interval:
+    rows pair when keys match and ``right_ts`` falls in
+    ``[left_ts, left_ts + upper]``.
+
+    The streaming statement of the batch as-of/range join family (J5,
+    ``range_join_quantity_buckets``): the reference correlates events
+    across 15-minute batch slots by key (SURVEY.md §3.1); with two live
+    streams that correlation is Spark's watermarked interval join.
+    Both sides carry a watermark and the time-range condition is what
+    BOUNDS the join state — each side's buffered rows are evicted once
+    the other side's watermark passes ``ts + upper``; without the range
+    bound Spark would have to buffer both streams forever. Column names
+    besides ``key`` must be disjoint across the two inputs.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
