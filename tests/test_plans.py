@@ -163,3 +163,33 @@ def test_salted_distinct_splits_key_state(spark):
     plan = plan_of(df)
     assert "Exchange hashpartitioning(event_type#" in plan, plan
     assert "_salt" in plan, plan
+
+
+def test_tfidf_broadcasts_document_frequency(spark):
+    """The vocabulary-sized df relation must broadcast onto tf — a
+    sort-merge join there would shuffle the full doc x term relation
+    twice."""
+    df = CATALOG["tfidf_top_terms"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_simhash_near_dup_has_no_join(spark):
+    """Candidate generation is one bucket groupBy + in-array pair
+    expansion: no join operator, no cartesian product anywhere."""
+    df = CATALOG["simhash_near_dup"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_curation_is_single_pass(spark):
+    """Quality and language are inline expressions and the dedup
+    survivor is a window over the fingerprint — NO join anywhere
+    (corpus-sized join relations only broadcast at toy scale), one
+    scan, and one shuffle beyond the deliberate _docs rebalance."""
+    df = CATALOG["corpus_curation"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan

@@ -46,29 +46,37 @@ def text_fingerprint(text: Column) -> Column:
     return F.md5(F.replace(F.lower(text), F.lit(" "), F.lit("")))
 
 
+def quality_columns(text: Column, toks: Column) -> dict[str, Column]:
+    """The quality statistics as named column expressions over a text
+    column and its pre-projected token array (project the array once
+    per row — an inline ``split()`` referenced from several expressions
+    is re-evaluated by Catalyst per use). Shared by :func:`text_quality`
+    and single-pass composites like the corpus-curation query.
+    """
+    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?]"), 0))
+    return {
+        "n_chars_measured": n_chars,
+        "n_tokens": n_tokens,
+        "chars_per_token": n_chars.cast("double") / n_tokens,
+        "stopword_ratio": n_stop.cast("double") / n_tokens,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+    }
+
+
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring projection: length, token, punctuation and
     stopword statistics per document. All ratios are double divisions
     of exact integer counts (deterministic across engines).
     """
-    # project the token array once per row — inline `split()` inside
-    # several expressions is re-evaluated by Catalyst per use.
     base = df.select(
         "doc_id", F.col(text_col).alias("__text"), tokenize(F.col(text_col)).alias("toks")
     )
-    text = F.col("__text")
-    toks = F.col("toks")
-    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
-    n_chars = F.length(text)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?]"), 0))
+    cols = quality_columns(F.col("__text"), F.col("toks"))
     return base.select(
-        "doc_id",
-        n_chars.alias("n_chars_measured"),
-        n_tokens.alias("n_tokens"),
-        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -115,15 +123,14 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-stopword language-ID heuristic.
+def language_pred(toks: Column) -> tuple[Column, Column]:
+    """(pred_lang, marker_hits) expressions over a token-array column.
 
     Scores each language by marker-token hits and picks the best with a
     fixed precedence chain (en > de > es > fr > zh on ties) so the
-    result is deterministic. Zero hits anywhere -> 'und'.
+    result is deterministic. Zero hits anywhere -> 'und'. Shared by
+    :func:`language_id` and single-pass composites.
     """
-    base = df.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
-    toks = F.col("toks")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -136,8 +143,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         s = scores[lang]
         pred = F.when((s > 0) & (s >= max_rest), F.lit(lang)).otherwise(pred)
         max_rest = F.greatest(max_rest, s)
+    return pred, max_rest
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language-ID heuristic (see :func:`language_pred`)."""
+    base = df.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
+    pred, hits = language_pred(F.col("toks"))
     return base.select(
         "doc_id",
         pred.alias("pred_lang"),
-        max_rest.alias("marker_hits"),
+        hits.alias("marker_hits"),
     )

@@ -1787,24 +1787,43 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ("text", "dedup", "ext", "pipeline"),
     "End-to-end corpus curation composite: exact-dedup survivors -> "
-    "language filter (en) -> quality thresholds. The one-query statement "
-    "of the LLM-data-pipeline pattern: each stage is an already-tested "
-    "operator, composed as plain DataFrame plans so Catalyst fuses the "
-    "three filters into one pass over the corpus plus one dedup shuffle.",
+    "language filter (en) -> quality thresholds. Deliberately a "
+    "SINGLE-PASS plan: quality and language are per-row expressions "
+    "computed inline (never corpus-sized join relations — those only "
+    "broadcast at toy scale), and the dedup survivor check is a window "
+    "over the fingerprint, so the whole pipeline is one scan plus one "
+    "shuffle on text_hash.",
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    survivors = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
-    quality = text_quality(docs).select(
-        "doc_id", "n_tokens", "chars_per_token", "punct_ratio"
+    from ..extensions.text_analysis import (
+        language_pred,
+        quality_columns,
+        tokenize,
     )
-    lang = language_id(docs).select("doc_id", "pred_lang")
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    quality = quality_columns(F.col("text"), F.col("toks"))
+    pred_lang, _hits = language_pred(F.col("toks"))
+    enriched = base.select(
+        "doc_id",
+        text_fingerprint(F.col("text")).alias("text_hash"),
+        quality["n_tokens"].alias("n_tokens"),
+        quality["chars_per_token"].alias("chars_per_token"),
+        quality["punct_ratio"].alias("punct_ratio"),
+        pred_lang.alias("pred_lang"),
+    )
+    # survivor = min doc_id of the fingerprint group, computed over ALL
+    # copies (before any filter: near-copies sharing a normalized hash
+    # can differ in case/whitespace, hence in quality stats)
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
     return (
-        docs.join(survivors, "doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
+        enriched.withColumn("rn", F.row_number().over(w))
         .filter(
-            (F.col("pred_lang") == "en")
+            (F.col("rn") == 1)
+            & (F.col("pred_lang") == "en")
             & (F.col("n_tokens") >= 20)
             & (F.col("punct_ratio") <= 0.2)
         )
