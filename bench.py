@@ -36,7 +36,12 @@ HEADLINE = (
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "tfidf_top_terms",
+    "corpus_curation",
     "cosine_knn",
+    "ivf_knn",
+    "embedding_centroid",
     "sessionize",
     "salted_distinct_users",
 )

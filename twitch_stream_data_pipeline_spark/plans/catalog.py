@@ -1051,6 +1051,41 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_centroid",
+    f"""
+    WITH q AS (SELECT label, {_QVEC} AS qv FROM embeddings),
+    -- parallel unnests zip positionally in DuckDB
+    px AS (SELECT label,
+                  CAST(unnest(generate_series(1, len(qv))) - 1 AS INT) AS pos,
+                  unnest(qv) AS v
+           FROM q)
+    SELECT label, pos,
+           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM px GROUP BY 1, 2
+    """,
+    ("similarity", "agg", "ext"),
+    "Per-label mean-pooled embedding centroid, one row per (label, "
+    "dimension). Exact quantized-int sums with map-side partial "
+    "aggregation — the class-prototype / cluster-update primitive of a "
+    "training pipeline, shaped as a plain two-key groupBy that "
+    "parallelizes by labels x dims with no window and no skew key.",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import quantized_embedding
+
+    emb = _emb(spark, sf_dir)
+    pos = emb.select(
+        "label",
+        F.posexplode(quantized_embedding(F.col("embedding"))).alias("pos", "v"),
+    )
+    return pos.groupBy("label", "pos").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+@_register(
     "ivf_knn",
     None,  # approximate by construction; exact-equality vs cosine_knn at
     # n_probe == n_cells and recall at n_probe < n_cells asserted in tests
