@@ -298,3 +298,40 @@ def test_ivf_knn_recall_vs_brute_force(spark):
     assert approx, "IVF returned nothing"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_split_assign_is_deterministic_and_balanced(spark):
+    from twitch_stream_data_pipeline_spark.extensions.sampling import split_assign
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["s"] for r in df.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in df.select("doc_id", split_assign(F.col("doc_id")).alias("s")).collect()}
+    assert a == b  # rerun-stable
+    train_frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < train_frac < 0.85
+    # a different salt decorrelates the assignment
+    c = {r["doc_id"]: r["s"] for r in df.select("doc_id", split_assign(F.col("doc_id"), salt="fold2").alias("s")).collect()}
+    assert c != a
+
+
+def test_pack_sequences_matches_sequential_packing(spark):
+    """Within every shard the (pack_id, offset) assignment must equal a
+    driver-side sequential concat-then-chunk pass in doc_id order."""
+    from twitch_stream_data_pipeline_spark.extensions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(df, budget=512, shards=4).collect()
+    toks = {i: 100 + (i * 37) % 300 for i in range(200)}
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # really sharded
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 512 and r["offset_in_pack"] == cum % 512, r
+            cum += toks[r["doc_id"]]

@@ -1866,6 +1866,72 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD5INT = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@_register(
+    "train_test_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           {_MD5INT.format(x="'epoch0:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+    FROM documents
+    """,
+    ("sampling", "ext"),
+    "Deterministic hash-based train/test split (80/20) plus an epoch-0 "
+    "reshuffle sort key. Pure per-row md5 arithmetic: stable under "
+    "reruns, engines, row order, and partitioning — the reproducibility "
+    "contract random() splits cannot give.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import shuffle_key, split_assign
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        split_assign(F.col("doc_id")).alias("split"),
+        shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+    )
+
+
+@_register(
+    "pack_sequences",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CAST({_MD5INT.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % 32 AS INT)
+               AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS prev
+      FROM t
+    )
+    SELECT shard, prev // 512 AS pack_id, doc_id, prev % 512 AS offset_in_pack
+    FROM c
+    """,
+    ("sampling", "window", "ext"),
+    "Concat-then-chunk sequence packing (GPT-pretraining semantic): each "
+    "document goes to the 512-token context window containing its start "
+    "offset. Sharded md5 partitioning keeps the cumsum windows parallel — "
+    "no global single-task sort.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(with_tokens, budget=512, shards=32)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
