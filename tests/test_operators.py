@@ -335,3 +335,22 @@ def test_pack_sequences_matches_sequential_packing(spark):
         for r in rows:
             assert r["pack_id"] == cum // 512 and r["offset_in_pack"] == cum % 512, r
             cum += toks[r["doc_id"]]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-chain must collapse to its min id even though the far end is
+    3 hops away; disconnected pairs and singletons keep their own
+    components."""
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}

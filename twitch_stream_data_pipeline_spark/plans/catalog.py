@@ -1866,6 +1866,36 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    ("dedup", "graph", "ext"),
+    "Connected components over the MinHash-LSH candidate graph: the "
+    "cluster assignment a dedup pipeline actually consumes (one survivor "
+    "per component). Distributed hash-min label propagation; the DuckDB "
+    "oracle states the same fixpoint as a recursive transitive closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    edges = lsh_candidate_pairs(minhash_signatures(docs))
+    return connected_components(docs.select("doc_id"), edges)
+
+
 _MD5INT = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
