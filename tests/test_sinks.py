@@ -94,3 +94,40 @@ def test_csv_reference_semantics(spark, tmp_path):
     write_csv_compat(df, out)
     back = sorted(tuple(r) for r in read_csv_reference(spark, out).collect())
     assert back == rows
+
+
+def test_kafka_options_shape():
+    """No Kafka jar in this env: pin the source option set (the backfill
+    throttle twin of maxFilesPerTrigger included/excluded correctly)."""
+    from twitch_stream_data_pipeline_spark.sources.kafka import kafka_options
+
+    opts = kafka_options("b1:9092,b2:9092", "raw_streams", "earliest")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "raw_streams",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "100000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_options(
+        "b:9092", "t", max_offsets_per_trigger=None
+    )
+
+
+def test_parse_kafka_envelope_on_static_records(spark):
+    """The envelope parse is a pure transform — verified on a static
+    frame shaped like Kafka's (key/value binary, partition, offset,
+    timestamp)."""
+    from twitch_stream_data_pipeline_spark.sources.kafka import (
+        parse_kafka_envelope,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (b"k1", b'{"id": "7", "viewer_count": 42}', 0, 100, "2026-01-11 17:15:00"),
+            (b"k2", b'{"id": "8", "viewer_count": 7}', 1, 5, "2026-01-11 17:15:01"),
+        ],
+        "key binary, value binary, partition int, offset long, ts_str string",
+    ).select("key", "value", "partition", "offset", F.to_timestamp("ts_str").alias("timestamp"))
+    out = parse_kafka_envelope(raw, "id string, viewer_count long").collect()
+    got = {(r["id"], r["viewer_count"], r["kafka_key"], r["kafka_partition"], r["kafka_offset"]) for r in out}
+    assert got == {("7", 42, "k1", 0, 100), ("8", 7, "k2", 1, 5)}

@@ -122,3 +122,36 @@ def binary_meta(df: DataFrame) -> DataFrame:
         F.octet_length("payload").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling over binary payloads: split each
+    payload into ``n_frames`` contiguous byte ranges ("frames") and
+    emit per-frame identity (``doc_id, frame_idx, byte_start,
+    frame_md5``). Trailing frames past the payload end are dropped, so
+    short payloads yield fewer frames.
+
+    This is the video-pipeline *plumbing* — range arithmetic, binary
+    slicing, per-frame fan-out — done entirely JVM-side as column
+    expressions (binary ``substring`` + ``md5``, whole-stage codegen);
+    only the per-frame *decode* (stubbed here, see :func:`decode_stub`)
+    would cross into Python, already batched one-frame-per-row. Chunk
+    size is exact integer ceil division, no float path.
+    """
+    frames = df.select(
+        "doc_id",
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.expr(f"(octet_length(payload) + {n_frames} - 1) div {n_frames}").alias(
+            "chunk"
+        ),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).filter(F.col("frame_idx") * F.col("chunk") < F.col("n_bytes"))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * F.col("chunk")).cast("bigint").alias("byte_start"),
+        F.md5(F.expr("substring(payload, frame_idx * chunk + 1, chunk)")).alias(
+            "frame_md5"
+        ),
+    )

@@ -1867,6 +1867,35 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "frame_sample",
+    r"""
+    -- the fixture corpus is ASCII (asserted by equal char/byte lengths),
+    -- so VARCHAR substring states the engine's BINARY byte-slicing exactly
+    WITH p AS (
+      SELECT doc_id, text AS payload, length(text) AS n_bytes,
+             (length(text) + 3) // 4 AS chunk
+      FROM documents
+    ),
+    f AS (SELECT p.*, unnest(generate_series(0, 3)) AS frame_idx FROM p)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * chunk AS BIGINT) AS byte_start,
+           md5(substring(payload, CAST(frame_idx * chunk + 1 AS BIGINT),
+                         CAST(chunk AS BIGINT))) AS frame_md5
+    FROM f WHERE frame_idx * chunk < n_bytes
+    """,
+    ("multimodal", "ext"),
+    "Evenly-spaced 4-frame byte-range sampling over binary payloads — "
+    "the video frame-split fan-out as pure JVM column expressions "
+    "(binary substring + md5); only per-frame decode would cross to "
+    "Python.",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import frame_sample
+
+    return frame_sample(attach_binary_payload(_docs(spark, sf_dir)), n_frames=4)
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_minhash_pairs_oracle()}),
