@@ -354,3 +354,47 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from twitch_stream_data_pipeline_spark.extensions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "heavy" if i % 2 else "light") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    kept = mixture_sample(df, {"heavy": 25}).groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["light"] == 2000  # default 100%: untouched
+    assert 380 < by_src["heavy"] < 620  # ~25% of 2000
+    # stability under corpus growth: the kept subset of the first half
+    # is exactly the first-half restriction of the full kept set
+    half = df.filter(F.col("doc_id") < 2000)
+    kept_half = {r["doc_id"] for r in mixture_sample(half, {"heavy": 25}).collect()}
+    kept_full = {
+        r["doc_id"]
+        for r in mixture_sample(df, {"heavy": 25}).collect()
+        if r["doc_id"] < 2000
+    }
+    assert kept_half == kept_full
+
+
+def test_chunk_documents_windows_cover_document(spark):
+    from twitch_stream_data_pipeline_spark.extensions.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 24 over 70 tokens -> starts 1, 25, 49 -> 3 chunks
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2]
+    assert d1[0]["chunk_text"].split()[:24] == [f"w{i}" for i in range(24)]
+    # consecutive chunks overlap by 8 tokens
+    assert d1[0]["chunk_text"].split()[-8:] == d1[1]["chunk_text"].split()[:8]
+    # last chunk ends at the document tail
+    assert d1[-1]["chunk_text"].split()[-1] == "w69"
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"

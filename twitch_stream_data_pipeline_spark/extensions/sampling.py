@@ -80,3 +80,67 @@ def pack_sequences(
         "doc_id",
         (F.col("prev") % budget).alias("offset_in_pack"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_pct: int = 100,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-source down-sampling to a target data mixture.
+
+    ``rates`` maps source name -> keep percentage; unlisted sources keep
+    ``default_pct``. Selection is md5-hash arithmetic on the document id
+    (same contract as :func:`split_assign`): the sampled subset is
+    reproducible, independent of partitioning, and *stable under corpus
+    growth* — a document's keep/drop never flips when other documents
+    arrive, which per-partition or reservoir sampling cannot promise.
+    One narrow filter, no shuffle.
+    """
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    pct: Column = F.lit(default_pct)
+    for src, p in sorted(rates.items()):
+        pct = F.when(F.col(source_col) == src, F.lit(p)).otherwise(pct)
+    return df.filter(h < pct)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens -
+    overlap`` (RAG / context-window preprocessing). Emits ``doc_id,
+    chunk_idx, n_chunk_tokens, chunk_text``; the final partial window
+    is kept (it holds the document tail).
+
+    Pure column expressions: one token-array projection per row, chunk
+    starts from ``sequence`` arithmetic, ``slice`` + ``array_join`` per
+    chunk — whole-stage codegen, fan-out bounded by tokens/stride.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from .text_analysis import tokenize
+
+    base = df.select(
+        "doc_id", tokenize(F.col(text_col)).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.col("n_tokens"), F.lit(1)), F.lit(stride))
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).filter(F.col("start") <= F.col("n_tokens"))
+    piece = F.slice(F.col("toks"), F.col("start"), F.lit(chunk_tokens))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -1991,6 +1991,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(with_tokens, budget=512, shards=32)
 
 
+@_register(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_MD5INT.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN source = 'src0' THEN 10
+                 WHEN source = 'src1' THEN 50
+                 ELSE 100 END
+    """,
+    ("sampling", "ext"),
+    "Per-source down-sampling to a target data mixture (src0 -> 10%, "
+    "src1 -> 50%, rest kept). md5-hash selection: reproducible, "
+    "partition-independent, stable under corpus growth — one narrow "
+    "filter, no shuffle.",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return mixture_sample(docs, {"src0": 10, "src1": 50}).select("doc_id", "source")
+
+
+@_register(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             len(string_split_regex(trim(text), '\s+')) AS n
+      FROM documents
+    ),
+    -- parallel unnests zip positionally: stride-24 starts with 0-based idx
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(1, greatest(n, 1), 24)) AS start,
+             unnest(generate_series(0, (greatest(n, 1) - 1) // 24)) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[start : least(start + 31, n)]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start : least(start + 31, n)], ' ') AS chunk_text
+    FROM s WHERE start <= n
+    """,
+    ("sampling", "text", "ext"),
+    "Sliding-window token chunking (32-token windows, 8-token overlap): "
+    "the RAG / context-window preprocessing fan-out as pure column "
+    "expressions — sequence arithmetic + array slice, no UDF.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
