@@ -398,3 +398,39 @@ def test_chunk_documents_windows_cover_document(spark):
     assert d1[-1]["chunk_text"].split()[-1] == "w69"
     d2 = [r for r in rows if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from twitch_stream_data_pipeline_spark.extensions.text_analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test-site.org and call +123 456-7890 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[1]["scrubbed"] == "mail <EMAIL> and call <PHONE> now"
+    assert rows[2]["n_email"] == 0 and rows[2]["scrubbed"] == "no pii here at all"
+
+
+def test_decontaminate_flags_only_overlapping_train_docs(spark):
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import decontaminate
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, shared + " plus a unique continuation here"),
+            (2, "entirely unrelated training text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(100, shared + " with a different ending entirely")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, held, n=8).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got

@@ -381,3 +381,30 @@ def simhash64(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFram
             F.lit(0).cast("long")
         )
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out set (the GPT-3 appendix-C /
+    fine-web overlap rule).
+
+    Returns ``doc_id, n_hits`` for contaminated training docs only.
+    Plan shape: the held-out side is aggregated to its distinct shingle
+    set and — being evaluation-set-sized, orders of magnitude smaller
+    than the corpus — broadcast; the train side streams its shingles
+    through the broadcast hash join without shuffling document bodies.
+    One aggregation keyed by doc_id after the join. 13-grams are the
+    published standard; default 8 suits this fixture's ~50-token docs.
+    """
+    train_sh = doc_shingles(train, text_col, n)
+    held_sh = doc_shingles(heldout, text_col, n).select("shingle").distinct()
+    return (
+        train_sh.join(F.broadcast(held_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

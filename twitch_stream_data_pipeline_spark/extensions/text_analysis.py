@@ -155,3 +155,33 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred.alias("pred_lang"),
         hits.alias("marker_hits"),
     )
+
+
+#: PII patterns restricted to syntax shared by Java regex and RE2, so
+#: the engine and the DuckDB oracle state the same language.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and phone numbers: ``doc_id, n_email, n_phone,
+    scrubbed``. Counts are taken against the original text; patterns
+    are then replaced sequentially with ``<EMAIL>`` / ``<PHONE>``
+    tokens (the loss-masking convention — downstream tokenizers see a
+    stable placeholder, not an empty hole).
+
+    Pure ``regexp_extract_all`` / ``regexp_replace`` column
+    expressions: whole-stage codegen, no UDF, linear per-byte cost —
+    the scrub runs in the same pass as any other projection.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    scrubbed = text
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))

@@ -2014,6 +2014,104 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, {"src0": 10, "src1": 50}).select("doc_id", "source")
 
 
+def _ngram_expr_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(n))
+    return rf"""
+      SELECT doc_id, split, unnest(list_distinct(list_transform(
+               CASE WHEN len(toks) - {n - 1} >= 1
+                    THEN generate_series(1, len(toks) - {n - 1})
+                    ELSE [] END,
+               i -> {gram}))) AS shingle
+      FROM (SELECT doc_id, split,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM split_docs)
+    """
+
+
+@_register(
+    "decontaminate",
+    rf"""
+    WITH split_docs AS (
+      SELECT doc_id, text,
+             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS ({_ngram_expr_sql(8)}),
+    held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM sh s JOIN held USING (shingle)
+    WHERE s.split = 'train'
+    GROUP BY 1
+    """,
+    ("dedup", "sampling", "ext"),
+    "Benchmark decontamination: train-split documents sharing any "
+    "8-gram with the held-out split (GPT-3 appendix-C overlap rule). "
+    "Held-out shingles broadcast (evaluation-set-sized); the corpus "
+    "side never shuffles document bodies.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import decontaminate
+    from ..extensions.sampling import split_assign
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "split", split_assign(F.col("doc_id"))
+    )
+    train = docs.filter(F.col("split") == "train")
+    held = docs.filter(F.col("split") == "test")
+    return decontaminate(train, held, n=8)
+
+
+@_register(
+    "pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +555 123-4567'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phone,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+    ("text", "ext"),
+    "PII redaction (emails + phone numbers -> placeholder tokens) over "
+    "a deterministically seeded corpus (every third doc gets synthetic "
+    "PII, so the scrub provably fires). Patterns restricted to the "
+    "Java-regex/RE2 common subset; pure regexp column expressions.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +555 123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
 @_register(
     "chunk_documents",
     r"""
