@@ -37,11 +37,15 @@ def connected_components(
     fixpoint is not reached within ``max_iter`` rounds (diameter bound
     exceeded — for near-dup graphs that means the edge set is wrong).
     """
+    # materialize the symmetrized edge list ONCE: it is re-joined every
+    # round, and without this every round would recompute the upstream
+    # edge-generation pipeline (e.g. the full MinHash-LSH derivation)
+    # from the source — measured as the dominant cost, not the rounds.
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)

@@ -185,3 +185,47 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document: ``doc_id, n_grams,
+    top_count, top_gram_frac, dup_gram_frac`` over word ``n``-grams
+    (occurrences, not distinct — repetition is the point).
+
+    ``top_gram_frac`` = share of the most frequent n-gram,
+    ``dup_gram_frac`` = share of occurrences beyond each gram's first
+    (1 - distinct/total) — the two repetition filters of Rae et al.'s
+    Gopher quality rules, token-based. Documents shorter than ``n``
+    tokens emit no row.
+
+    Two partial-aggregable shuffles: (doc, gram) counts, then per-doc
+    max/sum/count — no window, no array-accumulator HOFs (a per-row
+    map-aggregate would leave whole-stage codegen and serialize a
+    counting map per row; the exploded groupBy form stays codegen'd and
+    map-side combines).
+    """
+    toksdf = df.select(
+        "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks")
+    )
+    cnt = F.size("toks") - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)]),
+    )
+    per_gram = (
+        toksdf.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt")
+    distinct = F.count("*")
+    top = F.max("cnt")
+    return per_gram.groupBy("doc_id").agg(
+        total.alias("n_grams"),
+        top.alias("top_count"),
+        (top.cast("double") / total).alias("top_gram_frac"),
+        (F.lit(1.0) - distinct.cast("double") / total).alias("dup_gram_frac"),
+    )

@@ -2063,6 +2063,41 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               CASE WHEN len(toks) - 1 >= 1
+                    THEN generate_series(1, len(toks) - 1)
+                    ELSE [] END,
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t
+    ),
+    per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_gram_frac,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS dup_gram_frac
+    FROM per_gram GROUP BY 1
+    """,
+    ("text", "ext"),
+    "Gopher repetition quality signals per document (top-bigram share, "
+    "duplicate-bigram share) via two partial-aggregable shuffles.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+@_register(
     "pii_scrub",
     r"""
     WITH seeded AS (
