@@ -306,3 +306,67 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     )
     expect = {(r["imp_id"], r["click_id"]) for r in batch.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: rows with no partner surface with NULL right columns
+    once the watermark proves no match can arrive. Outer emission
+    happens while processing a batch AFTER the watermark advance, so
+    the replay is throttled to one file per trigger and the click
+    stream carries two trailing watermark-advancing files (the last
+    batch performs the eviction for the first)."""
+    import time as _time
+
+    from twitch_stream_data_pipeline_spark.streaming import interval_join_streams
+
+    base = 1_700_000_000
+
+    def write_one(path, rows, ddl, ts_col):
+        df = (
+            spark.createDataFrame(rows, ddl)
+            .select("user_id", F.timestamp_seconds("secs").alias(ts_col), F.col("tag"))
+            .coalesce(1)
+        )
+        df.write.mode("append").parquet(path)
+        _time.sleep(1.1)  # distinct mtimes: file-source batches follow mtime order
+
+    imp_path, clk_path = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imp_ddl = "user_id long, secs long, tag string"
+    write_one(imp_path, [(1, base, "imp_matched"), (2, base, "imp_lonely")], imp_ddl, "l_time")
+    write_one(clk_path, [(1, base + 60, "clk1")], imp_ddl, "r_time")
+    # trailing far-future files on BOTH sides: the global watermark is
+    # the MIN across all watermarked inputs, so both streams must
+    # advance; the first late pair moves the watermark, the second
+    # pair's batch evicts + emits the outer rows
+    write_one(imp_path, [(8, base + 100_000, "imp_wm1")], imp_ddl, "l_time")
+    write_one(clk_path, [(9, base + 100_000, "clk_wm1")], imp_ddl, "r_time")
+    write_one(imp_path, [(8, base + 200_000, "imp_wm2")], imp_ddl, "l_time")
+    write_one(clk_path, [(9, base + 200_000, "clk_wm2")], imp_ddl, "r_time")
+
+    left = (
+        spark.readStream.schema("user_id long, l_time timestamp, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_path)
+        .withColumnRenamed("tag", "imp_id")
+    )
+    right = (
+        spark.readStream.schema("user_id long, r_time timestamp, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clk_path)
+        .withColumnRenamed("tag", "click_id")
+    )
+    joined = interval_join_streams(left, right, upper="15 minutes", how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.table("t_interval_outer").collect()
+    }
+    assert ("imp_matched", "clk1") in got
+    assert ("imp_lonely", None) in got

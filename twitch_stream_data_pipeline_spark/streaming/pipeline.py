@@ -200,6 +200,7 @@ def interval_join_streams(
     right_ts: str = "r_time",
     upper: str = "15 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner equi-join within an event-time interval:
     rows pair when keys match and ``right_ts`` falls in
@@ -214,6 +215,12 @@ def interval_join_streams(
     the other side's watermark passes ``ts + upper``; without the range
     bound Spark would have to buffer both streams forever. Column names
     besides ``key`` must be disjoint across the two inputs.
+
+    ``how="left_outer"`` emits unmatched left rows with NULL right
+    columns *once the watermark proves no match can still arrive* —
+    the streaming statement of J2's left-join-plus-defaults. Outer
+    results are therefore watermark-delayed by construction; an
+    ``availableNow`` replay emits them in its final micro-batch.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -222,4 +229,4 @@ def interval_join_streams(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
