@@ -1,0 +1,79 @@
+"""Property-based hardening (hypothesis): the bucketed near-dup plans
+must agree with direct brute-force computation on arbitrary tiny
+corpora — guards the posting-list pair-generation rewrite against
+edge cases the fixed fixtures do not reach (empty docs, all-identical
+docs, single-token docs, shared-shingle chains)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.lists(_words, min_size=0, max_size=10).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=7)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute_jaccard(texts, n=3, threshold=0.5):
+    def sh(t):
+        toks = t.strip().lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b and (sets[a] or sets[b]):
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= threshold:
+                    out.add((a, b))
+    return out
+
+
+@given(_corpus)
+@_SETTINGS
+def test_ngram_jaccard_matches_brute_force(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()
+    }
+    assert got == _brute_jaccard(texts)
+
+
+@given(_corpus)
+@_SETTINGS
+def test_simhash_pairs_candidate_exactness(spark, texts):
+    """With 4 chunks / hamming<=3 the pigeonhole candidate set is exact:
+    the emitted pairs must be precisely all pairs within distance 3
+    (computed brute-force from the per-doc fingerprints)."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import simhash64
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    expect = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_bucket_size=None).collect()
+    }
+    assert got == expect
