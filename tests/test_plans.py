@@ -193,3 +193,30 @@ def test_corpus_curation_is_single_pass(spark):
     plan = plan_of(df)
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+
+
+def test_decontaminate_broadcasts_heldout_shingles(spark):
+    """The held-out shingle set is evaluation-set-sized and must
+    broadcast; a sort-merge join would shuffle the corpus shingles."""
+    df = CATALOG["decontaminate"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_stats_partially_aggregates(spark):
+    """Both aggregations must map-side combine (partial_count) and the
+    plan must carry no window operator."""
+    df = CATALOG["repetition_stats"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_zscore_single_shuffle_window(spark):
+    """Per-group standardization is one shuffle on the group key (plus
+    the window sort) — no join, no second aggregation pass."""
+    df = CATALOG["zscore_by_type"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -2063,6 +2063,47 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "zscore_by_type",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mean,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS meansq
+      FROM events
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type,
+           (value - mean) / sqrt(meansq - mean * mean) AS zscore
+    FROM s
+    """,
+    ("window", "agg", "ext"),
+    "Per-group z-score normalization (feature standardization): "
+    "decimal-routed windowed sums so mean/variance are bit-stable under "
+    "any partial-agg order; one shuffle on the group key, no join.",
+)
+def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    # .over must attach to the SUM itself, then cast — dsum().over would
+    # window the cast expression, which is not an aggregate
+    n = F.count("*").over(w)
+    mean = F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double") / n
+    meansq = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        / n
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        ((F.col("value") - mean) / F.sqrt(meansq - mean * mean)).alias("zscore"),
+    )
+
+
+@_register(
     "repetition_stats",
     r"""
     WITH t AS (
