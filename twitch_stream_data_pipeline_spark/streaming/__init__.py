@@ -9,7 +9,7 @@ from .pipeline import (
     stream_raw_streams,
     windowed_popularity_stream,
 )
-from .dim_maintenance import DimUpserter
+from .dim_maintenance import AggMaintainer, DimUpserter
 from .stateful import stateful_popularity
 from .feedback import FanoutPlanner
 
@@ -23,4 +23,5 @@ __all__ = [
     "stream_raw_streams",
     "windowed_popularity_stream",
     "DimUpserter",
+    "AggMaintainer",
 ]

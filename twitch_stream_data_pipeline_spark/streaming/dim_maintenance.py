@@ -68,3 +68,63 @@ class DimUpserter:
         result.delta.write.mode("overwrite").parquet(epoch_dir)
         materialized = self.spark.read.schema(self.schema_ddl).parquet(epoch_dir)
         materialized.write.mode("append").parquet(self.state_path)
+
+
+class AggMaintainer:
+    """foreachBatch sink maintaining a keyed AGGREGATE table with
+    replace-on-key semantics — the incremental-materialized-view twin
+    of :class:`DimUpserter` (whose dims are insert-only; aggregates
+    must instead overwrite a key's row when a late or new micro-batch
+    revises it).
+
+    Consumed with an update-mode streaming aggregation: each trigger
+    emits only revised (key, aggregate) rows; the sink left-anti-joins
+    them out of the current state and writes the union as a NEW
+    ``version=<epoch>`` directory. Readers always see one complete,
+    consistent version (the highest) — no reader ever observes a
+    half-rewritten table, and the previous version doubles as a
+    poor-man's snapshot history. At warehouse scale the same contract
+    is a MERGE into Delta/Iceberg; the versioned-directory form is the
+    plain-parquet equivalent, rewritten per batch because an aggregate
+    table is keys x windows — bounded — never fact-sized.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        keys: list[str],
+        schema_ddl: str,
+    ) -> None:
+        self.spark = spark
+        self.state_path = state_path
+        self.keys = keys
+        self.schema_ddl = schema_ddl
+
+    def _latest_version(self) -> int | None:
+        if not os.path.exists(self.state_path):
+            return None
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.state_path)
+            if d.startswith("version=")
+        ]
+        return max(versions) if versions else None
+
+    def current_state(self) -> DataFrame:
+        v = self._latest_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        return self.spark.read.schema(self.schema_ddl).parquet(
+            os.path.join(self.state_path, f"version={v}")
+        )
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        state = self.current_state()
+        merged = state.join(
+            batch.select(*self.keys).distinct(), self.keys, "left_anti"
+        ).unionByName(batch.select(*state.columns) if state.columns else batch)
+        out = os.path.join(self.state_path, f"version={epoch_id}")
+        merged.write.mode("overwrite").parquet(out)
