@@ -220,3 +220,49 @@ def test_zscore_single_shuffle_window(spark):
     plan = plan_of(df)
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's skew story for fact-x-fact joins is AQE: a join key
+    holding most of the rows must be split into multiple tasks at
+    runtime (plan shows 'skew=true'), with thresholds lowered so the
+    toy-sized fixture triggers the same path a 100 TB hot key would."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 2/3 of the left rows pile onto key 7. The padding must be
+        # INCOMPRESSIBLE (md5 chains, not repeat()): AQE measures
+        # compressed shuffle-block sizes, and repetitive padding
+        # compresses below any skew threshold. Right side carries each
+        # key once so the join output stays linear.
+        pad = F.concat(*[F.md5((F.col("id") + i).cast("string")) for i in range(8)])
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 3 <= 1, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(60_000).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+        joined = left.join(right, "k")
+        # AQE finalizes (and reports skew splits) only on the executed
+        # plan INSTANCE — count() would execute a different one
+        assert len(joined.collect()) == 60_000
+        plan = plan_of(joined)
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
