@@ -434,3 +434,36 @@ def test_decontaminate_flags_only_overlapping_train_docs(spark):
     got = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, held, n=8).collect()}
     assert 1 in got and got[1] >= 1
     assert 2 not in got
+
+
+def test_group_outlier_scores_match_sql_formulation(spark):
+    """The grouped-map numpy computation must agree (to float tolerance)
+    with an independent column-expression formulation of the same
+    centroid distance."""
+    import math
+
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        group_outlier_scores,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["vec_id"]: r["dist"] for r in group_outlier_scores(emb).collect()}
+    assert len(got) == emb.count()
+
+    # independent formulation: explode positions, per-(label, pos) mean
+    # via window, then sum of squared residuals per vector
+    from pyspark.sql import Window
+
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    w = Window.partitionBy("label", "pos")
+    resid = pos.withColumn("mean", F.avg("v").over(w)).select(
+        "vec_id", ((F.col("v") - F.col("mean")) ** 2).alias("sq")
+    )
+    expect = {
+        r["vec_id"]: math.sqrt(r["ss"])
+        for r in resid.groupBy("vec_id").agg(F.sum("sq").alias("ss")).collect()
+    }
+    for vid, d in expect.items():
+        assert abs(got[vid] - d) < 1e-9, (vid, got[vid], d)

@@ -360,3 +360,46 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def group_outlier_scores(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding outlier scoring via grouped-map
+    ``applyInPandas`` — the §2.8 UDF-surface member that needs a whole
+    group in one frame (centroid + in-group distance distribution are
+    group-global, not per-row or per-batch).
+
+    Each label group arrives as one pandas frame; numpy computes the
+    group centroid, each vector's euclidean distance to it, and the
+    z-score of that distance within the group (the outlier signal a
+    curation pipeline thresholds). Groups are label-sized — the
+    contract is bounded group cardinality, the same assumption any
+    grouped-map training-data op (per-class resampling, per-domain
+    calibration) already makes; the shuffle is one hash partition by
+    label.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{id_col} long, {label_col} int, dist double, zdist double"
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        centroid = m.mean(axis=0)
+        d = np.sqrt(((m - centroid) ** 2).sum(axis=1))
+        spread = d.std()
+        z = (d - d.mean()) / spread if spread > 0 else np.zeros_like(d)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                label_col: pdf[label_col],
+                "dist": d,
+                "zdist": z,
+            }
+        )
+
+    return emb.groupBy(label_col).applyInPandas(score, schema)

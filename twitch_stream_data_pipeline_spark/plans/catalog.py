@@ -1086,6 +1086,21 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "group_outliers",
+    None,  # grouped-map numpy op; agreement with an independent
+    # column-expression formulation asserted to 1e-9 in tests
+    ("similarity", "udf", "ext"),
+    "Per-label embedding outlier scoring (centroid distance + in-group "
+    "z-score) via grouped-map applyInPandas — the whole-group-in-one-"
+    "frame member of the UDF surface (SURVEY.md 2.8).",
+)
+def q_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import group_outlier_scores
+
+    return group_outlier_scores(_emb(spark, sf_dir))
+
+
+@_register(
     "ivf_knn",
     None,  # approximate by construction; exact-equality vs cosine_knn at
     # n_probe == n_cells and recall at n_probe < n_cells asserted in tests
