@@ -213,13 +213,54 @@ def test_repetition_stats_partially_aggregates(spark):
     assert "Window" not in plan, plan
 
 
-def test_zscore_single_shuffle_window(spark):
-    """Per-group standardization is one shuffle on the group key (plus
-    the window sort) — no join, no second aggregation pass."""
+def test_zscore_aggregates_and_broadcasts_no_window(spark):
+    """Per-group standardization must NOT window-partition on the
+    ~5-value event_type key (window partitions cannot be split by AQE,
+    so 100 TB would land on ~5 sort tasks). The scale shape is a
+    partial-aggregable groupBy for the stats plus a broadcast join back
+    onto the facts — the fact table itself is never shuffled."""
     df = CATALOG["zscore_by_type"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
-    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # stats side partially aggregates map-side; decimal sums shuffle
+    assert "partial_sum" in plan, plan
+    # the only hash exchange is the <=5-row stats aggregation, not facts
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_group_outliers_scalable_shape(spark):
+    """The scale twin of the grouped-map outlier scorer: no
+    applyInPandas (FlatMapGroupsInPandas), centroid and label stats
+    broadcast back, distance keyed on high-cardinality vec_id."""
+    df = CATALOG["group_outliers_scalable"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    # dist is lazily checkpointed so it feeds both the output and the
+    # label stats from ONE materialization (no double input pass); the
+    # outer plan joins the broadcast stats against the checkpoint scan.
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_group_outliers_scalable_matches_grouped_map(spark):
+    """The aggregation+broadcast formulation agrees with the grouped-map
+    numpy formulation to the decimal(25,6) routing tolerance."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        group_outlier_scores,
+        group_outlier_scores_scalable,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = {r["vec_id"]: r for r in group_outlier_scores(emb).collect()}
+    b = {r["vec_id"]: r for r in group_outlier_scores_scalable(emb).collect()}
+    assert set(a) == set(b)
+    for vid, ra in a.items():
+        rb = b[vid]
+        assert ra["label"] == rb["label"]
+        assert abs(ra["dist"] - rb["dist"]) < 1e-3, (vid, ra, rb)
+        assert abs(ra["zdist"] - rb["zdist"]) < 1e-3, (vid, ra, rb)
 
 
 def test_aqe_splits_skewed_join_partitions(spark):

@@ -403,3 +403,74 @@ def group_outlier_scores(
         )
 
     return emb.groupBy(label_col).applyInPandas(score, schema)
+
+
+def group_outlier_scores_scalable(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding outlier scoring as pure aggregation +
+    broadcast join — the 100-TB-shape twin of
+    :func:`group_outlier_scores`.
+
+    The grouped-map version ships every label group into one pandas
+    frame, so a label with 10^9 members lands on (and OOMs) a single
+    task. The same math decomposes into partial-aggregable pieces:
+
+    1. ``posexplode`` the vector and ``groupBy(label, dim)`` for the
+       per-dimension centroid — map-side combine collapses each task
+       to ``|labels| x dims`` rows, so the shuffle is bytes.
+    2. Broadcast the centroid rows back onto the exploded vectors and
+       ``groupBy(vec_id)`` the squared diffs for euclidean distance —
+       the shuffle key is the *high*-cardinality vec_id, which AQE can
+       split freely.
+    3. ``groupBy(label)`` over distances for the in-group mean/std,
+       broadcast those <=|labels| rows back, emit the z-score.
+
+    No window, no grouped-map, no per-group memory; every aggregate is
+    decimal-routed (order-independent) so the result is bit-stable and
+    oracle-checkable. Matches :func:`group_outlier_scores` to the
+    decimal(25,6) rounding (~1e-6).
+    """
+    n_dims = F.count("*")
+    dims = emb.select(
+        F.col(id_col), F.col(label_col), F.posexplode(vec_col).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy(label_col, "dim").agg(
+        (F.sum(F.col("v").cast("decimal(25,6)")).cast("double") / n_dims).alias("c")
+    )
+    sq = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    dist = (
+        dims.join(F.broadcast(cent), [label_col, "dim"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sqrt(F.sum(sq.cast("decimal(25,6)")).cast("double")).alias("dist")
+        )
+    )
+    # dist feeds both the output and the label stats; without lineage
+    # truncation Spark re-runs the whole scan->explode->centroid->agg
+    # pipeline for each consumer (two full passes over the input). The
+    # per-vector dist relation is tiny relative to the vectors, so
+    # materializing it once is the 100-TB-correct trade (same move as
+    # dedup clustering's edge list).
+    dist = dist.localCheckpoint(eager=False)
+    stats = dist.groupBy(label_col).agg(
+        (F.sum(F.col("dist").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "mean_d"
+        ),
+        (
+            F.sum((F.col("dist") * F.col("dist")).cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("meansq_d"),
+    )
+    var = F.col("meansq_d") - F.col("mean_d") * F.col("mean_d")
+    return dist.join(F.broadcast(stats), label_col).select(
+        id_col,
+        label_col,
+        "dist",
+        F.when(var > 0, (F.col("dist") - F.col("mean_d")) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+        .alias("zdist"),
+    )

@@ -1101,6 +1101,54 @@ def q_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "group_outliers_scalable",
+    """
+    WITH dims AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT dims.vec_id, dims.label,
+             sqrt(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(25,6)))
+                       AS DOUBLE)) AS dist
+      FROM dims JOIN cent ON dims.label = cent.label AND dims.dim = cent.dim
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT label,
+             CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS mean_d,
+             CAST(SUM(CAST(dist * dist AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS meansq_d
+      FROM d GROUP BY 1
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           CASE WHEN meansq_d - mean_d * mean_d > 0
+                THEN (dist - mean_d) / sqrt(meansq_d - mean_d * mean_d)
+                ELSE 0.0 END AS zdist
+    FROM d JOIN stats ON d.label = stats.label
+    """,
+    ("similarity", "agg", "join", "ext"),
+    "Per-label embedding outlier scoring restated as partial-aggregable "
+    "groupBy + broadcast joins (the 100-TB shape of group_outliers): "
+    "posexplode -> per-dim decimal centroid -> distance keyed on the "
+    "high-cardinality vec_id -> broadcast label stats. No grouped-map, "
+    "no per-group memory, fully oracle-checkable.",
+)
+def q_group_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import group_outlier_scores_scalable
+
+    return group_outlier_scores_scalable(_emb(spark, sf_dir))
+
+
+@_register(
     "ivf_knn",
     None,  # approximate by construction; exact-equality vs cosine_knn at
     # n_probe == n_cells and recall at n_probe < n_cells asserted in tests
@@ -2080,41 +2128,46 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "zscore_by_type",
     """
-    WITH s AS (
-      SELECT event_id, event_type, value,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
-               / COUNT(*) OVER w AS mean,
-             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE)
-               / COUNT(*) OVER w AS meansq
-      FROM events
-      WINDOW w AS (PARTITION BY event_type)
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS mean,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS meansq
+      FROM events GROUP BY event_type
     )
-    SELECT event_id, event_type,
+    SELECT event_id, e.event_type,
            (value - mean) / sqrt(meansq - mean * mean) AS zscore
-    FROM s
+    FROM events e JOIN stats USING (event_type)
     """,
-    ("window", "agg", "ext"),
-    "Per-group z-score normalization (feature standardization): "
-    "decimal-routed windowed sums so mean/variance are bit-stable under "
-    "any partial-agg order; one shuffle on the group key, no join.",
+    ("agg", "join", "ext"),
+    "Per-group z-score normalization (feature standardization) as a "
+    "two-pass aggregate + broadcast join: groupBy(event_type) computes "
+    "decimal-routed mean/variance (map-side partial agg collapses each "
+    "task to <=5 rows, so the shuffle is bytes), then the tiny stats "
+    "relation broadcasts back onto the facts — no shuffle of the fact "
+    "table at all. A Window.partitionBy(event_type) formulation would "
+    "pin 100 TB onto ~5 unsplittable sort tasks; this shape scales "
+    "with input splits. Sums stay decimal-routed for bit-parity.",
 )
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type")
-    # .over must attach to the SUM itself, then cast — dsum().over would
-    # window the cast expression, which is not an aggregate
-    n = F.count("*").over(w)
-    mean = F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double") / n
-    meansq = (
-        F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)"))
-        .over(w)
-        .cast("double")
-        / n
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "mean"
+        ),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("meansq"),
     )
-    return ev.select(
+    return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        ((F.col("value") - mean) / F.sqrt(meansq - mean * mean)).alias("zscore"),
+        (
+            (F.col("value") - F.col("mean"))
+            / F.sqrt(F.col("meansq") - F.col("mean") * F.col("mean"))
+        ).alias("zscore"),
     )
 
 
@@ -2238,10 +2291,111 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
 
+#: Exposure order for the external correctness harness, which grades only
+#: the FIRST 50 entries of :func:`queries`. Registration order above is
+#: thematic; this list is verification-priority order:
+#:
+#: 1. Queries that have never received a CORRECTNESS row (rounds 1-2
+#:    registered them past the 50-query window) — every one is
+#:    oracle-bearing and goes first.
+#: 2. Oracle-bearing queries new this round.
+#: 3. The previously-green core retained inside the window (the heavier
+#:    plans, where a regression is most likely).
+#: 4. Long-stable trivial greens rotated past position 50 (two rounds of
+#:    green evidence; still covered by the in-repo pytest oracle run,
+#:    ``tests/test_catalog_oracle.py``).
+#: 5. ``no_oracle``-by-design queries last — the harness can never grade
+#:    them, so they must not occupy one of the 50 gradable slots.
+#:
+#: ``tests/test_catalog_order.py`` asserts this list is a permutation of
+#: ``CATALOG`` and that the first 50 are all oracle-bearing.
+EXPOSURE_ORDER: tuple[str, ...] = (
+    # -- 1. never-verified by the harness (r1+r2 positions 51-69)
+    "salted_distinct_users",
+    "csv_roundtrip",
+    "simhash_near_dup",
+    "tfidf_top_terms",
+    "corpus_curation",
+    "frame_sample",
+    "dedup_clusters",
+    "train_test_split",
+    "pack_sequences",
+    "mixture_sample",
+    "decontaminate",
+    "zscore_by_type",
+    "repetition_stats",
+    "pii_scrub",
+    "chunk_documents",
+    "intersect_users",
+    "above_avg_orders",
+    "scalar_subquery_filter",
+    # -- 2. new this round
+    "group_outliers_scalable",
+    # -- 3. previously-green core retained in the window
+    "pricing_summary",
+    "popularity_by_type",
+    "curate_events",
+    "validity_filter",
+    "dedup_keep_first",
+    "delta_except_all",
+    "upsert_delta",
+    "star_revenue_by_region",
+    "nearest_slot",
+    "argmin_per_type",
+    "rollup_lineitem",
+    "window_15min",
+    "text_quality",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_knn",
+    "embedding_near_dup",
+    "embedding_centroid",
+    "topk_per_group",
+    "running_total",
+    "sessionize",
+    "pivot_status",
+    "semi_join_big_spenders",
+    "full_outer_nation_counts",
+    "cube_volume",
+    "count_distinct_star",
+    "asof_join_click_attribution",
+    "range_join_quantity_buckets",
+    "value_percentiles",
+    # ---------------- 50-query harness window ends here ----------------
+    # -- 4. long-stable trivial greens (r1+r2 green, pytest-covered)
+    "sentinel_defaults",
+    "language_dim_sentinel",
+    "distinct_pairs",
+    "anti_join_customers",
+    "left_join_defaults",
+    "day_dates_dim",
+    "time_of_day_dim",
+    "explode_words",
+    "topk_customers",
+    "positional_join",
+    "token_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "binary_meta",
+    # -- 5. no oracle by design (harness records rows-only)
+    "lsh_knn",
+    "group_outliers",
+    "ivf_knn",
+    "multimodal_features",
+    "approx_distinct_users",
+    "pack_groups",
+)
+
+
+def _ordered() -> list[Query]:
+    return [CATALOG[name] for name in EXPOSURE_ORDER]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in CATALOG.items()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
