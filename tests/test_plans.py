@@ -175,6 +175,36 @@ def test_tfidf_broadcasts_document_frequency(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tfidf_unbroadcast_switch_and_df_cap(spark):
+    """broadcast_df=False must produce a shuffle join on term (the
+    web-scale-vocabulary escape hatch — billions of terms cannot
+    broadcast), and max_df must land as a filter on the aggregated df
+    relation. Results are unchanged when the cap exceeds every df."""
+    from twitch_stream_data_pipeline_spark.extensions.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plain = tfidf_top_terms(docs, k=3)
+    unbroadcast = tfidf_top_terms(docs, k=3, max_df=5000, broadcast_df=False)
+    # broadcast_df=False only removes the broadcast HINT; on toy stats
+    # Catalyst still auto-broadcasts below the threshold. Web-scale df
+    # statistics exceed any threshold, modeled here by disabling it.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffle_form = tfidf_top_terms(docs, k=3, max_df=5000, broadcast_df=False)
+        plan = plan_of(shuffle_form)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # the df-cap is a post-aggregation filter on the tiny df relation
+    assert "<= 5000" in optimized_of(unbroadcast), optimized_of(unbroadcast)
+    assert sorted(map(tuple, unbroadcast.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 def test_simhash_near_dup_has_no_join(spark):
     """Candidate generation is one bucket groupBy + in-array pair
     expansion: no join operator, no cartesian product anywhere."""

@@ -80,7 +80,13 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = None,
+    broadcast_df: bool = True,
+) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
     ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (sklearn's smooth-idf
@@ -89,19 +95,32 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     ranking is total. Emits ``doc_id, term, tf, tfidf, rnk``.
 
     Plan shape: two hash aggregations (doc×term tf, then term df — both
-    with map-side partial counts), the df relation broadcast back onto
-    tf (it is |vocabulary|-sized, bounded in practice; at web scale the
-    standard move is the same join un-broadcast, or a df-cap like the
-    dedup tier), corpus size N as a broadcast 1-row cross join, then
-    one per-doc top-k window. The ln runs on an IEEE-correctly-rounded
-    rational (N+1)/(df+1), bit-identical across engines (checked
-    against the DuckDB oracle).
+    with map-side partial counts), the df relation joined back onto tf,
+    corpus size N as a broadcast 1-row cross join, then one per-doc
+    top-k window. The ln runs on an IEEE-correctly-rounded rational
+    (N+1)/(df+1), bit-identical across engines (checked against the
+    DuckDB oracle).
+
+    Web-scale controls (mirroring the dedup tier's ``max_shingle_df``):
+
+    - ``max_df`` drops terms appearing in more than ``max_df`` documents
+      *before* the join. Ultra-common terms carry near-zero idf and
+      never rank, but they dominate the df relation's weight and the
+      join's row fan-out — capping them bounds both. ``None`` keeps
+      every term.
+    - ``broadcast_df=False`` switches the df join to a plain shuffle
+      join for vocabularies too large to broadcast (web-scale n-gram
+      vocabularies run to billions of terms; a broadcast would OOM
+      every executor). The default broadcasts, which is right whenever
+      the vocabulary is dictionary-sized.
     """
     toks = df.select(
         "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
     n_docs = df.agg(F.count("*").alias("n_docs"))
     idf = (
         F.log(
@@ -110,8 +129,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
         )
         + F.lit(1.0)
     )
+    dfreq_side = F.broadcast(dfreq) if broadcast_df else dfreq
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
     )

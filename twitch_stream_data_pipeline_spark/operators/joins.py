@@ -62,27 +62,56 @@ def delta_new_rows(new_state: DataFrame, old_state: DataFrame) -> DataFrame:
     return new_state.exceptAll(old_state)
 
 
-def nearest_slot_id(ts: Column) -> Column:
-    """Map a timestamp to the nearest 15-minute slot id "HHMM" (J5).
+def _slot_pieces(ts: Column) -> tuple[Column, Column, Column]:
+    """(secs, day_secs, rollover) for reference-exact slot mapping."""
+    secs = F.unix_timestamp(ts)
+    day_secs = secs % 86400
+    # reference rolls to next-day 0000 only for hour==23 AND minute>52,
+    # i.e. from 23:53:00 (85980s) onward — strict, not >=52
+    rollover = day_secs >= F.lit(85980)
+    return secs, day_secs, rollover
 
-    Replaces the reference's 96-row linear scan for min |diff|
+
+def nearest_slot_id(ts: Column) -> Column:
+    """Map a timestamp to the nearest 15-minute slot id "HHMM" (J5),
+    bit-exact to the reference's 96-row linear scan
     (``scripts/get_raw_data/get_raw_categories_data.py:52-71``,
-    duplicated ~14x) with round-to-nearest arithmetic. The 23:52+
-    day-rollover special case (``:42-47``) falls out of rounding: such
-    times round to the next day's slot 0000.
+    duplicated ~14x) including its two boundary quirks:
+
+    - **Ties go to the EARLIER slot**: the scan keeps the first slot
+      achieving the minimum |diff| (strict ``<`` at ``:67``), so
+      12:07:30 maps to 1200, not 1215. Plain HALF_UP rounding would
+      pick the later slot — hence ``(day_secs + 449) div 900``, which
+      rounds half-down.
+    - **The scan never sees the next day's 0000**: its candidate grid
+      is built on the current date only (``:65``), so 23:52:31-23:52:59
+      clamp to 2345 (min over same-day slots), while the explicit
+      special case at ``:58-59`` sends ``minute > 52`` — 23:53:00
+      onward — to next-day 0000.
     """
-    rounded = F.timestamp_seconds(
-        F.round(F.unix_timestamp(ts) / 900).cast("long") * 900
+    _, day_secs, rollover = _slot_pieces(ts)
+    slot_secs = F.least((day_secs + 449) / F.lit(900), F.lit(95)).cast("long") * 900
+    hh = F.floor(slot_secs / 3600).cast("int")
+    mm = F.floor((slot_secs % 3600) / 60).cast("int")
+    hhmm = F.concat(
+        F.lpad(hh.cast("string"), 2, "0"), F.lpad(mm.cast("string"), 2, "0")
     )
-    return F.date_format(rounded, "HHmm")
+    return F.when(rollover, F.lit("0000")).otherwise(hhmm)
 
 
 def nearest_slot_day_id(ts: Column) -> Column:
-    """Companion day_date_id "yyyyMMdd" after nearest-slot rounding."""
-    rounded = F.timestamp_seconds(
-        F.round(F.unix_timestamp(ts) / 900).cast("long") * 900
+    """Companion day_date_id "yyyyMMdd": the observation day, advanced
+    by one only in the 23:53+ rollover window (``get_raw_categories_
+    data.py:42-47`` — same strict ``minute > 52`` rule)."""
+    secs, day_secs, rollover = _slot_pieces(ts)
+    midnight = secs - day_secs
+    day_start = F.when(rollover, midnight + 86400).otherwise(midnight)
+    # stay timezone-free: go through DateType (epoch-day arithmetic),
+    # never date_format on a timestamp (session-timezone-sensitive)
+    epoch_day = (day_start / F.lit(86400)).cast("int")
+    return F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day), "yyyyMMdd"
     )
-    return F.date_format(rounded, "yyyyMMdd")
 
 
 def positional_join(

@@ -490,21 +490,29 @@ def q_left_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs FROM events),
     slotted AS (
-      SELECT CAST(round(secs / 900.0) AS BIGINT) * 900 AS slot_secs FROM base
+      SELECT CASE WHEN secs % 86400 >= 85980 THEN '0000'
+                  ELSE {_ohhmm('(least((secs % 86400 + 449) // 900, 95) * 900)')}
+             END AS time_of_day_id
+      FROM base
     )
-    SELECT {_ohhmm('slot_secs')} AS time_of_day_id, COUNT(*) AS n_events
+    SELECT time_of_day_id, COUNT(*) AS n_events
     FROM slotted GROUP BY 1
     """,
     ("join", "J5", "A5"),
-    "As-of/nearest join against the 96-slot grid (get_raw_categories_data.py:52-71) "
-    "as round-to-nearest arithmetic; the 23:52 day rollover falls out of rounding.",
+    "As-of/nearest join against the 96-slot grid, bit-exact to the "
+    "reference scan (get_raw_categories_data.py:52-71): half-slot ties "
+    "go to the EARLIER slot (the scan's strict < keeps the first "
+    "minimum), 23:52:31-23:52:59 clamp to same-day 2345 (the scan "
+    "never sees next-day 0000), and only minute>52 — 23:53:00 on — "
+    "rolls to 0000. Pure integer arithmetic, no 96-row join.",
 )
 def q_nearest_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import nearest_slot_id
+
     ev = _events(spark, sf_dir)
-    secs = F.col("secs")
-    slot_secs = F.round(secs / 900.0).cast("long") * 900
+    ts = F.timestamp_seconds(F.col("secs"))
     return (
-        ev.select(_hhmm(slot_secs).alias("time_of_day_id"))
+        ev.select(nearest_slot_id(ts).alias("time_of_day_id"))
         .groupBy("time_of_day_id")
         .agg(F.count("*").alias("n_events"))
     )
@@ -1832,7 +1840,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+              HAVING COUNT(*) <= 5000),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT doc_id, term, tf,
@@ -1851,10 +1860,12 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ("text", "ext"),
     "Top-3 characteristic terms per document by smoothed TF-IDF "
-    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing).",
+    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing). The max_df cap "
+    "is active (web-scale vocab bound, mirrored by the oracle's "
+    "HAVING); set far above any observed df so results are unchanged.",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3, max_df=5000)
 
 
 @_register(

@@ -108,10 +108,14 @@ def write_jdbc(
 ) -> None:
     """Warehouse bulk load (K3): the reference's S3 -> Postgres COPY
     (``src/other/insert_data_to_db.py:19-96``) becomes a straight
-    ``df.write.jdbc``. Requires a JDBC driver jar on the classpath —
-    not present in this environment, so callers must gate on
-    availability (import-try pattern); the function itself is a thin
-    passthrough kept for API completeness.
+    ``df.write.jdbc``. Each task opens one connection and writes its
+    partition, so the load parallelism is the DataFrame's partition
+    count — repartition to the warehouse's ingest headroom first.
+
+    Executed end-to-end in tests against Apache Derby's embedded
+    driver (pure-Java, ships inside Spark's own jars directory), the
+    same code path a Postgres url + driver property takes on a real
+    cluster (``tests/test_sinks.py::test_write_jdbc_roundtrip_derby``).
     """
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
 
