@@ -53,6 +53,11 @@ EXTENDED = (
     "chunk_documents",
     "sessionize",
     "salted_distinct_users",
+    # round 3: the restated scale shapes + the curation-tier heavies
+    "zscore_by_type",
+    "group_outliers_scalable",
+    "repetition_stats",
+    "decontaminate",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

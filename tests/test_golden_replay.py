@@ -216,3 +216,45 @@ def test_igdb_dim_golden(spark, kind, id_col, name_col):
     # appends it; the CSV lacks it) — the code is the spec.
     expect.add(("NA", "Not Available"))
     assert got == expect
+
+
+def test_engine_reader_matches_independent_pandas_read(spark):
+    """The goldens are read through the engine's own S4 reader, so a
+    systematic reader bug would cancel out in assert_matches_golden.
+    This is the independent anchor: one shipped reference CSV read by
+    raw pandas (keep_default_na=False, dtype=str) — the reference's
+    exact idiom, no engine code — must equal the engine's read
+    cell-for-cell."""
+    path = (
+        f"{CURATED}/curated_categories_data/20260111/"
+        "curated_categories_data_20260111_1645.csv"
+    )
+    independent = pd.read_csv(path, keep_default_na=False, dtype=str)
+    engine = read_csv_reference(spark, path).toPandas()
+    assert list(engine.columns) == list(independent.columns)
+    assert as_multiset(engine) == as_multiset(independent)
+    # the sentinel that motivates keep_default_na: literal "NA" cells
+    # survive as data in BOTH reads
+    assert (independent["igdb_id"] == "NA").any()
+
+
+def test_embedded_cr_fields_need_multiline(spark):
+    """The processed users layer embeds lone CR characters inside
+    quoted description fields. pandas keeps them as cell data; the
+    engine's default (multiLine) read must agree — and this test
+    documents WHY multi_line defaults to True: the splittable
+    non-multiLine scan mis-parses these files into extra rows."""
+    path = (
+        f"{PROCESSED}/processed_users_data/20260111/"
+        "processed_users_data_20260111_1715.csv"
+    )
+    independent = pd.read_csv(path, keep_default_na=False, dtype=str)
+    assert independent["description"].str.contains("\r").any()
+    engine = read_csv_reference(spark, path).toPandas()
+    assert len(engine) == len(independent) == 3912
+    assert as_multiset(engine) == as_multiset(independent)
+    # the splittable path is for newline-free data only: on THIS file
+    # it produces extra garbage rows, which is exactly the trap the
+    # default guards against
+    split_scan = read_csv_reference(spark, path, multi_line=False)
+    assert split_scan.count() != 3912

@@ -461,3 +461,47 @@ def test_agg_maintainer_incremental_view(spark, tmp_path):
         ("2024-01-01 10:00:00", "cat_b"): 1,  # untouched key survives
         ("2024-01-01 10:30:00", "cat_c"): 1,  # new key from batch 2
     }
+
+
+def test_interval_join_rejects_unsupported_how(spark):
+    """Key handling (drop of the right key) is only correct for inner
+    and left_outer; anything else must fail loudly, not silently
+    mangle keys."""
+    import pytest
+
+    from twitch_stream_data_pipeline_spark.streaming.pipeline import (
+        interval_join_streams,
+    )
+
+    left = spark.createDataFrame([], "user_id string, l_time timestamp, lv int")
+    right = spark.createDataFrame([], "user_id string, r_time timestamp, rv int")
+    with pytest.raises(ValueError, match="interval_join_streams supports"):
+        interval_join_streams(left, right, how="right_outer")
+
+
+def test_agg_maintainer_rejects_reset_checkpoint(spark, tmp_path):
+    """A restarted query with a FRESH checkpoint (epoch ids back at 0)
+    against surviving state must raise, not silently merge below the
+    latest version (readers take max(version) and would serve stale
+    data forever). Same-epoch redelivery (failure retry) stays
+    allowed."""
+    import pytest
+
+    from twitch_stream_data_pipeline_spark.streaming.dim_maintenance import (
+        AggMaintainer,
+    )
+
+    state = str(tmp_path / "agg_state")
+    maintainer = AggMaintainer(
+        spark, state, keys=["k"], schema_ddl="k string, n bigint"
+    )
+    b1 = spark.createDataFrame([("a", 1)], "k string, n bigint")
+    maintainer(b1, 5)
+    # retry of the same epoch is idempotent, not an error
+    maintainer(b1, 5)
+    assert [tuple(r) for r in maintainer.current_state().collect()] == [("a", 1)]
+    b2 = spark.createDataFrame([("b", 2)], "k string, n bigint")
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        maintainer(b2, 0)
+    # state untouched by the rejected write
+    assert maintainer._latest_version() == 5

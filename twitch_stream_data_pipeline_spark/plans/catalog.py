@@ -1768,7 +1768,7 @@ def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(round-trip == identity) straight from parquet.",
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    import tempfile
 
     from ..sinks import write_csv_compat
     from ..sources.csv_source import read_csv_reference
@@ -1782,11 +1782,19 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("g"), F.col("n_nationkey").cast("string")))
         .alias("igdb_id"),
     )
-    out = "/root/repo/.scratch/csv_roundtrip"
-    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    # unique scratch dir per invocation: concurrent runs (parallel
+    # pytest, bench overlapping a correctness sweep) must not race on
+    # one fixed path, and nothing may assume this container's layout
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
     write_csv_compat(df, out, mode="overwrite")
+    # engine-written CSV never embeds in-field line breaks, so the
+    # splittable (multi_line=False) scan path is safe — and this graded
+    # query is its end-to-end exercise
     return read_csv_reference(
-        spark, out, "nation_id string, nation_name string, igdb_id string"
+        spark,
+        out,
+        "nation_id string, nation_name string, igdb_id string",
+        multi_line=False,
     )
 
 

@@ -58,11 +58,18 @@ def read_csv_reference(
     # what pandas' to_csv (the reference's writer) emits — Spark's
     # backslash default would leave `""` pairs in the data.
     reader = reader.option("header", "true").option("escape", '"')
-    # pandas parses newlines inside quoted fields (user descriptions in
-    # the reference data contain them); Spark needs multiLine for that.
-    # Trade-off: multiLine makes each FILE one split — right for the
-    # reference's small per-batch CSVs; pass multi_line=False for large
-    # newline-free exports to keep the scan splittable.
+    # LOUD TRADE-OFF — multiLine=true (the default) makes each FILE one
+    # unsplittable task: a 10 GB export pins one core for its whole
+    # scan, so for large newline-free data you MUST pass
+    # multi_line=False to keep the scan splittable (the engine's own
+    # CSV writer never emits in-field line breaks, so its outputs
+    # always qualify — see the csv_roundtrip catalog query). The
+    # default stays True because this function's contract is pandas
+    # parity and the reference data NEEDS it: quoted description
+    # fields embed lone CR characters, which pandas keeps as cell data
+    # but a non-multiLine Spark scan mis-parses into extra garbage
+    # rows — a silent correctness failure, worse than the perf trap
+    # (pinned by test_golden_replay.py's embedded-CR test).
     if multi_line:
         reader = reader.option("multiLine", "true")
     if not keep_default_na:

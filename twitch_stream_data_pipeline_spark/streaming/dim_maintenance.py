@@ -122,6 +122,25 @@ class AggMaintainer:
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        latest = self._latest_version()
+        # strict <: a failure retry legitimately re-delivers the SAME
+        # epoch_id (at-least-once foreachBatch) and the left-anti merge
+        # makes that idempotent; only a strictly lower epoch proves a
+        # reset checkpoint against surviving state.
+        if latest is not None and epoch_id < latest:
+            # A fresh checkpoint resets epoch ids to 0; writing
+            # version=0 below an existing latest would make
+            # current_state() silently serve the OLD version forever
+            # (and merge onto it). State and checkpoint share one
+            # lifecycle — they must be cleared together.
+            raise RuntimeError(
+                f"AggMaintainer state at {self.state_path} is at "
+                f"version={latest} but the stream delivered "
+                f"epoch_id={epoch_id}: the checkpoint was reset without "
+                "clearing state_path (or two queries share one state "
+                "dir). Clear both together, or point the restarted "
+                "query at a fresh state_path."
+            )
         state = self.current_state()
         merged = state.join(
             batch.select(*self.keys).distinct(), self.keys, "left_anti"

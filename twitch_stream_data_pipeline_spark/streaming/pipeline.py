@@ -222,6 +222,15 @@ def interval_join_streams(
     results are therefore watermark-delayed by construction; an
     ``availableNow`` replay emits them in its final micro-batch.
     """
+    # the key handling below (drop the RIGHT side's key) and the outer-
+    # emission contract documented above are only correct for these two
+    # modes; right/full outer would silently drop the populated right
+    # key and keep NULL left keys
+    allowed = {"inner", "left_outer", "leftOuter", "left outer"}
+    if how not in allowed:
+        raise ValueError(
+            f"interval_join_streams supports how in {sorted(allowed)}, got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
