@@ -337,3 +337,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The LM vocabulary relation broadcasts onto the doc x term counts
+    (dictionary-sized, same economics as the TF-IDF df relation); every
+    aggregation partially combines map-side."""
+    df = CATALOG["unigram_logprob"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_boilerplate_ratio_shape(spark):
+    """Gram document-frequency flows through partial-aggregable hash
+    aggregations keyed on the high-cardinality gram; no window, no
+    grouped-map, no cartesian product."""
+    df = CATALOG["boilerplate_ratio"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

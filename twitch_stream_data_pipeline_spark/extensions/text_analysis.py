@@ -249,3 +249,106 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
         (top.cast("double") / total).alias("top_gram_frac"),
         (F.lit(1.0) - distinct.cast("double") / total).alias("dup_gram_frac"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-LM quality score: mean per-token unigram log-probability,
+    the distributable core of the KenLM-style perplexity filters used
+    for pretraining curation (CCNet / GPT-3 appendix A keep docs whose
+    LM score is close to a reference corpus; a unigram model is the
+    degenerate order-1 case and needs no external artifact — the
+    corpus is its own model).
+
+    ``logprob = sum_t tf(t) * ln(count(t)/T) / sum_t tf(t)`` where
+    ``count`` is the term's corpus frequency and ``T`` total corpus
+    tokens. Low (very negative) scores mark documents dominated by
+    rare junk; scores near zero mark documents of pure boilerplate.
+    Emits ``doc_id, n_tokens, logprob``.
+
+    Plan shape (the same partial-agg + broadcast economics as TF-IDF):
+    one doc x term count aggregation, a term-frequency relation
+    aggregated from it (vocabulary-sized; broadcast by default,
+    ``broadcast_vocab=False`` for web-scale vocabularies), corpus
+    total as a 1-row broadcast, and a final doc_id-keyed aggregation —
+    every shuffle key is either high-cardinality or pre-combined
+    map-side. The weighted ln-sum is decimal-routed so the mean is
+    bit-stable under any aggregation order.
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t_total"))
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
+    ln_p = F.log(F.col("cnt").cast("double") / F.col("t_total").cast("double"))
+    weighted = (
+        tf.join(vocab_side, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", (F.col("tf") * ln_p).alias("w"))
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        (
+            F.sum(F.col("w").cast("decimal(25,6)")).cast("double") / F.sum("tf")
+        ).alias("logprob"),
+    )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    common_df: int = 10,
+) -> DataFrame:
+    """Corpus-boilerplate signal: the fraction of a document's word
+    ``n``-gram *positions* covered by n-grams that appear in more than
+    ``common_df`` distinct documents — the corpus-level statement of
+    C4/RefinedWeb boilerplate removal (shared headers, navigation
+    chrome, templated sentences recur across many pages; prose does
+    not). Emits ``doc_id, n_grams, common_frac``; documents shorter
+    than ``n`` tokens emit no row.
+
+    Plan shape: explode n-grams (positions), one (doc, gram) distinct
+    aggregation feeding a gram -> document-frequency aggregation (both
+    partial-agg shuffles on high-cardinality gram keys), then the df
+    relation joins back onto the positions. Counts only — exact on
+    both engines, no decimal routing needed. The df relation is
+    gram-cardinality-sized, so it is NOT broadcast (unlike the tiny
+    LM vocab above); the join shuffles on gram, which AQE can split.
+    """
+    toks = df.select("doc_id", tokenize(F.trim(F.lower(F.col(text_col)))).alias("toks"))
+    # guard short docs explicitly: sequence(0, size-n) with size < n
+    # would produce a DESCENDING [0..negative] array (Spark infers step
+    # -1), not an empty one — exploding an empty array is what drops
+    # the sub-n-token docs
+    starts = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
+        ).alias("gram"),
+    )
+    gram_df = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.sum((F.col("df") > common_df).cast("long")).cast("double")
+                / F.count("*")
+            ).alias("common_frac"),
+        )
+    )

@@ -2276,6 +2276,76 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(tf * ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE))
+                         AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(tf) AS BIGINT) AS logprob
+    FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+    ("text", "ext", "lm"),
+    "Corpus-LM quality score (mean per-token unigram log-probability): "
+    "the distributable, artifact-free core of the KenLM-style "
+    "perplexity filters (CCNet / GPT-3 appendix A) — two partial-agg "
+    "shuffles, vocabulary broadcast, decimal-routed weighted ln-sum.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+@_register(
+    "boilerplate_ratio",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               CASE WHEN len(toks) - 2 >= 1
+                    THEN generate_series(1, len(toks) - 2)
+                    ELSE [] END,
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t
+    ),
+    gram_df AS (
+      SELECT gram, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS common_frac
+    FROM grams JOIN gram_df USING (gram)
+    GROUP BY 1
+    """,
+    ("text", "ext", "dedup"),
+    "Corpus-boilerplate signal: fraction of a doc's 3-gram positions "
+    "covered by grams shared with >10 other docs (the corpus-level "
+    "statement of C4/RefinedWeb boilerplate removal). Count-only "
+    "arithmetic — exact on both engines; the gram-df relation joins "
+    "un-broadcast on the high-cardinality gram key.",
+)
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import boilerplate_ratio
+
+    return boilerplate_ratio(_docs(spark, sf_dir), n=3, common_df=10)
+
+
+@_register(
     "chunk_documents",
     r"""
     WITH t AS (
@@ -2350,9 +2420,10 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "scalar_subquery_filter",
     # -- 2. new this round
     "group_outliers_scalable",
+    "unigram_logprob",
+    "boilerplate_ratio",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
-    "popularity_by_type",
     "curate_events",
     "validity_filter",
     "dedup_keep_first",
@@ -2375,7 +2446,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "running_total",
     "sessionize",
     "pivot_status",
-    "semi_join_big_spenders",
     "full_outer_nation_counts",
     "cube_volume",
     "count_distinct_star",
@@ -2384,6 +2454,8 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "value_percentiles",
     # ---------------- 50-query harness window ends here ----------------
     # -- 4. long-stable trivial greens (r1+r2 green, pytest-covered)
+    "popularity_by_type",
+    "semi_join_big_spenders",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
