@@ -360,3 +360,16 @@ def test_boilerplate_ratio_shape(spark):
     assert "Window" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_canonical_dedup_partial_aggregates(spark):
+    """Canonical selection is argmax-by-struct: struct max plans as
+    SortAggregate with a PARTIAL phase before the fingerprint exchange
+    (each task pre-reduces to one candidate per group), and no Window —
+    a row_number formulation would materialize whole groups
+    post-shuffle."""
+    df = CATALOG["canonical_dedup"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert "partial_max(struct" in plan, plan
+    assert "Exchange hashpartitioning(fp" in plan, plan

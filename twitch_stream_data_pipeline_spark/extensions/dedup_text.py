@@ -84,6 +84,42 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def canonical_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-aware exact dedup: per duplicate group, keep the
+    HIGHEST-quality member (here: most tokens; ties to the lowest
+    doc_id), not merely the first — the canonical-selection step real
+    curation pipelines run after clustering (keep the longest /
+    best-scored variant of a page, drop truncated mirrors).
+
+    Emits ``doc_id, n_tokens, n_members`` for each surviving document.
+
+    Scale shape: argmax-by-struct inside a plain ``groupBy(fingerprint)``
+    — ``max(struct(n_tokens, -doc_id))`` partial-aggregates map-side
+    (struct aggregates plan as SortAggregate: each task sorts its own
+    slice by the 16-byte fingerprint and pre-reduces to ONE candidate
+    per group), so the single shuffle carries one key + one struct per
+    group per task. Unlike a window row_number formulation there is no
+    post-shuffle whole-group materialization — memory per task stays
+    one candidate row per open group.
+    """
+    from .text_analysis import token_count
+
+    scored = df.select(
+        "doc_id",
+        text_fingerprint(F.col(text_col)).alias("fp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    best = F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")))
+    agg = scored.groupBy("fp").agg(
+        F.count("*").alias("n_members"), best.alias("best")
+    )
+    return agg.select(
+        (-F.col("best.neg_id")).alias("doc_id"),
+        F.col("best.n_tokens").alias("n_tokens"),
+        "n_members",
+    )
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Exploded distinct (doc_id, shingle) pairs.
 

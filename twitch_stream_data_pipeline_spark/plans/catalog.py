@@ -79,25 +79,31 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents table, repartitioned for CPU-heavy per-row operators.
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Rebalance a scan for CPU-heavy per-row operators — but ONLY when
+    the scan is narrower than the cluster.
 
     The testdata ships one parquet file per table, and a single parquet
     row group cannot be split — so a plain scan is one task no matter
-    how many cores exist. Hash-repartitioning on doc_id costs one tiny
-    shuffle (the table is small relative to the work per row) and lets
-    shingling/hashing use every core. At 100 TB inputs arrive in many
-    splits and this repartition is a cheap no-op-sized rebalance that
-    also evens out document-length skew before the CPU-bound stage.
-    """
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    how many cores exist; hash-repartitioning lets shingling/hashing
+    use every core and evens out document-length skew. At 100 TB the
+    scan already arrives in thousands of splits and an unconditional
+    repartition would be a full shuffle of the corpus for nothing —
+    hence the partition-count gate (planning-time metadata, no job)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, key)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table, spread across cores when the scan is narrow."""
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings table, repartitioned for vector-math operators."""
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    """Embeddings table, spread across cores when the scan is narrow."""
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
 #: Fixed read schema for the events table (SURVEY §1.5: explicit
@@ -2276,6 +2282,39 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "canonical_dedup",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(replace(lower(text), ' ', '')) AS fp,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS n_members,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    ("dedup", "ext", "A2", "A5"),
+    "Quality-aware exact dedup (canonical selection): per duplicate "
+    "group keep the member with the most tokens, ties to lowest "
+    "doc_id — argmax-by-struct in one partial-aggregable groupBy, no "
+    "per-group sort (the oracle states the same choice as a window).",
+)
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import canonical_dedup
+
+    return canonical_dedup(_docs(spark, sf_dir))
+
+
+@_register(
     "unigram_logprob",
     r"""
     WITH toks AS (
@@ -2422,6 +2461,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "group_outliers_scalable",
     "unigram_logprob",
     "boilerplate_ratio",
+    "canonical_dedup",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
@@ -2445,7 +2485,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "topk_per_group",
     "running_total",
     "sessionize",
-    "pivot_status",
     "full_outer_nation_counts",
     "cube_volume",
     "count_distinct_star",
@@ -2456,6 +2495,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # -- 4. long-stable trivial greens (r1+r2 green, pytest-covered)
     "popularity_by_type",
     "semi_join_big_spenders",
+    "pivot_status",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
