@@ -505,3 +505,58 @@ def test_agg_maintainer_rejects_reset_checkpoint(spark, tmp_path):
         maintainer(b2, 0)
     # state untouched by the rejected write
     assert maintainer._latest_version() == 5
+
+
+def test_streaming_warehouse_load_jdbc(spark, tmp_path):
+    """K3 x §2.7 end-to-end: a curated stream loaded to the warehouse
+    per micro-batch via foreachBatch + JDBC (live Derby embedded —
+    the Structured Streaming statement of the reference's per-upload
+    Postgres load, insert_data_to_db.py:19-96). Two source files +
+    maxFilesPerTrigger=1 force TWO micro-batches, so the append path
+    (not just a single write) is exercised."""
+    from twitch_stream_data_pipeline_spark.sinks import JdbcBatchLoader
+
+    src = tmp_path / "curated"
+    batches = [
+        [("s1", "20260111", "1700", 100, 25.0)],
+        [("s2", "20260111", "1715", 40, 10.0), ("s3", "20260111", "1715", 7, 1.75)],
+    ]
+    ddl = (
+        "stream_id string, day_date_id string, time_of_day_id string, "
+        "viewer_count int, hours_watched double"
+    )
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(src))
+
+    url = f"jdbc:derby:{tmp_path}/stream_wh;create=true"
+    props = {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "createTableColumnTypes": (
+            "stream_id VARCHAR(64), day_date_id VARCHAR(8), "
+            "time_of_day_id VARCHAR(4)"
+        ),
+    }
+    # pre-create the table so streaming appends have a target with
+    # VARCHAR DDL (a real deployment runs schema.sql first, the
+    # reference's twitch_stream_db_schema.sql:62-72)
+    spark.createDataFrame([], ddl).write.jdbc(
+        url=url, table="streams", mode="overwrite", properties=props
+    )
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(JdbcBatchLoader(url, "streams", props))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    back = spark.read.jdbc(url=url, table="streams", properties=props)
+    assert back.count() == 3
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(r for b in batches for r in b)

@@ -149,3 +149,38 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+class JdbcBatchLoader:
+    """foreachBatch sink: append every streaming micro-batch to a
+    warehouse table over JDBC — the Structured Streaming statement of
+    the reference's per-15-minute S3 -> Postgres load
+    (``src/other/insert_data_to_db.py:19-96``, fired per curated
+    upload).
+
+    Each micro-batch appends exactly the batch's rows; idempotence
+    across failure retries comes from carrying the batch identity
+    (``day_date_id, time_of_day_id``) in the rows, so a replayed epoch
+    can be reconciled with a keyed DELETE/MERGE warehouse-side (the
+    reference relies on the same composite key, ``twitch_stream_db_
+    schema.sql:62-72``). Tested live against Spark's bundled Derby
+    embedded driver; on a cluster the url/driver swap to Postgres with
+    no code change.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        self.url = url
+        self.table = table
+        self.properties = properties or {}
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_jdbc(
+            batch, self.url, self.table, mode="append", properties=self.properties
+        )
