@@ -373,3 +373,43 @@ def test_canonical_dedup_partial_aggregates(spark):
     assert "Window" not in plan, plan
     assert "partial_max(struct" in plan, plan
     assert "Exchange hashpartitioning(fp" in plan, plan
+
+
+def test_trailing_range_window_single_user_shuffle(spark):
+    """The RANGE-frame trailing sum shuffles once on the
+    high-cardinality user_id; no join, no extra exchange."""
+    df = CATALOG["trailing_hour_sum"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_budget_select_histogram_not_global_sort(spark):
+    """Budget selection must not globally sort the corpus: the only
+    windows run over the bounded score histogram and the single
+    boundary score group; kept buckets come back via broadcast joins."""
+    df = CATALOG["budget_select"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    rows = df.collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert total <= 10000
+    # greedy optimality: no excluded doc could still fit the budget
+    all_rows = {
+        r["doc_id"]: r["n_tokens"]
+        for r in CATALOG["token_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    kept = {r["doc_id"] for r in rows}
+    best_excluded = max(
+        (tok for d, tok in all_rows.items() if d not in kept), default=0
+    )
+    worst_kept = min((r["n_tokens"] for r in rows), default=0)
+    assert worst_kept >= 0 and (best_excluded <= worst_kept or total + best_excluded > 10000)
+
+
+def test_rank_with_ties_has_real_ties(spark):
+    """dense_rank must diverge from rank somewhere — proving the
+    fixture actually exercises tie semantics, not just row numbering."""
+    rows = CATALOG["rank_with_ties"].fn(spark, SF_SMOKE).collect()
+    assert any(r["rnk"] != r["drnk"] for r in rows)

@@ -144,3 +144,70 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    (quality = token count here; substitute any integer score) whose
+    cumulative token total fits ``budget_tokens`` — the "take the best
+    N tokens" step that sizes a pretraining mix.
+
+    Semantics: documents ordered by ``(n_tokens DESC, doc_id ASC)``; a
+    document is kept iff its inclusive running token total is within
+    budget. Emits the kept ``doc_id, n_tokens``.
+
+    Scale shape — the naive formulation is a GLOBAL ordered cumsum
+    (one task sorts the corpus). Instead:
+
+    1. Histogram by score: ``groupBy(n_tokens)`` -> per-bucket doc and
+       token totals (map-side combined; the relation is
+       |distinct scores|-sized, bounded).
+    2. Cumulative totals over that tiny bucket relation (a window over
+       a bounded histogram, not over documents).
+    3. Buckets wholly under budget broadcast-join back: their docs are
+       kept with no ordering work at all. Exactly ONE boundary bucket
+       straddles the budget; only ITS documents (one score group) pay
+       a per-group row_number to keep the ``k = (budget - prefix) /
+       score`` lowest doc_ids.
+
+    The only sort over real data is within the single boundary score
+    group; everything else is hash aggregation + broadcast joins.
+    """
+    from .text_analysis import token_count
+
+    scored = df.select("doc_id", token_count(F.col(text_col)).alias("n_tokens"))
+    buckets = scored.groupBy("n_tokens").agg(
+        F.sum(F.col("n_tokens").cast("bigint")).alias("bucket_tokens")
+    )
+    # bounded histogram: the un-partitioned window is over |distinct
+    # scores| rows, never over documents
+    wb = Window.orderBy(F.desc("n_tokens")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bcum = buckets.withColumn("cum", F.sum("bucket_tokens").over(wb)).withColumn(
+        "prev", F.col("cum") - F.col("bucket_tokens")
+    )
+    full = bcum.filter(F.col("cum") <= budget_tokens).select("n_tokens")
+    boundary = bcum.filter(
+        (F.col("prev") < budget_tokens) & (F.col("cum") > budget_tokens)
+    ).select(
+        "n_tokens",
+        F.floor(
+            (F.lit(budget_tokens) - F.col("prev")) / F.col("n_tokens")
+        ).alias("k_max"),
+    )
+    kept_full = scored.join(F.broadcast(full), "n_tokens").select(
+        "doc_id", "n_tokens"
+    )
+    wq = Window.partitionBy("n_tokens").orderBy("doc_id")
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), "n_tokens")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= F.col("k_max"))
+        .select("doc_id", "n_tokens")
+    )
+    return kept_full.unionByName(kept_boundary)

@@ -2282,6 +2282,100 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "trailing_hour_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                  PARTITION BY user_id ORDER BY secs
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_sum
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS secs
+          FROM events) t
+    """,
+    ("window", "W1", "ext"),
+    "Event-time RANGE frame: per user, the trailing-1-hour value sum at "
+    "each event (sliding-lookback feature). Window partitions on the "
+    "HIGH-cardinality user_id — the frame is per-user ordered state, "
+    "one shuffle, decimal-routed so tie order inside the frame cannot "
+    "change the bits.",
+)
+def q_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
+
+
+@_register(
+    "rank_with_ties",
+    """
+    SELECT o_custkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY date_trunc('month', o_orderdate) DESC)
+    """,
+    ("window", "W1"),
+    "rank vs dense_rank with real ties (orders ranked per customer by "
+    "order month): tied rows share a rank, so the result is fully "
+    "deterministic without a total order — the W-family member the "
+    "row_number queries cannot express. High-cardinality partition key.",
+)
+def q_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc(F.trunc("o_orderdate", "month")))
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@_register(
+    "budget_select",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+    FROM c WHERE cum <= 10000
+    """,
+    ("sampling", "ext"),
+    "Token-budget corpus selection (keep the best docs until 10k "
+    "tokens): engine side is a bounded score histogram + broadcast "
+    "joins — only the single boundary score group is ever sorted; the "
+    "oracle states the same keep-rule as a naive global ordered cumsum.",
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import budget_select
+
+    return budget_select(_docs(spark, sf_dir), budget_tokens=10000)
+
+
+@_register(
     "canonical_dedup",
     r"""
     WITH scored AS (
@@ -2462,6 +2556,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "unigram_logprob",
     "boilerplate_ratio",
     "canonical_dedup",
+    "trailing_hour_sum",
+    "rank_with_ties",
+    "budget_select",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
@@ -2471,7 +2568,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "upsert_delta",
     "star_revenue_by_region",
     "nearest_slot",
-    "argmin_per_type",
     "rollup_lineitem",
     "window_15min",
     "text_quality",
@@ -2483,11 +2579,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_centroid",
     "topk_per_group",
-    "running_total",
     "sessionize",
     "full_outer_nation_counts",
     "cube_volume",
-    "count_distinct_star",
     "asof_join_click_attribution",
     "range_join_quantity_buckets",
     "value_percentiles",
@@ -2496,6 +2590,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "popularity_by_type",
     "semi_join_big_spenders",
     "pivot_status",
+    "argmin_per_type",
+    "running_total",
+    "count_distinct_star",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
