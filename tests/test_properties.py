@@ -77,3 +77,51 @@ def test_simhash_pairs_candidate_exactness(spark, texts):
         for r in simhash_near_dup_pairs(df, max_bucket_size=None).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=60),
+)
+@_SETTINGS
+def test_budget_select_matches_naive_cumsum(spark, token_counts, budget):
+    """The histogram+boundary formulation must equal the naive global
+    ordered cumsum keep-rule on arbitrary corpora — including budget 0,
+    all-identical scores, and budgets larger than the corpus."""
+    from twitch_stream_data_pipeline_spark.extensions.sampling import budget_select
+
+    texts = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"] for r in budget_select(df, budget).collect()}
+    # naive rule: order by (n_tokens desc, doc_id asc), keep while the
+    # inclusive running total fits
+    naive = set()
+    cum = 0
+    for doc_id, n in sorted(enumerate(token_counts), key=lambda t: (-t[1], t[0])):
+        cum += n
+        if cum <= budget:
+            naive.add(doc_id)
+    assert got == naive, (token_counts, budget, got, naive)
+
+
+@given(st.lists(st.sampled_from(["a b c", "a b", "x y z w", ""]), min_size=1, max_size=8))
+@_SETTINGS
+def test_canonical_dedup_keeps_best_member(spark, texts):
+    """Survivor of every duplicate group must be the longest member
+    with the lowest doc_id, and group sizes must partition the corpus."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import canonical_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = canonical_dedup(df).collect()
+    # brute force
+    groups = {}
+    for i, t in enumerate(texts):
+        key = t.replace(" ", "").lower()
+        groups.setdefault(key, []).append(i)
+    expect = {}
+    for key, ids in groups.items():
+        toks = lambda i: len(texts[i].split()) if texts[i].strip() else 0
+        best = min(ids, key=lambda i: (-toks(i), i))
+        expect[best] = (toks(best), len(ids))
+    got = {r["doc_id"]: (r["n_tokens"], r["n_members"]) for r in rows}
+    assert got == expect, (texts, got, expect)
