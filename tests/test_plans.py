@@ -413,3 +413,13 @@ def test_rank_with_ties_has_real_ties(spark):
     fixture actually exercises tie semantics, not just row numbering."""
     rows = CATALOG["rank_with_ties"].fn(spark, SF_SMOKE).collect()
     assert any(r["rnk"] != r["drnk"] for r in rows)
+
+
+def test_profile_orders_single_pass_expand(spark):
+    """The multi-distinct profile must be ONE aggregation over the scan
+    (Expand replicates rows per distinct-aggregate map-side) — four
+    separate passes would show four FileScans."""
+    df = CATALOG["profile_orders"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan

@@ -2282,6 +2282,47 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    ("aggregate", "profiling", "ext"),
+    "One-pass per-column profile (nulls / exact distinct / min / max) "
+    "over four orders columns — ANALYZE-TABLE statistics via a single "
+    "Expand-based multi-distinct aggregation, unpivoted with stack. "
+    "The oracle states the same numbers as four single-column passes.",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    )
+
+
+@_register(
     "trailing_hour_sum",
     """
     SELECT event_id, user_id,
@@ -2559,6 +2600,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "trailing_hour_sum",
     "rank_with_ties",
     "budget_select",
+    "profile_orders",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
@@ -2579,7 +2621,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_centroid",
     "topk_per_group",
-    "sessionize",
     "full_outer_nation_counts",
     "cube_volume",
     "asof_join_click_attribution",
@@ -2593,6 +2634,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "argmin_per_type",
     "running_total",
     "count_distinct_star",
+    "sessionize",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
