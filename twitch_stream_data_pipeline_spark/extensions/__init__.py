@@ -9,35 +9,73 @@ marked multimodal decode stubs.
 """
 
 from .text_analysis import (
+    boilerplate_ratio,
     language_id,
+    pii_scrub,
+    repetition_stats,
     text_fingerprint,
     text_quality,
+    tfidf_top_terms,
     tokenize,
     token_count,
+    unigram_logprob,
 )
 from .dedup_text import (
+    canonical_dedup,
     exact_dedup_groups,
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash64,
+    simhash_near_dup_pairs,
 )
-from .similarity import cosine_knn, lsh_bucketed_knn, quantized_embedding
+from .graph import connected_components
+from .sampling import (
+    budget_select,
+    chunk_documents,
+    mixture_sample,
+    pack_sequences,
+    split_assign,
+)
+from .similarity import (
+    cosine_knn,
+    group_outlier_scores,
+    group_outlier_scores_scalable,
+    ivf_knn,
+    lsh_bucketed_knn,
+    quantized_embedding,
+)
 
 __all__ = [
-    "language_id",
-    "text_fingerprint",
-    "text_quality",
-    "tokenize",
-    "token_count",
+    "boilerplate_ratio",
+    "budget_select",
+    "canonical_dedup",
+    "chunk_documents",
+    "connected_components",
+    "cosine_knn",
     "exact_dedup_groups",
-    "minhash_signatures",
+    "group_outlier_scores",
+    "group_outlier_scores_scalable",
+    "ivf_knn",
+    "language_id",
+    "lsh_bucketed_knn",
     "lsh_candidate_pairs",
+    "minhash_signatures",
+    "mixture_sample",
     "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pii_scrub",
+    "quantized_embedding",
+    "repetition_stats",
     "shingles",
     "simhash64",
-    "cosine_knn",
-    "lsh_bucketed_knn",
-    "quantized_embedding",
+    "simhash_near_dup_pairs",
+    "split_assign",
+    "text_fingerprint",
+    "text_quality",
+    "tfidf_top_terms",
+    "tokenize",
+    "token_count",
+    "unigram_logprob",
 ]

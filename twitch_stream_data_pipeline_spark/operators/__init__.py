@@ -17,7 +17,7 @@ from .joins import (
     nearest_slot_id,
     positional_join,
 )
-from .aggregates import category_popularity, min_by_group
+from .aggregates import category_popularity, min_by_group, profile_columns, salted_count_distinct
 from .upsert import upsert_state
 from .packing import pack_into_groups
 
@@ -35,6 +35,8 @@ __all__ = [
     "nearest_slot_id",
     "positional_join",
     "category_popularity",
+    "profile_columns",
+    "salted_count_distinct",
     "min_by_group",
     "upsert_state",
     "pack_into_groups",
