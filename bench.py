@@ -58,6 +58,9 @@ EXTENDED = (
     "group_outliers_scalable",
     "repetition_stats",
     "decontaminate",
+    "unigram_logprob",
+    "boilerplate_ratio",
+    "trailing_hour_sum",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

@@ -423,3 +423,22 @@ def test_profile_orders_single_pass_expand(spark):
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_binned_quantiles_histogram_not_fact_window(spark):
+    """The quantile estimate must come from a histogram aggregation of
+    the facts (partial map-side combine) with windows only over the
+    bucket relation — the fact table itself is never windowed or
+    sorted, and a sanity check pins the estimate near the exact
+    percentile within one bin width."""
+    df = CATALOG["binned_quantiles"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan
+    rows = {r["event_type"]: r for r in df.collect()}
+    exact = {
+        r["event_type"]: r
+        for r in CATALOG["value_percentiles"].fn(spark, SF_SMOKE).collect()
+    }
+    for et, r in rows.items():
+        if et in exact and "p50" in exact[et].asDict():
+            assert abs(r["q_50"] - exact[et]["p50"]) <= 0.5 + 1e-9

@@ -560,3 +560,50 @@ def test_streaming_warehouse_load_jdbc(spark, tmp_path):
     assert back.count() == 3
     got = sorted(tuple(r) for r in back.collect())
     assert got == sorted(r for b in batches for r in b)
+
+
+def test_stream_static_dim_enrichment_broadcasts(spark, tmp_path):
+    """Stream-static join: a fact stream enriched against a static
+    dimension must plan the dim as a broadcast per micro-batch (no
+    stream-side shuffle, no stateful join) — the streaming twin of the
+    batch star join, and the shape that scales to 100 TB/day streams:
+    only the dim moves."""
+    src = tmp_path / "facts"
+    spark.createDataFrame(
+        [("s1", "en", 10), ("s2", "de", 20), ("s3", "xx", 5)],
+        "stream_id string, language_id string, viewer_count int",
+    ).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [("en", "English"), ("de", "German")],
+        "language_id string, language_name string",
+    )
+    stream = spark.readStream.schema(
+        "stream_id string, language_id string, viewer_count int"
+    ).parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "language_id", "left").select(
+        "stream_id",
+        F.coalesce("language_name", F.lit("notavailable")).alias("language_name"),
+        "viewer_count",
+    )
+    out: list = []
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda batch, _eid: out.extend(
+                (r["stream_id"], r["language_name"], r["viewer_count"])
+                for r in batch.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(out) == [
+        ("s1", "English", 10),
+        ("s2", "German", 20),
+        ("s3", "notavailable", 5),
+    ]
+    # the executed micro-batch plan must broadcast the dim: visible in
+    # the last progress' logical description or via a batch-side check
+    plan = enriched._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower(), plan

@@ -8,7 +8,7 @@ stream observation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,3 +112,56 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    key: str,
+    value: str,
+    percentiles: tuple[int, ...] = (50, 95),
+    bins: int = 1000,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Histogram-based per-key quantile estimation — the 100-TB path
+    for percentiles. Exact percentiles globally sort each key's values;
+    ``approx_percentile`` sketches are engine-private (not
+    oracle-checkable). Fixed-width binning is both: one partial-agg
+    histogram pass over the facts, then quantiles read off cumulative
+    bucket counts. Error is bounded by the bin width ``(hi-lo)/bins``;
+    the estimate is the lower edge of the first bucket whose cumulative
+    count reaches ``pct% of total``, compared in INTEGER arithmetic
+    (``cum * 100 >= total * pct``) so the boundary cannot drift between
+    engines' float/decimal semantics — fully deterministic.
+
+    The only window runs over the HISTOGRAM (``<= |keys| x bins``
+    rows), never the facts; the fact-side work is a single map-side
+    combined ``groupBy(key, bucket)``. Emits one row per key with a
+    ``q_<pct>`` column per requested quantile.
+    """
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    hist = (
+        df.select(F.col(key), bucket.alias("bucket"))
+        .groupBy(key, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(key))
+    )
+    aggs = []
+    for pct in percentiles:
+        edge = F.lit(lo) + F.col("bucket") * F.lit(width)
+        hit = F.when(F.col("cum") * 100 >= F.col("total") * F.lit(pct), edge)
+        aggs.append(F.min(hit).alias(f"q_{pct}"))
+    return cum.groupBy(key).agg(*aggs)

@@ -2282,6 +2282,49 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "binned_quantiles",
+    """
+    WITH hist AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((value - 0.0) / 0.5), 0), 999) AS INT)
+               AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type,
+           MIN(CASE WHEN cum * 100 >= total * 50
+                    THEN 0.0 + CAST(bucket AS DOUBLE) * CAST(0.5 AS DOUBLE)
+               END) AS q_50,
+           MIN(CASE WHEN cum * 100 >= total * 95
+                    THEN 0.0 + CAST(bucket AS DOUBLE) * CAST(0.5 AS DOUBLE)
+               END) AS q_95
+    FROM c GROUP BY 1
+    """,
+    ("aggregate", "sketch", "ext"),
+    "Histogram-binned p50/p95 per event type: the oracle-checkable, "
+    "partial-aggregable quantile path (exact percentiles sort each "
+    "group; approx_percentile sketches are engine-private). One "
+    "map-side combined histogram pass over the facts; the cumulative "
+    "window runs over the <=|keys|x1000-row histogram only. Integer "
+    "threshold arithmetic so bucket boundaries cannot drift between "
+    "engines.",
+)
+def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import binned_quantiles
+
+    return binned_quantiles(
+        _events(spark, sf_dir), "event_type", "value", (50, 95), 1000, 0.0, 500.0
+    )
+
+
+@_register(
     "profile_orders",
     """
     SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
@@ -2601,6 +2644,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "rank_with_ties",
     "budget_select",
     "profile_orders",
+    "binned_quantiles",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
@@ -2621,7 +2665,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_centroid",
     "topk_per_group",
-    "full_outer_nation_counts",
     "cube_volume",
     "asof_join_click_attribution",
     "range_join_quantity_buckets",
@@ -2635,6 +2678,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "running_total",
     "count_distinct_star",
     "sessionize",
+    "full_outer_nation_counts",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
