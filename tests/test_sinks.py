@@ -169,3 +169,53 @@ def test_parse_kafka_envelope_on_static_records(spark):
     out = parse_kafka_envelope(raw, "id string, viewer_count long").collect()
     got = {(r["id"], r["viewer_count"], r["kafka_key"], r["kafka_partition"], r["kafka_offset"]) for r in out}
     assert got == {("7", 42, "k1", 0, 100), ("8", 7, "k2", 1, 5)}
+
+
+def test_dynamic_partition_overwrite_replaces_one_day(spark, tmp_path):
+    """K5 at warehouse scale: re-running one 15-minute batch must
+    replace ONLY its day partition, leaving every other day's files
+    untouched — Spark's dynamic partitionOverwriteMode, the safe
+    restatement of the reference's overwrite-in-place layer writes."""
+    out = str(tmp_path / "curated")
+    ddl = "stream_id string, day_date_id string, v int"
+    d1 = [("a", "20260111", 1), ("b", "20260111", 2)]
+    d2 = [("c", "20260112", 3)]
+    spark.createDataFrame(d1 + d2, ddl).write.partitionBy("day_date_id").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # replay day 1 with corrected values; day 2 must survive
+        spark.createDataFrame(
+            [("a", "20260111", 10)], ddl
+        ).write.mode("overwrite").partitionBy("day_date_id").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # partition-dir values come back type-inferred (int); compare as str
+    got = sorted(
+        (r["stream_id"], str(r["day_date_id"]), r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("a", "20260111", 10), ("c", "20260112", 3)]
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Source-side schema evolution: later batches may add columns
+    (the reference's API payloads did exactly this across Twitch API
+    versions); a mergeSchema read must union the schemas with NULLs
+    for the old files, and an explicit schema read must stay stable."""
+    out = tmp_path / "layer"
+    spark.createDataFrame(
+        [("s1", 5)], "stream_id string, viewer_count int"
+    ).write.parquet(str(out / "day=1"))
+    spark.createDataFrame(
+        [("s2", 7, "en")], "stream_id string, viewer_count int, language_id string"
+    ).write.parquet(str(out / "day=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert set(merged.columns) == {"stream_id", "viewer_count", "language_id", "day"}
+    rows = {r["stream_id"]: r["language_id"] for r in merged.collect()}
+    assert rows == {"s1": None, "s2": "en"}
+    # pinned-schema read: new columns invisible, old files readable
+    pinned = spark.read.schema("stream_id string, viewer_count int").parquet(
+        str(out / "day=1"), str(out / "day=2")
+    )
+    assert sorted(tuple(r) for r in pinned.collect()) == [("s1", 5), ("s2", 7)]
