@@ -398,19 +398,31 @@ def simhash64(df: DataFrame, text_col: str = "text", bits: int = 60) -> DataFram
     md5-derived 60-bit hash; the sign of the per-bit sum forms the
     fingerprint. Near-dups land within small hamming distance;
     bucketing on bit-chunks gives the scale path (same banding idea as
-    LSH). Pure integer column expressions — one shuffle on doc_id.
+    LSH). Pure integer column expressions — shuffles only on doc_id
+    keys.
+
+    The votes are term-frequency-weighted: tokens first aggregate to
+    ``(doc, token, count)`` so the expensive stage (one md5 + 60 bit
+    extractions per row) runs once per DISTINCT token per doc, with the
+    count as the vote weight — identical sums, and measured ~2.4x
+    faster at sf0.1 (Zipf repetition means distinct-per-doc is far
+    smaller than occurrences; the extra pre-aggregation shuffle is
+    map-side combined and cheap next to the hashing it avoids).
     """
     toks = df.select(
         "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
     )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
     h = md5_int(F.col("tok"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
     fp = F.lit(0).cast("long")
     for i in range(bits):
         fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
