@@ -442,3 +442,14 @@ def test_binned_quantiles_histogram_not_fact_window(spark):
     for et, r in rows.items():
         if et in exact and "p50" in exact[et].asDict():
             assert abs(r["q_50"] - exact[et]["p50"]) <= 0.5 + 1e-9
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """Retrieval must prune postings through a broadcast of the tiny
+    query-term set (Q<<N) — no cartesian product, no shuffle join on
+    the corpus-side term key for the query probe."""
+    df = CATALOG["bm25_topk"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_sum" in plan, plan

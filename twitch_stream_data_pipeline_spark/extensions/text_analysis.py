@@ -352,3 +352,70 @@ def boilerplate_ratio(
             ).alias("common_frac"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval: for each query, the ``k`` highest-scoring
+    documents — the lexical-retrieval half of a RAG pipeline, run as a
+    corpus-scale batch join instead of a serving index.
+
+    ``score(q,d) = sum_{t in q} idf(t) * tf_td*(k1+1) /
+    (tf_td + k1*(1 - b + b*len_d/avg_len))`` with the positive
+    Robertson/Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``. Emits
+    ``query_id, doc_id, score, rnk``.
+
+    Scale shape: the query term set is broadcast (queries are
+    query-set-sized — the same Q<<N contract as cosine_knn), so only
+    posting rows whose term appears in SOME query survive the first
+    join; doc lengths and document frequencies join keyed on doc/term;
+    the per-(query, doc) score is a decimal-routed sum (order-stable),
+    and the final top-k is one window per query over the candidate
+    set. Nothing quadratic: candidates = postings of query terms only.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("len_d"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs")
+    ).crossJoin(doc_len.agg(F.sum("len_d").alias("total_len")))
+    qterms = queries.select(
+        F.col("query_id"),
+        F.explode_outer(
+            F.array_distinct(tokenize(F.lower(F.col(text_col))))
+        ).alias("term"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("len_d") / avg_len)
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib.cast("decimal(25,6)")).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )

@@ -2282,6 +2282,69 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    doc_len AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len_d
+                FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(len_d) AS BIGINT) FROM doc_len) AS total_len
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM toks WHERE doc_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE)
+                            * (len_d / (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(25,6))) AS DOUBLE) AS score
+      FROM tf
+      JOIN qterms q USING (term)
+      JOIN dfreq USING (term)
+      JOIN doc_len ON tf.doc_id = doc_len.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    ("text", "similarity", "ext", "rag"),
+    "BM25 top-5 retrieval (queries = the first 3 documents, the "
+    "cosine_knn-style Q<<N contract): the lexical-retrieval half of a "
+    "RAG pipeline as a batch join — broadcast query terms prune the "
+    "postings, decimal-routed per-(query,doc) score sum, one window "
+    "per query over candidates only. Robertson/Lucene positive idf.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+@_register(
     "binned_quantiles",
     """
     WITH hist AS (
@@ -2645,6 +2708,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "budget_select",
     "profile_orders",
     "binned_quantiles",
+    "bm25_topk",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
@@ -2656,7 +2720,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "nearest_slot",
     "rollup_lineitem",
     "window_15min",
-    "text_quality",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh_pairs",
@@ -2679,6 +2742,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "count_distinct_star",
     "sessionize",
     "full_outer_nation_counts",
+    "text_quality",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
