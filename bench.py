@@ -61,6 +61,7 @@ EXTENDED = (
     "unigram_logprob",
     "boilerplate_ratio",
     "trailing_hour_sum",
+    "bm25_topk",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED
