@@ -453,3 +453,51 @@ def test_bm25_broadcasts_query_terms(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "partial_sum" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The weighted sample's global top-k must execute as TakeOrdered
+    (per-partition heap + k-row merge), never a full global sort."""
+    df = CATALOG["weighted_sample"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime bloom-filter injection: a selective non-broadcast
+    join builds a bloom filter from the small side and applies it to
+    the fact scan side, cutting shuffle volume — the row-level runtime
+    pruning story for joins AQE can't broadcast. Thresholds lowered so
+    the toy fixture takes the same path a 100 TB join would."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        # default requires a >=10GB application-side scan before the
+        # filter pays for itself; the toy fixture models the 100 TB case
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000.0
+        )
+        joined = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -211,3 +211,42 @@ def budget_select(
         .select("doc_id", "n_tokens")
     )
     return kept_full.unionByName(kept_boundary)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirakis order-sampling scheme with md5-derived
+    uniforms, so every engine (and every rerun, at any partitioning)
+    draws the SAME sample — quality-weighted corpus subsampling that is
+    reproducible and oracle-checkable, unlike ``rand()``-based
+    sampling.
+
+    Each row gets priority ``ln(u) / w`` with ``u = md5(salt||id)``
+    mapped into (0,1); the top-``k`` priorities are the sample
+    (equivalent to ES keys ``u^(1/w)`` by monotonicity, without the
+    engine-variant ``pow``). Inclusion probability is proportional to
+    weight for the classic scheme.
+
+    Scale shape: one projection + a global top-k, which Spark executes
+    as TakeOrdered (per-partition heap of k, then a k-sized merge on
+    one reducer) — no global sort materialization. ``k`` must be
+    driver-friendly (the merge holds k rows), the same contract as any
+    LIMIT.
+    """
+    u = (md5_int(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    # round to 9 decimals: JVM StrictMath.log and libm log disagree by
+    # 1 ULP on rare inputs; the sampling decision must not hang on that
+    priority = F.round(F.log(u) / weight, 9)
+    return (
+        df.select(F.col(id_col), weight.alias("weight"), priority.alias("priority"))
+        .orderBy(F.desc("priority"), id_col)
+        .limit(k)
+    )

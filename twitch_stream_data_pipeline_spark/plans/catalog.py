@@ -2282,6 +2282,39 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "weighted_sample",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS weight,
+             ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(weight AS INT) AS weight,
+           round(ln(CAST(h AS DOUBLE) / 1152921504606846976) / weight, 9)
+             AS priority
+    FROM scored
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+    ("sampling", "ext"),
+    "Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis order sampling, md5-derived uniforms, ln(u)/w priorities "
+    "— no engine-variant pow, no rand()): top-100 docs weighted by "
+    "token count. Executes as TakeOrdered (per-partition heap + "
+    "k-sized merge), never a global sort.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import weighted_sample
+    from ..extensions.text_analysis import token_count
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, k=100, weight=token_count(F.col("text")))
+
+
+@_register(
     "bm25_topk",
     r"""
     WITH toks AS (
@@ -2709,6 +2742,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "profile_orders",
     "binned_quantiles",
     "bm25_topk",
+    "weighted_sample",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
@@ -2719,7 +2753,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "star_revenue_by_region",
     "nearest_slot",
     "rollup_lineitem",
-    "window_15min",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh_pairs",
@@ -2743,6 +2776,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "sessionize",
     "full_outer_nation_counts",
     "text_quality",
+    "window_15min",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",

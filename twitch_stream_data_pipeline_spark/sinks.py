@@ -52,15 +52,22 @@ def write_partitioned(
     path: str,
     partition_cols: Sequence[str] = ("day_date_id",),
     mode: str = "append",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Partitioned parquet write (K2, engine-native).
 
     At 100 TB: one directory per day keeps file listing bounded and
     lets Catalyst prune to the queried days; within a partition, file
     count follows task parallelism (AQE coalescing keeps files from
-    fragmenting).
+    fragmenting). ``max_records_per_file`` caps file size from the
+    other direction — one hot day must not produce multi-GB files that
+    downstream scans can't split across row groups evenly (the
+    file-size governance every long-lived lake needs).
     """
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
