@@ -219,3 +219,34 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
         str(out / "day=1"), str(out / "day=2")
     )
     assert sorted(tuple(r) for r in pinned.collect()) == [("s1", 5), ("s2", 7)]
+
+
+def test_compact_partitions_one_file_per_day(spark, tmp_path):
+    """Lake maintenance: 2 days x 8 slot-writes fragment the layer into
+    8 files per day; compaction must leave ONE parquet file per day
+    with the data multiset unchanged."""
+    import glob
+
+    from twitch_stream_data_pipeline_spark.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "layer")
+    ddl = "event_id long, day_date_id string, v double"
+    rows = []
+    for day in ("20260111", "20260112"):
+        for slot in range(8):
+            batch = [(slot * 100 + i, day, float(i)) for i in range(5)]
+            rows += batch
+            write_partitioned(
+                spark.createDataFrame(batch, ddl).coalesce(1), out, ["day_date_id"]
+            )
+    for day in ("20260111", "20260112"):
+        assert len(glob.glob(f"{out}/day_date_id={day}/*.parquet")) == 8
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    compact_partitions(spark, out, "day_date_id")
+    for day in ("20260111", "20260112"):
+        assert len(glob.glob(f"{out}/day_date_id={day}/*.parquet")) == 1, day
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == before

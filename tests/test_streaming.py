@@ -607,3 +607,56 @@ def test_stream_static_dim_enrichment_broadcasts(spark, tmp_path):
     # the last progress' logical description or via a batch-side check
     plan = enriched._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_streaming_content_dedup_within_watermark(spark, tmp_path):
+    """Streaming content dedup: fingerprint each arriving document
+    (md5 of case/whitespace-normalized text) and
+    dropDuplicatesWithinWatermark on the fingerprint — normalization
+    variants of one document collapse ACROSS micro-batches while the
+    dedup state stays watermark-bounded. This is the streaming twin of
+    exact_dedup; the batch SimHash/MinHash passes remain the
+    wider-radius near-dup tiers."""
+    src = tmp_path / "docs"
+    ddl = "doc_id long, text string, event_time timestamp"
+    b1 = [
+        (1, "the quick brown fox jumps", "2026-01-11 17:00:00"),
+        (2, "a completely different document", "2026-01-11 17:01:00"),
+    ]
+    # batch 2: doc 3 is doc 1 with case/whitespace noise -> same simhash
+    b2 = [
+        (3, "  THE   quick  BROWN fox   jumps ", "2026-01-11 17:02:00"),
+        (4, "yet another novel text", "2026-01-11 17:03:00"),
+    ]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, "doc_id long, text string, ts string").select(
+            "doc_id", "text", F.to_timestamp("ts").alias("event_time")
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    from twitch_stream_data_pipeline_spark.extensions.text_analysis import (
+        text_fingerprint,
+    )
+
+    fp = stream.select(
+        "doc_id",
+        "event_time",
+        text_fingerprint(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+    )
+    deduped = fp.withWatermark("event_time", "1 hour").dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+    out: list = []
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda b, _e: out.extend(r["doc_id"] for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # doc 3 (near-dup of doc 1) must be dropped across micro-batches
+    assert sorted(out) == [1, 2, 4]

@@ -191,3 +191,36 @@ class JdbcBatchLoader:
         write_jdbc(
             batch, self.url, self.table, mode="append", properties=self.properties
         )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "day_date_id",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Small-file compaction for a partitioned parquet layer — the lake
+    maintenance job every 15-minute-cadence pipeline eventually needs:
+    96 slot-writes per day fragment each day directory into ~96 small
+    files, and file-open overhead starts dominating scans.
+
+    Rewrites the table with one shuffle keyed on the partition column,
+    so every partition's rows land in a single task and therefore a
+    single output file (bounded above by ``max_records_per_file`` when
+    set), using dynamic partition overwrite so untouched partitions'
+    directories are replaced atomically per-partition rather than the
+    whole table being dropped first.
+    """
+    df = spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write_partitioned(
+            df.repartition(F.col(partition_col)),
+            path,
+            [partition_col],
+            mode="overwrite",
+            max_records_per_file=max_records_per_file,
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
