@@ -313,11 +313,13 @@ def boilerplate_ratio(
     not). Emits ``doc_id, n_grams, common_frac``; documents shorter
     than ``n`` tokens emit no row.
 
-    Plan shape: explode n-grams (positions), one (doc, gram) distinct
-    aggregation feeding a gram -> document-frequency aggregation (both
-    partial-agg shuffles on high-cardinality gram keys), then the df
-    relation joins back onto the positions. Counts only — exact on
-    both engines, no decimal routing needed. The df relation is
+    Plan shape: explode n-grams ONCE and immediately aggregate to
+    ``(doc, gram, count)`` — every later stage works on the distinct-
+    grams-per-doc relation, not raw positions: the document-frequency
+    aggregation is a plain count over it, and the df join returns onto
+    it with position counts re-expanded as weights (``sum(cnt)`` /
+    ``sum(cnt where df > K)``). Counts only — exact on both engines,
+    no decimal routing needed. The df relation is
     gram-cardinality-sized, so it is NOT broadcast (unlike the tiny
     LM vocab above); the join shuffles on gram, which AQE can split.
     """
@@ -335,20 +337,18 @@ def boilerplate_ratio(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
         ).alias("gram"),
     )
-    gram_df = (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("df"))
-    )
+    gram_cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    gram_df = gram_cnt.groupBy("gram").agg(F.count("*").alias("df"))
     return (
-        grams.join(gram_df, "gram")
+        gram_cnt.join(gram_df, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
+            F.sum("cnt").alias("n_grams"),
             (
-                F.sum((F.col("df") > common_df).cast("long")).cast("double")
-                / F.count("*")
+                F.sum(
+                    F.when(F.col("df") > common_df, F.col("cnt")).otherwise(0)
+                ).cast("double")
+                / F.sum("cnt")
             ).alias("common_frac"),
         )
     )
