@@ -2282,6 +2282,31 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events GROUP BY 1
+    """,
+    ("json", "P1", "ext"),
+    "Semi-structured column extraction: typed from_json over the props "
+    "JSON payload feeding a per-type aggregate — the column-level twin "
+    "of the raw-layer envelope flattening (S1), all inside whole-stage "
+    "codegen (Jackson parse per row, no UDF).",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k int").getField("k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+    )
+
+
+@_register(
     "weighted_sample",
     r"""
     WITH scored AS (
@@ -2743,13 +2768,13 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "binned_quantiles",
     "bm25_topk",
     "weighted_sample",
+    "json_props_stats",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
     "validity_filter",
     "dedup_keep_first",
     "delta_except_all",
-    "upsert_delta",
     "star_revenue_by_region",
     "nearest_slot",
     "rollup_lineitem",
@@ -2777,6 +2802,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "full_outer_nation_counts",
     "text_quality",
     "window_15min",
+    "upsert_delta",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
