@@ -94,3 +94,70 @@ def stateful_popularity(curated: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithState form of the same operator
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = (
+    "category_id string, n_streams bigint, total_viewers bigint"
+)
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningCategoryTotals(StatefulProcessor):
+    """``transformWithStateInPandas`` stateful processor: cumulative
+    per-category stream and viewer totals across micro-batches — the
+    Spark-4-native successor to :func:`stateful_popularity`'s
+    ``applyInPandasWithState``.
+
+    Differences that matter at scale: typed composite state
+    (``getValueState`` with a schema, stored in the RocksDB state
+    store, not a pickled tuple), explicit timer surface for TTL, and
+    initial-state bootstrap — the API Spark is converging on for
+    arbitrary stateful pipelines. State remains hash-partitioned by
+    key and bounded by the category universe.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_streams long, total_viewers long"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, viewers = 0, 0
+        if self._totals.exists():
+            prev = self._totals.get()
+            n, viewers = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            viewers += int(pdf["viewer_count"].sum())
+        self._totals.update((n, viewers))
+        yield pd.DataFrame(
+            {
+                "category_id": [key[0]],
+                "n_streams": [n],
+                "total_viewers": [viewers],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_category_totals(curated: DataFrame) -> DataFrame:
+    """Apply :class:`RunningCategoryTotals` — requires the RocksDB
+    state-store provider (``spark.sql.streaming.stateStore.
+    providerClass``), which transformWithState mandates."""
+    return curated.groupBy("category_id").transformWithStateInPandas(
+        statefulProcessor=RunningCategoryTotals(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
