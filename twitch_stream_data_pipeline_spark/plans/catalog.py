@@ -2282,6 +2282,35 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scd2_intervals",
+    """
+    SELECT o_custkey,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                AS VARCHAR) AS valid_to
+    FROM orders
+    """,
+    ("window", "dim", "ext"),
+    "SCD type-2 interval construction: each per-key change event gets "
+    "[valid_from, valid_to) via lead() over the key's change history — "
+    "the dimension-history layer the reference's overwrite-in-place "
+    "dims discard. High-cardinality window partition (one shuffle), "
+    "open intervals as NULL valid_to.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.lead("o_orderdate").over(w).cast("string").alias("valid_to"),
+    )
+
+
+@_register(
     "json_props_stats",
     """
     SELECT event_type,
@@ -2769,12 +2798,12 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "bm25_topk",
     "weighted_sample",
     "json_props_stats",
+    "scd2_intervals",
     # -- 3. previously-green core retained in the window
     "pricing_summary",
     "curate_events",
     "validity_filter",
     "dedup_keep_first",
-    "delta_except_all",
     "star_revenue_by_region",
     "nearest_slot",
     "rollup_lineitem",
@@ -2803,6 +2832,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "text_quality",
     "window_15min",
     "upsert_delta",
+    "delta_except_all",
     "sentinel_defaults",
     "language_dim_sentinel",
     "distinct_pairs",
