@@ -501,3 +501,14 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_topk_windows_push_group_limits(spark):
+    """rank<=k filters over windows must trigger WindowGroupLimit:
+    each map task pre-prunes to the per-group top-k BEFORE the window
+    shuffle/sort, so the exchange carries k rows per group per task
+    instead of whole groups — the optimization that keeps per-doc/
+    per-group top-k linear at corpus scale."""
+    for name in ("topk_per_group", "tfidf_top_terms", "bm25_topk"):
+        df = CATALOG[name].fn(spark, SF_SMOKE)
+        assert "WindowGroupLimit" in plan_of(df), name
