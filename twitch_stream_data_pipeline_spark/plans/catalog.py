@@ -106,34 +106,93 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
-#: Fixed read schema for the events table (SURVEY §1.5: explicit
-#: StructType per dataset, never inference). ``ts`` is stored as parquet
-#: TIMESTAMP(NANOS); requesting it as ``bigint`` reads the raw INT64
-#: epoch-nanos directly — no ``spark.sql.legacy.parquet.nanosAsLong``
-#: session conf needed, so query builders never mutate session state
-#: and the plan works on any caller-provided SparkSession.
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
+# Plausible-epoch bounds for the events data contract: decoded
+# ``secs`` must land in [2000-01-01, 2100-01-01). Anything outside
+# means the decode branch below mis-guessed the physical encoding
+# (e.g. a future re-encoding to millis-as-int64), and silently-wrong
+# grid cells / windows / session gaps would follow — so fail loudly
+# at read time instead.
+_EPOCH_LO = 946_684_800
+_EPOCH_HI = 4_102_444_800
+_EVENTS_CONTRACT_OK: set[str] = set()
+
+
+def _check_events_epoch_contract(path: str, ev: DataFrame, ts_type) -> None:
+    """One-row probe (first row group only, memoized per path) that the
+    decoded epoch seconds are plausible. Cost at 100 TB: one task
+    reading one row of one file, once per process."""
+    if path in _EVENTS_CONTRACT_OK:
+        return
+    probe = ev.select("secs").limit(1).collect()
+    if probe and probe[0][0] is not None:
+        secs = probe[0][0]
+        if not (_EPOCH_LO <= secs <= _EPOCH_HI):
+            raise ValueError(
+                f"events timestamp contract violated for {path}: ts has "
+                f"Spark type {ts_type.simpleString()} and the decode branch "
+                f"produced epoch secs={secs} "
+                f"({'1970-era' if secs < _EPOCH_LO else 'far-future'}), "
+                "outside [2000-01-01, 2100-01-01). The parquet physical "
+                "encoding of ts does not match what the type-branch in "
+                "_events assumed — inspect the file footer (pyarrow "
+                "ParquetFile(...).schema) and extend the branch."
+            )
+    _EVENTS_CONTRACT_OK.add(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with timestamp normalized to integer columns.
 
-    ``ts`` arrives as epoch *nanoseconds* (long, via
-    :data:`EVENTS_SCHEMA`). We derive ``secs`` (epoch seconds) and
-    ``ts_us`` (epoch microseconds — DuckDB's native timestamp
-    precision, used for order parity) and keep everything
-    timezone-free.
+    The physical encoding of ``ts`` is the *driver's* choice, not ours,
+    and it has changed between testdata generations (TIMESTAMP(NANOS)
+    in rounds 1-2, TIMESTAMP(MICROS) since round 3) — so never guess
+    the unit: branch on the type Spark infers from the parquet footer
+    (metadata-only, no data scan):
+
+    - ``LongType`` — TIMESTAMP(NANOS) surfaced as raw int64 epoch-nanos
+      under ``spark.sql.legacy.parquet.nanosAsLong`` (session.py), or a
+      plain BIGINT epoch-nanos column.
+    - ``TimestampType`` / ``TimestampNTZType`` — TIMESTAMP(MICROS/
+      MILLIS) columns. ``unix_seconds``/``unix_micros`` reject
+      TIMESTAMP_NTZ, so cast to TIMESTAMP first; the session timezone
+      is pinned UTC (session.py) which makes that cast lossless.
+
+    Either way we derive ``secs`` (epoch seconds) and ``ts_us`` (epoch
+    microseconds — DuckDB's native timestamp precision, used for order
+    parity), keep everything timezone-free, and assert the decoded
+    epoch range is plausible (:func:`_check_events_epoch_contract`) so
+    a future re-encoding fails one loud read instead of corrupting
+    every downstream grid cell. The DuckDB oracle side needs no
+    branching: it reads the logical type natively via ``epoch(ts)``.
     """
-    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumns(
-        {
-            "secs": F.expr("ts div 1000000000"),
-            "ts_us": F.expr("ts div 1000"),
-        }
-    )
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ev = raw.withColumns(
+            {
+                "secs": F.expr("ts div 1000000000"),
+                "ts_us": F.expr("ts div 1000"),
+            }
+        )
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        t = F.col("ts").cast("timestamp")
+        ev = raw.withColumns(
+            {
+                "secs": F.unix_seconds(t),
+                "ts_us": F.unix_micros(t),
+            }
+        )
+    else:
+        raise TypeError(
+            f"events.ts has unsupported Spark type {ts_type.simpleString()} "
+            f"in {path}; expected int64 epoch-nanos or a parquet TIMESTAMP "
+            "logical type"
+        )
+    _check_events_epoch_contract(path, ev, ts_type)
+    return ev
 
 
 def dsum(c: Column | str) -> Column:

@@ -47,12 +47,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # The driver testdata stores event timestamps as parquet
-        # TIMESTAMP(NANOS), which Spark only reads via this legacy conf
-        # (ts arrives as epoch-nanos long). Set once at session build —
-        # query builders must not mutate session config as a side
-        # effect (a concurrent caller would get silently changed
-        # semantics).
+        # Keep TIMESTAMP(NANOS) parquet readable: under this conf a
+        # NANOS column arrives as raw epoch-nanos long (MICROS/MILLIS
+        # columns are unaffected and arrive as timestamps). The events
+        # reader (plans/catalog._events) branches on the inferred type,
+        # so either encoding works — the driver's testdata switched
+        # from NANOS to MICROS between rounds 2 and 3. Set once at
+        # session build — query builders must not mutate session
+        # config as a side effect (a concurrent caller would get
+        # silently changed semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
