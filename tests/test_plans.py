@@ -447,12 +447,21 @@ def test_binned_quantiles_histogram_not_fact_window(spark):
 def test_bm25_broadcasts_query_terms(spark):
     """Retrieval must prune postings through a broadcast of the tiny
     query-term set (Q<<N) — no cartesian product, no shuffle join on
-    the corpus-side term key for the query probe."""
+    the corpus-side term key for the query probe. The broadcast df
+    relation must be query-vocabulary-sized: postings are semi-joined
+    against the broadcast query terms BEFORE the df aggregation, so no
+    corpus-vocabulary-sized relation is ever broadcast (the web-scale
+    hazard VERDICT r3 flagged)."""
     df = CATALOG["bm25_topk"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the df-prune: a broadcast LEFT SEMI of postings vs query terms
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the semi-join feeds the df HashAggregate (count per term), which
+    # partial-aggregates map-side before its (broadcast) exchange
     assert "partial_sum" in plan, plan
+    assert "partial_count" in plan, plan
 
 
 def test_weighted_sample_is_take_ordered(spark):

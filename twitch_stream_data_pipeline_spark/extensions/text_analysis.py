@@ -374,7 +374,10 @@ def bm25_topk(
     Scale shape: the query term set is broadcast (queries are
     query-set-sized — the same Q<<N contract as cosine_knn), so only
     posting rows whose term appears in SOME query survive the first
-    join; doc lengths and document frequencies join keyed on doc/term;
+    join; document frequencies are computed only over query-term
+    postings (broadcast semi-join prune), so the broadcast df relation
+    is query-vocabulary-sized, never corpus-vocabulary-sized; doc
+    lengths join keyed on doc_id;
     the per-(query, doc) score is a decimal-routed sum (order-stable),
     and the final top-k is one window per query over the candidate
     set. Nothing quadratic: candidates = postings of query terms only.
@@ -384,7 +387,6 @@ def bm25_topk(
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("len_d"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(
         F.count("*").alias("n_docs")
     ).crossJoin(doc_len.agg(F.sum("len_d").alias("total_len")))
@@ -394,6 +396,18 @@ def bm25_topk(
             F.array_distinct(tokenize(F.lower(F.col(text_col))))
         ).alias("term"),
     ).distinct()
+    # Document frequencies only for query terms: semi-join the postings
+    # against the (broadcast, query-vocabulary-sized) term set BEFORE
+    # aggregating, so the df relation we later broadcast is bounded by
+    # the query vocabulary — never the corpus vocabulary. Broadcasting
+    # the full corpus df would be the same web-scale hazard tfidf's
+    # max_df/broadcast_df guards against; here it's simply unnecessary
+    # because only query terms are ever scored.
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
