@@ -250,3 +250,52 @@ def test_compact_partitions_one_file_per_day(spark, tmp_path):
         assert len(glob.glob(f"{out}/day_date_id={day}/*.parquet")) == 1, day
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert after == before
+
+
+def test_compact_partitions_scoped_leaves_others_untouched(spark, tmp_path):
+    """Partition-scoped compaction (VERDICT r3 #6): compacting only the
+    fragmented recent day must (a) leave the other partition's files
+    byte-for-byte untouched — same paths, sizes, and mtimes — and
+    (b) prune the scan to the named partition, not read the table."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "layer")
+    ddl = "event_id long, day_date_id string, v double"
+    for day in ("20260111", "20260112"):
+        for slot in range(4):
+            batch = [(slot * 100 + i, day, float(i)) for i in range(5)]
+            write_partitioned(
+                spark.createDataFrame(batch, ddl).coalesce(1), out, ["day_date_id"]
+            )
+
+    def snapshot(day):
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in sorted(glob.glob(f"{out}/day_date_id={day}/*.parquet"))
+        }
+
+    untouched_before = snapshot("20260111")
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    # the scoped read must partition-prune to the one compacted day
+    scoped = spark.read.parquet(out).filter(
+        F.col("day_date_id").isin(["20260112"])
+    )
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day_date_id" in plan, plan
+
+    compact_partitions(spark, out, "day_date_id", partitions=["20260112"])
+
+    assert snapshot("20260111") == untouched_before
+    assert len(glob.glob(f"{out}/day_date_id=20260112/*.parquet")) == 1
+    assert len(glob.glob(f"{out}/day_date_id=20260111/*.parquet")) == 4
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == before

@@ -198,20 +198,33 @@ def compact_partitions(
     path: str,
     partition_col: str = "day_date_id",
     max_records_per_file: int | None = None,
+    partitions: Sequence[str] | None = None,
 ) -> None:
     """Small-file compaction for a partitioned parquet layer — the lake
     maintenance job every 15-minute-cadence pipeline eventually needs:
     96 slot-writes per day fragment each day directory into ~96 small
     files, and file-open overhead starts dominating scans.
 
-    Rewrites the table with one shuffle keyed on the partition column,
-    so every partition's rows land in a single task and therefore a
-    single output file (bounded above by ``max_records_per_file`` when
-    set), using dynamic partition overwrite so untouched partitions'
-    directories are replaced atomically per-partition rather than the
-    whole table being dropped first.
+    Rewrites with one shuffle keyed on the partition column, so every
+    partition's rows land in a single task and therefore a single
+    output file (bounded above by ``max_records_per_file`` when set),
+    using dynamic partition overwrite so each rewritten partition's
+    directory is replaced atomically rather than the whole table being
+    dropped first.
+
+    ``partitions`` scopes the job to the named partition values —
+    at 100 TB only the recently-written (fragmented) days need
+    compacting, and rewriting the whole table for yesterday's 96 slot
+    files would be absurd. The value filter becomes a *partition*
+    filter on the scan (pruning — only those directories are read),
+    and dynamic overwrite guarantees only the partitions present in
+    the rewritten frame are replaced: every other partition's files
+    are untouched bytes. ``None`` keeps the full-table rewrite for
+    initial migrations / small layers.
     """
     df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.filter(F.col(partition_col).isin(list(partitions)))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
