@@ -138,16 +138,29 @@ def cosine_knn(
     )
 
 
-def _qbucket(qv: Column, planes: list[list[int]]) -> Column:
-    """Bucket id from an already-quantized vector column."""
-    bucket = F.lit(0).cast("long")
+def _plane_sql(plane: list[int]) -> str:
+    """SQL array literal for one hyperplane (one parser call, not one
+    py4j round trip per element)."""
+    return "array(" + ",".join(f"{p}L" for p in plane) + ")"
+
+
+def _qbucket_sql(qv_sql: str, planes: list[list[int]]) -> str:
+    """Bucket-id SQL over a *named* quantized-vector column.
+
+    Built as a single expression string: the Column-operator form costs
+    2 py4j round trips per plane element (64-dim x 8 planes x 4 tables
+    x 2 sides = ~8k round trips, ~10s of pure driver time per plan
+    build, measured); one string is one round trip and the JVM parses
+    it in milliseconds. Same logical plan either way.
+    """
+    terms = []
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(p).cast("long") for p in plane])
-        d = _dot(qv, arr)
-        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        dot = (
+            f"aggregate(zip_with({qv_sql}, {_plane_sql(plane)}, "
+            "(x, y) -> x * y), 0L, (acc, x) -> acc + x)"
         )
-    return bucket
+        terms.append(f"IF({dot} > 0, {1 << i}L, 0L)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
@@ -157,7 +170,14 @@ def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
     the plan as literals) applied to the quantized vector; bucket =
     sum(2^i * [dot_i > 0]).
     """
-    return _qbucket(quantized_embedding(vec), planes)
+    qv = quantized_embedding(vec)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(qv, F.expr(_plane_sql(plane)))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
 
 
 def make_planes(dim: int, num_planes: int = 8, table: int = 0) -> list[list[int]]:
@@ -173,10 +193,16 @@ def make_planes(dim: int, num_planes: int = 8, table: int = 0) -> list[list[int]
     return planes
 
 
-def _bucket_array(qv: Column, dim: int, num_planes: int, num_tables: int) -> Column:
-    """array of (table-local) bucket ids, one per hash table."""
-    return F.array(
-        *[_qbucket(qv, make_planes(dim, num_planes, t)) for t in range(num_tables)]
+def _bucket_array(qv_sql: str, dim: int, num_planes: int, num_tables: int) -> Column:
+    """array of (table-local) bucket ids, one per hash table — one
+    F.expr over the whole thing (see :func:`_qbucket_sql`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            _qbucket_sql(qv_sql, make_planes(dim, num_planes, t))
+            for t in range(num_tables)
+        )
+        + ")"
     )
 
 
@@ -209,7 +235,7 @@ def lsh_bucketed_knn(
         "q_vec",
         _norm2(F.col("q_vec")).alias("q_norm"),
         F.posexplode(
-            _bucket_array(F.col("q_vec"), dim, num_planes, num_tables)
+            _bucket_array("q_vec", dim, num_planes, num_tables)
         ).alias("table", "bucket"),
     )
     c = candidates.select(
@@ -220,7 +246,7 @@ def lsh_bucketed_knn(
         "c_vec",
         _norm2(F.col("c_vec")).alias("c_norm"),
         F.posexplode(
-            _bucket_array(F.col("c_vec"), dim, num_planes, num_tables)
+            _bucket_array("c_vec", dim, num_planes, num_tables)
         ).alias("table", "bucket"),
     )
     scored = (
