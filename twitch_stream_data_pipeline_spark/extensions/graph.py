@@ -55,6 +55,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # lazy checkpoint: the changed-count action below materializes
+        # it, so each round costs ONE job (count) instead of two
+        # (eager-checkpoint job + count job) while lineage still
+        # truncates at the checkpointed RDD.
         updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
@@ -64,7 +68,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
