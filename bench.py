@@ -105,6 +105,27 @@ def main() -> None:
         # 2.5x inflation on queries that follow the shingle exploders).
         spark._jvm.System.gc()
 
+    # Second, steady-state pass. The sf0.001 warmup above does NOT
+    # cover target-SF codegen: AQE re-plans at sf0.1 stats (different
+    # broadcast/coalesce/skew decisions), so each first run above pays
+    # janino compilation + JIT for the re-planned stages — measured at
+    # up to 5s extra on the heaviest plans, which is session-lifetime
+    # cost, not query cost. On a long-lived cluster every recurring
+    # query runs steady-state; `steady_*` report that regime as the
+    # per-query MIN over both passes — the noise-robust estimator for a
+    # deterministic workload on a host whose throughput swings multi-x
+    # on a minutes timescale (see BENCHNOTES.md). The first-pass
+    # `value` keeps the round-1-comparable methodology.
+    steady: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        steady[name] = round(
+            min(timings[name], time.perf_counter() - t0), 4
+        )
+        spark._jvm.System.gc()
+
     total = round(sum(timings[n] for n in BASELINE_HEADLINE), 4)
     extended_total = round(sum(timings[n] for n in EXTENDED), 4)
     print(
@@ -115,6 +136,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extended_total": extended_total,
+                "steady_total": round(sum(steady[n] for n in BASELINE_HEADLINE), 4),
+                "steady_extended_total": round(
+                    sum(steady[n] for n in EXTENDED), 4
+                ),
+                "steady_queries": steady,
                 "sf": sf,
             }
         )
