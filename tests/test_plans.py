@@ -447,21 +447,26 @@ def test_binned_quantiles_histogram_not_fact_window(spark):
 def test_bm25_broadcasts_query_terms(spark):
     """Retrieval must prune postings through a broadcast of the tiny
     query-term set (Q<<N) — no cartesian product, no shuffle join on
-    the corpus-side term key for the query probe. The broadcast df
-    relation must be query-vocabulary-sized: postings are semi-joined
-    against the broadcast query terms BEFORE the df aggregation, so no
-    corpus-vocabulary-sized relation is ever broadcast (the web-scale
-    hazard VERDICT r3 flagged)."""
+    the corpus-side term key for the query probe — and must tokenize
+    the corpus ONCE: document frequency comes from a window over the
+    pruned (candidate-sized) postings, never a corpus-vocabulary-sized
+    aggregation or broadcast (the web-scale hazard VERDICT r3 flagged),
+    and doc length rides the tf aggregation instead of being a second
+    derivation of the exploded corpus."""
     df = CATALOG["bm25_topk"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 3, plan
-    # the df-prune: a broadcast LEFT SEMI of postings vs query terms
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    # the semi-join feeds the df HashAggregate (count per term), which
-    # partial-aggregates map-side before its (broadcast) exchange
-    assert "partial_sum" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # df-by-window on the pruned postings, not a vocab-sized aggregate
+    assert "Window" in plan, plan
+    # the tf aggregation partial-aggregates map-side
     assert "partial_count" in plan, plan
+    assert "partial_sum" in plan, plan
+    # one tokenize of the corpus: the docs table feeds tf + the 1-row
+    # stats agg, and the tiny query probe (doc_id < 3, pushed into the
+    # scan) is read for the term-set prune and the query fanout = at
+    # most 4 scans, only 2 of them corpus-sized (the old shape ran 11)
+    assert plan.count("Scan parquet") <= 4, plan
 
 
 def test_weighted_sample_is_take_ordered(spark):

@@ -371,43 +371,51 @@ def bm25_topk(
     Robertson/Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``. Emits
     ``query_id, doc_id, score, rnk``.
 
-    Scale shape: the query term set is broadcast (queries are
-    query-set-sized — the same Q<<N contract as cosine_knn), so only
-    posting rows whose term appears in SOME query survive the first
-    join; document frequencies are computed only over query-term
-    postings (broadcast semi-join prune), so the broadcast df relation
-    is query-vocabulary-sized, never corpus-vocabulary-sized; doc
-    lengths join keyed on doc_id;
-    the per-(query, doc) score is a decimal-routed sum (order-stable),
+    Scale shape — the corpus is tokenized ONCE (the naive formulation
+    derives tf, doc-length, and document-frequency as three separate
+    aggregations of the same exploded token relation, which Catalyst
+    materializes as repeated scans + shuffles of the corpus; this one
+    runs 2 parquet scans and ~4 shuffles total):
+
+    - doc length is ``size(tokens)``, computed in the same projection
+      that explodes them and carried through the tf aggregation as a
+      (functionally dependent) grouping column — no second aggregation;
+    - postings are pruned to query terms by a broadcast join with the
+      (query-vocabulary-sized — the same Q<<N contract as cosine_knn)
+      distinct term set, so everything downstream is candidate-sized;
+    - document frequency is a ``count over (partition by term)`` window
+      ON the pruned postings — exactly one row per (doc, term) exists
+      there, so the count IS the df, with no corpus-sized aggregation
+      and nothing vocabulary-sized ever broadcast;
+    - corpus totals (N, total length) aggregate the un-exploded token
+      arrays: one map-only scan into a 1-row broadcast.
+
+    The per-(query, doc) score is a decimal-routed sum (order-stable),
     and the final top-k is one window per query over the candidate
     set. Nothing quadratic: candidates = postings of query terms only.
     """
-    toks = docs.select(
-        "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    toksdf = docs.select(
+        "doc_id", tokenize(F.lower(F.col(text_col))).alias("toks")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("len_d"))
-    stats = docs.agg(
-        F.count("*").alias("n_docs")
-    ).crossJoin(doc_len.agg(F.sum("len_d").alias("total_len")))
+    tf = (
+        toksdf.select(
+            "doc_id", F.size("toks").alias("len_d"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "len_d", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = toksdf.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("total_len")
+    )
     qterms = queries.select(
         F.col("query_id"),
         F.explode_outer(
             F.array_distinct(tokenize(F.lower(F.col(text_col))))
         ).alias("term"),
     ).distinct()
-    # Document frequencies only for query terms: semi-join the postings
-    # against the (broadcast, query-vocabulary-sized) term set BEFORE
-    # aggregating, so the df relation we later broadcast is bounded by
-    # the query vocabulary — never the corpus vocabulary. Broadcasting
-    # the full corpus df would be the same web-scale hazard tfidf's
-    # max_df/broadcast_df guards against; here it's simply unnecessary
-    # because only query terms are ever scored.
-    dfreq = (
-        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    cand = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfw = Window.partitionBy("term")
+    cand = cand.withColumn("df", F.count("*").over(dfw))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -418,9 +426,7 @@ def bm25_topk(
     )
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(doc_len, "doc_id")
+        cand.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
