@@ -299,3 +299,79 @@ def test_compact_partitions_scoped_leaves_others_untouched(spark, tmp_path):
     assert len(glob.glob(f"{out}/day_date_id=20260111/*.parquet")) == 4
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert after == before
+
+
+def test_read_partitioned_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on the lake layer: a column added partway
+    through the table's life. merge_schema=True unifies the schema and
+    surfaces the column as NULL for pre-evolution partitions; the
+    default read keeps working; partition pruning is unaffected."""
+    from twitch_stream_data_pipeline_spark.sinks import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "layer")
+    old = spark.createDataFrame(
+        [(1, "20260111", 1.0)], "event_id long, day_date_id string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "20260112", 2.0, "en")],
+        "event_id long, day_date_id string, v double, lang string",
+    )
+    write_partitioned(old, out, ["day_date_id"])
+    write_partitioned(new, out, ["day_date_id"])
+
+    merged = read_partitioned(spark, out, merge_schema=True)
+    assert "lang" in merged.columns
+    rows = {r["event_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+    pruned = merged.filter(F.col("day_date_id") == "20260112")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day_date_id" in plan, plan
+    assert pruned.count() == 1
+
+
+def test_write_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Sharded training export: shards are disjoint+complete, one file
+    per shard directory, membership is identical across re-exports
+    (md5-keyed, not partitioning-dependent), rows are sorted within
+    each shard file, and the manifest counts match."""
+    import glob
+
+    from twitch_stream_data_pipeline_spark.sinks import write_training_shards
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 13).alias("score")
+    )
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, out1, 4, sort_cols=["doc_id"])
+    # different input partitioning must not change shard membership
+    write_training_shards(docs.repartition(7), out2, 4, sort_cols=["doc_id"])
+
+    for shard in range(4):
+        files = glob.glob(f"{out1}/shard={shard}/*.parquet")
+        assert len(files) == 1, (shard, files)
+
+    r1 = spark.read.parquet(out1)
+    r2 = spark.read.parquet(out2)
+    assert r1.count() == 200
+    a = sorted((r["doc_id"], r["shard"]) for r in r1.collect())
+    b = sorted((r["doc_id"], r["shard"]) for r in r2.collect())
+    assert a == b
+    assert {r["doc_id"] for r in r1.collect()} == set(range(200))
+
+    # within-shard file order is the sort key order
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{out1}/shard=0/*.parquet")[0]
+    ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+    assert ids == sorted(ids)
+
+    manifest = {r["shard"]: r["n_rows"] for r in m1.collect()}
+    assert sum(manifest.values()) == 200
+    per_shard = {r["shard"]: 0 for r in r1.collect()}
+    for r in r1.collect():
+        per_shard[r["shard"]] += 1
+    assert manifest == per_shard

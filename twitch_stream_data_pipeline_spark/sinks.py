@@ -70,8 +70,25 @@ def write_partitioned(
     writer.parquet(path)
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_partitioned(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read the partitioned layer; ``merge_schema=True`` handles schema
+    evolution (a column added partway through the table's life): the
+    unified schema is the union across all partitions' footers, and
+    partitions written before the column existed surface it as NULL.
+
+    Off by default — schema merging reads every file's footer at
+    planning time, which on a 100 TB table is thousands of S3 HEADs per
+    query; steady-state readers should pin the current schema (or keep
+    it in a catalog) and pay the merge only in the migration window.
+    Partition pruning is unaffected either way (directory-level, not
+    footer-level; pinned by ``tests/test_sinks.py``).
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def write_csv_compat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -125,6 +142,50 @@ def write_jdbc(
     cluster (``tests/test_sinks.py::test_write_jdbc_roundtrip_derby``).
     """
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    key_col: str = "doc_id",
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Deterministic sharded export — the terminal write of a training-
+    data pipeline: the curated corpus as ``num_shards`` parquet shards
+    a data loader can stream round-robin.
+
+    Shard assignment is md5-derived from ``key_col`` (engine-portable,
+    like every hash in this repo), so it is reproducible across reruns,
+    cluster sizes, partitionings, and row orders — re-exporting after
+    an upstream fix moves only the documents that changed, never the
+    shard membership. One ``repartition(num_shards, shard)`` routes
+    every row of a shard to one task (same value => same hash => same
+    task), so each ``shard=N`` directory holds exactly one file;
+    ``sort_cols`` orders rows *within* the shard file
+    (``sortWithinPartitions`` — no global sort) for reproducible
+    loader iteration.
+
+    Returns the manifest (``shard, n_rows``) read back from the
+    written output — parquet row counts come from footer metadata, so
+    at 100 TB the manifest job reads no data pages.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % num_shards
+    ).alias("shard")
+    out = df.select("*", shard).repartition(num_shards, F.col("shard"))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_rows"))
+    )
 
 
 def write_bucketed(
