@@ -125,3 +125,49 @@ def test_canonical_dedup_keeps_best_member(spark, texts):
         expect[best] = (toks(best), len(ids))
     got = {r["doc_id"]: (r["n_tokens"], r["n_members"]) for r in rows}
     assert got == expect, (texts, got, expect)
+
+
+# --- events timestamp decode: encoding independence (VERDICT r4 contract) ---
+
+_epoch_us = st.integers(
+    min_value=1_500_000_000_000_000,  # 2017
+    max_value=2_500_000_000_000_000,  # 2049
+)
+_epochs = st.lists(_epoch_us, min_size=1, max_size=8, unique=True)
+
+
+@given(_epochs)
+@_SETTINGS
+def test_events_decode_is_encoding_independent(spark, tmp_path_factory, epochs):
+    """Arbitrary instants written as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) must decode to the same (secs, ts_us) integer
+    timeline through _events — the property the round-3 unit bug
+    violated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from twitch_stream_data_pipeline_spark.plans.catalog import _events
+
+    decoded = {}
+    for unit in ("ns", "us"):
+        d = tmp_path_factory.mktemp(f"enc_{unit}")
+        vals = [e * 1000 for e in epochs] if unit == "ns" else epochs
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(epochs)), pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+                "user_id": pa.array([1] * len(epochs), pa.int64()),
+                "event_type": pa.array(["e"] * len(epochs), pa.string()),
+                "value": pa.array([0.0] * len(epochs), pa.float64()),
+                "props": pa.array(["{}"] * len(epochs), pa.string()),
+            }
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        decoded[unit] = {
+            r["event_id"]: (r["secs"], r["ts_us"])
+            for r in _events(spark, str(d)).select(
+                "event_id", "secs", "ts_us"
+            ).collect()
+        }
+    expect = {i: (e // 1_000_000, e) for i, e in enumerate(epochs)}
+    assert decoded["ns"] == decoded["us"] == expect
