@@ -375,3 +375,75 @@ def test_write_training_shards_deterministic_and_complete(spark, tmp_path):
     for r in r1.collect():
         per_shard[r["shard"]] += 1
     assert manifest == per_shard
+
+
+def test_run_incremental_processes_only_new_partitions(spark, tmp_path):
+    """Incremental catch-up (the reference's event-driven 'process what
+    just landed', restated as partition diffing): only source
+    partitions missing downstream are read and written; processed
+    partitions stay byte-identical; a rerun with nothing new is a
+    no-op; a named-partition backfill reprocesses exactly that day."""
+    import glob
+    import os
+
+    from twitch_stream_data_pipeline_spark.pipeline import (
+        run_incremental,
+        unprocessed_partitions,
+    )
+    from twitch_stream_data_pipeline_spark.sinks import write_partitioned
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    ddl = "event_id long, day_date_id string, value double"
+
+    def transform(df):
+        return df.withColumn("doubled", F.col("value") * 2)
+
+    def snapshot(day):
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in sorted(glob.glob(f"{curated}/day_date_id={day}/*.parquet"))
+        }
+
+    write_partitioned(
+        spark.createDataFrame(
+            [(1, "20260111", 1.0), (2, "20260112", 2.0)], ddl
+        ),
+        raw,
+        ["day_date_id"],
+    )
+    assert run_incremental(spark, raw, curated, transform) == [
+        "20260111",
+        "20260112",
+    ]
+    day1_before = snapshot("20260111")
+
+    # new day lands upstream -> only it is processed
+    write_partitioned(
+        spark.createDataFrame([(3, "20260113", 3.0)], ddl), raw, ["day_date_id"]
+    )
+    assert unprocessed_partitions(spark, raw, curated) == ["20260113"]
+    assert run_incremental(spark, raw, curated, transform) == ["20260113"]
+    assert snapshot("20260111") == day1_before
+
+    # in sync -> no-op
+    assert run_incremental(spark, raw, curated, transform) == []
+
+    # note: partition-value type inference reads day_date_id back as
+    # int — normalize to str for the comparison
+    rows = {
+        r["event_id"]: (str(r["day_date_id"]), r["doubled"])
+        for r in spark.read.parquet(curated).collect()
+    }
+    assert rows == {
+        1: ("20260111", 2.0),
+        2: ("20260112", 4.0),
+        3: ("20260113", 6.0),
+    }
+
+    # targeted backfill replaces exactly the named day
+    assert run_incremental(
+        spark, raw, curated, transform, partitions=["20260112"]
+    ) == ["20260112"]
+    assert snapshot("20260111") == day1_before
+    assert spark.read.parquet(curated).count() == 3

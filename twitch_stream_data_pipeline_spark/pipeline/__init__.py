@@ -8,6 +8,11 @@ dim join broadcasts. Golden-replay tests run these against the
 reference's own shipped batch snapshots.
 """
 
+from .incremental import (
+    list_partition_values,
+    run_incremental,
+    unprocessed_partitions,
+)
 from .streams import process_raw_streams, curate_streams
 from .categories import process_raw_categories, curate_categories
 from .users import process_raw_users, curate_users
@@ -32,4 +37,7 @@ __all__ = [
     "curate_genres",
     "process_raw_game_modes",
     "curate_game_modes",
+    "list_partition_values",
+    "unprocessed_partitions",
+    "run_incremental",
 ]
