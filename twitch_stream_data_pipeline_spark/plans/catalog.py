@@ -2395,6 +2395,52 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "variant_topk_props",
+    """
+    WITH x AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ), c AS (
+      SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM x WHERE k IS NOT NULL GROUP BY event_type, k
+    )
+    SELECT event_type, k, n, rn FROM (
+      SELECT event_type, k, n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, k) AS INT) AS rn
+      FROM c
+    ) WHERE rn <= 5
+    """,
+    ("json", "variant", "P1", "window", "ext"),
+    "Schema-free semi-structured extraction via Spark 4 VARIANT "
+    "(try_parse_json -> try_variant_get): top-5 most frequent props.k "
+    "per event type. The variant path parses the JSON text ONCE into "
+    "the binary variant encoding and extracts typed fields from it — "
+    "at 100 TB the scale answer to repeated json string parsing when "
+    "the payload schema is open (from_json's fixed struct, the "
+    "json_props_stats twin, is the closed-schema answer). Malformed "
+    "documents and missing/mistyped fields degrade to NULL "
+    "(try_ semantics), mirrored by the oracle's TRY_CAST.",
+)
+def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    counts = (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.col("k"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "k", "n", "rn")
+    )
+
+
+@_register(
     "weighted_sample",
     r"""
     WITH scored AS (
@@ -2906,6 +2952,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_fingerprint",
     "binary_meta",
+    # -- 4b. round-4 additions (appended past the window so positions
+    #    1-50 stay stable per VERDICT r3 #5; oracle-checked in pytest)
+    "variant_topk_props",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
