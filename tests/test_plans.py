@@ -526,3 +526,23 @@ def test_topk_windows_push_group_limits(spark):
     for name in ("topk_per_group", "tfidf_top_terms", "bm25_topk"):
         df = CATALOG[name].fn(spark, SF_SMOKE)
         assert "WindowGroupLimit" in plan_of(df), name
+
+
+def test_spread_is_noop_on_wide_scans(spark, tmp_path):
+    """_spread rebalances only NARROW scans (the single-file testdata
+    case). On a multi-split input — the normal state at cluster scale —
+    it must return the frame unchanged: no repartition, no shuffle."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import _spread
+
+    path = str(tmp_path / "wide")
+    parallelism = spark.sparkContext.defaultParallelism
+    spark.range(0, 10000).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text") \
+        .repartition(parallelism).write.parquet(path)
+    wide = spark.read.parquet(path)
+    assert wide.rdd.getNumPartitions() >= parallelism
+    spread = _spread(wide, "doc_id")
+    assert spread is wide  # identical object: no plan node added
+    # and the narrow case does add the rebalance
+    narrow = spark.read.parquet(path).coalesce(1)
+    plan = _spread(narrow, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
