@@ -44,25 +44,46 @@ _ROWS = [
 ]
 
 
-def _write_events(path: str, unit: str) -> str:
-    """Write the fixture rows with ts encoded at the given unit."""
-    ts_us = [_BASE_US + off for (_, off, *_rest) in _ROWS]
+def _write_events(
+    path: str, unit: str, epochs_us: list[int] | None = None
+) -> str:
+    """Write an events fixture with ts encoded at the given unit.
+
+    Shared by this suite and the hypothesis property suite
+    (``tests/test_properties.py``) so both always test the same events
+    schema shape. ``epochs_us`` overrides the default rows' instants
+    (event_ids become 0..n-1 with placeholder attributes).
+    """
+    if epochs_us is None:
+        epochs_us = [_BASE_US + off for (_, off, *_rest) in _ROWS]
+        ids = [r[0] for r in _ROWS]
+        users = [r[2] for r in _ROWS]
+        types = [r[3] for r in _ROWS]
+        values = [r[4] for r in _ROWS]
+        props = [r[5] for r in _ROWS]
+    else:
+        n = len(epochs_us)
+        ids = list(range(n))
+        users = [1] * n
+        types = ["e"] * n
+        values = [0.0] * n
+        props = ["{}"] * n
     if unit == "ns":
-        ts_arr = pa.array([u * 1000 for u in ts_us], pa.timestamp("ns"))
+        ts_arr = pa.array([u * 1000 for u in epochs_us], pa.timestamp("ns"))
     elif unit == "us":
-        ts_arr = pa.array(ts_us, pa.timestamp("us"))
+        ts_arr = pa.array(epochs_us, pa.timestamp("us"))
     elif unit == "ms_int64":
-        ts_arr = pa.array([u // 1000 for u in ts_us], pa.int64())
+        ts_arr = pa.array([u // 1000 for u in epochs_us], pa.int64())
     else:  # pragma: no cover
         raise ValueError(unit)
     tbl = pa.table(
         {
-            "event_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "event_id": pa.array(ids, pa.int64()),
             "ts": ts_arr,
-            "user_id": pa.array([r[2] for r in _ROWS], pa.int64()),
-            "event_type": pa.array([r[3] for r in _ROWS], pa.string()),
-            "value": pa.array([r[4] for r in _ROWS], pa.float64()),
-            "props": pa.array([r[5] for r in _ROWS], pa.string()),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(props, pa.string()),
         }
     )
     pq.write_table(tbl, f"{path}/events.parquet")
@@ -136,3 +157,23 @@ def test_implausible_epoch_raises(spark, tmp_path):
     sf_dir = _write_events(str(tmp_path), "ms_int64")
     with pytest.raises(ValueError, match="timestamp contract violated"):
         _events(spark, sf_dir)
+
+
+def test_nanos_readable_without_legacy_conf(spark, tmp_path):
+    """A caller-provided session without nanosAsLong cannot infer a
+    NANOS schema (PARQUET_TYPE_ILLEGAL) — _events must fall back to an
+    explicit bigint read, which needs no session conf, so every
+    catalog query works on ANY session regardless of encoding."""
+    sf_dir = _write_events(str(tmp_path), "ns")
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(conf, "false")
+    try:
+        with pytest.raises(Exception, match="NANOS"):
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        got = {
+            r["event_id"]: r["ts_us"]
+            for r in _events(spark, sf_dir).select("event_id", "ts_us").collect()
+        }
+        assert got == {eid: _BASE_US + off for (eid, off, *_r) in _ROWS}
+    finally:
+        spark.conf.set(conf, "true")

@@ -142,27 +142,16 @@ def test_events_decode_is_encoding_independent(spark, tmp_path_factory, epochs):
     """Arbitrary instants written as TIMESTAMP(NANOS) and as
     TIMESTAMP(MICROS) must decode to the same (secs, ts_us) integer
     timeline through _events — the property the round-3 unit bug
-    violated."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    violated. Fixture writer shared with tests/test_data_contract.py
+    so both suites pin the same events schema shape."""
     from twitch_stream_data_pipeline_spark.plans.catalog import _events
+
+    from .test_data_contract import _write_events
 
     decoded = {}
     for unit in ("ns", "us"):
         d = tmp_path_factory.mktemp(f"enc_{unit}")
-        vals = [e * 1000 for e in epochs] if unit == "ns" else epochs
-        tbl = pa.table(
-            {
-                "event_id": pa.array(range(len(epochs)), pa.int64()),
-                "ts": pa.array(vals, pa.timestamp(unit)),
-                "user_id": pa.array([1] * len(epochs), pa.int64()),
-                "event_type": pa.array(["e"] * len(epochs), pa.string()),
-                "value": pa.array([0.0] * len(epochs), pa.float64()),
-                "props": pa.array(["{}"] * len(epochs), pa.string()),
-            }
-        )
-        pq.write_table(tbl, f"{d}/events.parquet")
+        _write_events(str(d), unit, epochs_us=epochs)
         decoded[unit] = {
             r["event_id"]: (r["secs"], r["ts_us"])
             for r in _events(spark, str(d)).select(

@@ -447,3 +447,75 @@ def test_run_incremental_processes_only_new_partitions(spark, tmp_path):
     ) == ["20260112"]
     assert snapshot("20260111") == day1_before
     assert spark.read.parquet(curated).count() == 3
+
+
+def test_compact_and_incremental_roundtrip_zero_padded_partitions(spark, tmp_path):
+    """Partition values that don't survive type inference (zero-padded
+    slot ids — the reference's time_of_day_id grid: '0015') must
+    round-trip through compaction and incremental catch-up verbatim:
+    no duplicate slot=15 directory, no never-draining work list."""
+    import glob
+    import os
+
+    from twitch_stream_data_pipeline_spark.pipeline import (
+        run_incremental,
+        unprocessed_partitions,
+    )
+    from twitch_stream_data_pipeline_spark.sinks import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    ddl = "event_id long, slot string, v double"
+
+    # compaction: scoped rewrite of slot=0015 must land back in 0015
+    layer = str(tmp_path / "layer")
+    for i in range(3):
+        write_partitioned(
+            spark.createDataFrame([(i, "0015", 1.0), (i + 10, "0100", 2.0)], ddl)
+            .coalesce(1),
+            layer,
+            ["slot"],
+        )
+    compact_partitions(spark, layer, "slot", partitions=["0015"])
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{layer}/slot=*"))
+    assert dirs == ["slot=0015", "slot=0100"], dirs
+    assert len(glob.glob(f"{layer}/slot=0015/*.parquet")) == 1
+    assert spark.read.parquet(layer).count() == 6
+
+    # incremental: the work list must drain (no slot=15 desync)
+    raw, cur = str(tmp_path / "raw"), str(tmp_path / "cur")
+    write_partitioned(
+        spark.createDataFrame([(1, "0015", 1.0)], ddl), raw, ["slot"]
+    )
+    assert run_incremental(
+        spark, raw, cur, lambda df: df, partition_col="slot"
+    ) == ["0015"]
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(f"{cur}/slot=*")
+    ) == ["slot=0015"]
+    assert unprocessed_partitions(spark, raw, cur, "slot") == []
+    assert run_incremental(spark, raw, cur, lambda df: df, partition_col="slot") == []
+
+
+def test_training_shards_rejects_shard_column_and_handles_null_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.sinks import write_training_shards
+
+    with _pytest.raises(ValueError, match="'shard' column"):
+        write_training_shards(
+            spark.createDataFrame([(1, 0)], "doc_id long, shard int"),
+            str(tmp_path / "x"),
+            2,
+        )
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    out = str(tmp_path / "n")
+    manifest = write_training_shards(docs, out, 2)
+    # NULL key lands in a real 0..N-1 shard, never a default partition
+    shards = {r["shard"] for r in manifest.collect()}
+    assert shards <= {0, 1}
+    assert sum(r["n_rows"] for r in manifest.collect()) == 3

@@ -163,23 +163,6 @@ def _qbucket_sql(qv_sql: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign-bit per plane, packed.
-
-    ``planes`` are fixed integer hyperplanes (deterministic, shipped in
-    the plan as literals) applied to the quantized vector; bucket =
-    sum(2^i * [dot_i > 0]).
-    """
-    qv = quantized_embedding(vec)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = _dot(qv, F.expr(_plane_sql(plane)))
-        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
-
-
 def make_planes(dim: int, num_planes: int = 8, table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes from md5 bytes (+/-1)."""
     import hashlib

@@ -23,7 +23,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks import write_partitioned
+from ..sinks import read_partitioned_verbatim, write_partitioned
 
 
 def list_partition_values(
@@ -77,29 +77,40 @@ def run_incremental(
     of partition values processed — empty means the layers were already
     in sync and NOTHING was read or written.
 
-    The write uses dynamic partition overwrite: only the processed
-    partitions' directories are replaced, so reruns after failure are
-    idempotent and concurrent readers of other partitions never see a
-    partial table.
+    The write uses dynamic partition overwrite (a per-write option,
+    never session state): only the processed partitions' directories
+    are replaced, so reruns after failure are idempotent and
+    concurrent readers of other partitions never see a partial table.
+
+    The source is read via :func:`~..sinks.read_partitioned_verbatim`
+    so partition directory values round-trip exactly: with type
+    inference, ``slot=0015`` would be read as int 15 and re-written to
+    a NEW ``slot=15`` directory downstream — the work list would then
+    never drain (``0015`` stays "unprocessed" forever) and the two
+    layers' directory names would desync. The diffing itself compares
+    raw directory names, so the whole loop is inference-proof.
     """
     todo = (
-        sorted(partitions)
+        sorted(str(p) for p in partitions)
         if partitions is not None
         else unprocessed_partitions(spark, src_path, dst_path, partition_col)
     )
     if not todo:
         return []
-    src = spark.read.parquet(src_path).filter(F.col(partition_col).isin(todo))
+    src = read_partitioned_verbatim(spark, src_path).filter(
+        F.col(partition_col).isin(todo)
+    )
     out = transform(src)
     if partition_col not in out.columns:
         raise ValueError(
             f"transform dropped {partition_col!r}; incremental output must "
             "keep the partition column so the write can route it"
         )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        write_partitioned(out, dst_path, [partition_col], mode="overwrite")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_partitioned(
+        out,
+        dst_path,
+        [partition_col],
+        mode="overwrite",
+        partition_overwrite_mode="dynamic",
+    )
     return todo

@@ -157,6 +157,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       TIMESTAMP_NTZ, so cast to TIMESTAMP first; the session timezone
       is pinned UTC (session.py) which makes that cast lossless.
 
+    A caller-provided SparkSession built without the ``nanosAsLong``
+    conf cannot even *infer* a NANOS schema (``Illegal Parquet type:
+    INT64 (TIMESTAMP(NANOS,...))`` at read) — that case falls back to
+    requesting ``ts`` as ``bigint`` via an explicit read schema, which
+    reads the raw INT64 epoch-nanos with no session conf at all, so
+    every catalog query works on any session regardless of encoding.
+
     Either way we derive ``secs`` (epoch seconds) and ``ts_us`` (epoch
     microseconds — DuckDB's native timestamp precision, used for order
     parity), keep everything timezone-free, and assert the decoded
@@ -168,7 +175,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = f"{sf_dir}/events.parquet"
-    raw = spark.read.parquet(path)
+    try:
+        raw = spark.read.parquet(path)
+    except Exception as e:  # AnalysisException on NANOS without the conf
+        if "NANOS" not in str(e):
+            raise
+        raw = spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        ).parquet(path)
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         ev = raw.withColumns(
@@ -2419,13 +2434,18 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the binary variant encoding and extracts typed fields from it — "
     "at 100 TB the scale answer to repeated json string parsing when "
     "the payload schema is open (from_json's fixed struct, the "
-    "json_props_stats twin, is the closed-schema answer). Malformed "
-    "documents and missing/mistyped fields degrade to NULL "
-    "(try_ semantics), mirrored by the oracle's TRY_CAST.",
+    "json_props_stats twin, is the closed-schema answer). The field is "
+    "extracted as STRING and try_cast to bigint — the exact semantics "
+    "of the oracle's json_extract_string + TRY_CAST on every "
+    "well-formed document (k=3.5 or k=true -> NULL on BOTH engines; a "
+    "direct try_variant_get(..., 'bigint') would instead truncate "
+    "doubles and coerce booleans, silently diverging).",
 )
 def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "string").try_cast(
+        "bigint"
+    )
     counts = (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())

@@ -53,6 +53,7 @@ def write_partitioned(
     partition_cols: Sequence[str] = ("day_date_id",),
     mode: str = "append",
     max_records_per_file: int | None = None,
+    partition_overwrite_mode: str | None = None,
 ) -> None:
     """Partitioned parquet write (K2, engine-native).
 
@@ -63,10 +64,18 @@ def write_partitioned(
     other direction — one hot day must not produce multi-GB files that
     downstream scans can't split across row groups evenly (the
     file-size governance every long-lived lake needs).
+
+    ``partition_overwrite_mode="dynamic"`` makes an overwrite replace
+    only the partitions present in ``df`` — passed as a per-WRITE
+    DataFrameWriter option, never by mutating the session conf (a
+    concurrent writer would inherit silently changed overwrite
+    semantics).
     """
     writer = df.write.mode(mode).partitionBy(*partition_cols)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_overwrite_mode is not None:
+        writer = writer.option("partitionOverwriteMode", partition_overwrite_mode)
     writer.parquet(path)
 
 
@@ -89,6 +98,32 @@ def read_partitioned(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(path)
+
+
+def read_partitioned_verbatim(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layer with partition-column type inference
+    DISABLED, so directory values round-trip verbatim as strings.
+
+    Inference turns ``slot=0015`` into the int 15; a maintenance job
+    that reads-then-rewrites (compaction, incremental catch-up) would
+    then write the rows back to a NEW ``slot=15`` directory — silently
+    duplicating the table and desyncing directory names between
+    layers. Zero-padded slot ids (the reference's ``time_of_day_id``
+    grid: '0000', '0015', ...) are exactly the breaking shape.
+
+    The inference conf has no per-read option, so it is toggled around
+    relation resolution only — partition schema is resolved eagerly
+    inside ``spark.read.parquet``, and the conf is restored before
+    returning, keeping the mutation window to this call (queries
+    planned afterwards are unaffected).
+    """
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "false")
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def write_csv_compat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -170,9 +205,26 @@ def write_training_shards(
     Returns the manifest (``shard, n_rows``) read back from the
     written output — parquet row counts come from footer metadata, so
     at 100 TB the manifest job reads no data pages.
+
+    NULL keys hash via the empty string (all land in one deterministic
+    shard rather than a surprise ``shard=__HIVE_DEFAULT_PARTITION__``
+    directory a 0..N-1 loader would silently skip); curated corpora
+    should not have NULL ids in the first place — dedup/validity tiers
+    run earlier. A pre-existing ``shard`` column is an error, not a
+    silent overwrite.
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column; rename it before export"
+        )
     shard = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        F.conv(
+            F.substring(
+                F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit(""))), 1, 15
+            ),
+            16,
+            10,
+        )
         .cast("long")
         % num_shards
     ).alias("shard")
@@ -282,19 +334,20 @@ def compact_partitions(
     the rewritten frame are replaced: every other partition's files
     are untouched bytes. ``None`` keeps the full-table rewrite for
     initial migrations / small layers.
+
+    Reads via :func:`read_partitioned_verbatim` so directory values
+    round-trip exactly (type inference would rewrite ``slot=0015`` to
+    ``slot=15``, duplicating the partition instead of compacting it);
+    the dynamic overwrite is a per-write option, never session state.
     """
-    df = spark.read.parquet(path)
+    df = read_partitioned_verbatim(spark, path)
     if partitions is not None:
-        df = df.filter(F.col(partition_col).isin(list(partitions)))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        write_partitioned(
-            df.repartition(F.col(partition_col)),
-            path,
-            [partition_col],
-            mode="overwrite",
-            max_records_per_file=max_records_per_file,
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        df = df.filter(F.col(partition_col).isin([str(p) for p in partitions]))
+    write_partitioned(
+        df.repartition(F.col(partition_col)),
+        path,
+        [partition_col],
+        mode="overwrite",
+        max_records_per_file=max_records_per_file,
+        partition_overwrite_mode="dynamic",
+    )
