@@ -805,3 +805,46 @@ def test_running_category_totals_processor_logic():
     )[0]
     assert out2.iloc[0]["n_streams"] == 3 and out2.iloc[0]["total_viewers"] == 800
     proc.close()
+
+
+def test_stream_to_partitioned_lake_exactly_once(spark, tmp_path):
+    """Streaming K2: the curated stream lands in the same day_date_id=
+    directory layout the batch layer uses (partition pruning works on
+    it), and the file sink's transaction log makes re-running the query
+    against the same checkpoint a no-op — no duplicate rows, no new
+    files (exactly-once by construction)."""
+    import glob
+
+    from twitch_stream_data_pipeline_spark.streaming.pipeline import (
+        curated_streams_stream,
+        stream_raw_streams,
+        stream_to_partitioned_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = curated_streams_stream(stream_raw_streams(spark, RAW_GLOB))
+        stream_to_partitioned_lake(stream, out, ckpt)
+
+    run()
+    dirs = sorted(
+        p.rsplit("/", 1)[-1]
+        for p in glob.glob(f"{out}/day_date_id=*")
+    )
+    assert dirs == ["day_date_id=20260111"], dirs
+    first = spark.read.parquet(out)
+    n_rows = first.count()
+    assert n_rows > 0
+    files_before = sorted(glob.glob(f"{out}/day_date_id=*/*.parquet"))
+
+    # partition pruning on the streamed layer
+    pruned = spark.read.parquet(out).filter(F.col("day_date_id") == "20260111")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day_date_id" in plan, plan
+
+    # resume against the same checkpoint with no new data: exactly-once
+    run()
+    assert spark.read.parquet(out).count() == n_rows
+    assert sorted(glob.glob(f"{out}/day_date_id=*/*.parquet")) == files_before

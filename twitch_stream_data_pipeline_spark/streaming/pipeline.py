@@ -163,6 +163,42 @@ def run_streams_replay(
     return spark.table(query_name)
 
 
+def stream_to_partitioned_lake(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = ("day_date_id",),
+    timeout_sec: int = 120,
+) -> None:
+    """Stream → partitioned parquet lake layer (the streaming twin of
+    sinks.write_partitioned / SURVEY K2): availableNow catch-up into
+    the same ``day_date_id=`` directory layout batch readers prune on.
+
+    The file sink is exactly-once BY CONSTRUCTION: each micro-batch's
+    files are recorded in the sink's ``_spark_metadata`` transaction
+    log under the checkpoint's batch id, so a crashed-and-resumed query
+    never double-commits a batch — the lake stays consistent without
+    any foreachBatch bookkeeping. availableNow drains everything
+    pending and stops, which is the lake-maintenance cadence (a cron'd
+    catch-up), as opposed to a resident 15-minute trigger.
+    """
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"partitioned lake write to {path!r} still running after "
+            f"{timeout_sec}s; sink log would be mid-batch"
+        )
+
+
 def session_stream(
     events: DataFrame,
     ts_col: str = "event_time",
