@@ -69,3 +69,31 @@ def test_queries_and_oracles_follow_exposure_order():
     oracles = oracle_sql()
     assert list(oracles) == [n for n in EXPOSURE_ORDER if CATALOG[n].oracle]
     assert all(sql for sql in oracles.values())
+
+
+def test_cli_list_and_lookup(capsys):
+    """The CLI runner's non-Spark paths: full list, tag filter, oracle
+    print, and the unknown-name hint."""
+    import io
+
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.__main__ import main
+    from twitch_stream_data_pipeline_spark.plans.catalog import EXPOSURE_ORDER
+
+    buf = io.StringIO()
+    assert main(["list"], out=buf) == 0
+    assert len(buf.getvalue().strip().splitlines()) == len(EXPOSURE_ORDER)
+
+    buf = io.StringIO()
+    assert main(["list", "--tag", "variant"], out=buf) == 0
+    assert "variant_topk_props" in buf.getvalue()
+
+    buf = io.StringIO()
+    assert main(["oracle", "pricing_summary"], out=buf) == 0
+    assert "GROUP BY l_returnflag" in buf.getvalue()
+
+    with _pytest.raises(SystemExit, match="did you mean.*pricing_summary"):
+        main(["run", "pricing"])
+    with _pytest.raises(SystemExit, match="no SQL oracle"):
+        main(["oracle", "lsh_knn"])
