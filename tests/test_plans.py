@@ -523,7 +523,12 @@ def test_topk_windows_push_group_limits(spark):
     shuffle/sort, so the exchange carries k rows per group per task
     instead of whole groups — the optimization that keeps per-doc/
     per-group top-k linear at corpus scale."""
-    for name in ("topk_per_group", "tfidf_top_terms", "bm25_topk"):
+    for name in (
+        "topk_per_group",
+        "tfidf_top_terms",
+        "bm25_topk",
+        "stratified_sample",
+    ):
         df = CATALOG[name].fn(spark, SF_SMOKE)
         assert "WindowGroupLimit" in plan_of(df), name
 

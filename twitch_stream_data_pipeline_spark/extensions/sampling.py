@@ -107,6 +107,37 @@ def mixture_sample(
     return df.filter(h < pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-count stratified sampling: the ``n_per_stratum`` documents
+    with the smallest salted md5 hash per stratum — "exactly 100k docs
+    per language/domain", the fixed-quota twin of the rate-based
+    :func:`mixture_sample`.
+
+    Hash-ordered selection keeps the sample deterministic across
+    engines, partitionings, and reruns, and *almost* stable under
+    corpus growth: a new document displaces at most the current largest
+    hash in its stratum (bounded churn), where random sampling would
+    reshuffle everything. The per-stratum quota runs as a ranking
+    window whose ``rank <= n`` filter Spark compiles to
+    WindowGroupLimit — each map task pre-prunes to its local top-n
+    BEFORE the stratum shuffle, so the exchange carries n rows per
+    stratum per task, never the corpus.
+    """
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col))
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= n_per_stratum)
+        .drop("smp_rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

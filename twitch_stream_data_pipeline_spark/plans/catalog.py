@@ -2176,6 +2176,34 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, {"src0": 10, "src1": 50}).select("doc_id", "source")
 
 
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_MD5INT.format(x="'strat:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+    ("sampling", "window", "ext"),
+    "Exact-count stratified sampling: the 40 smallest-salted-md5 docs "
+    "per source — the fixed-quota twin of mixture_sample's rate-based "
+    "thinning ('exactly N docs per language/domain'). Hash ordering "
+    "keeps the sample deterministic with bounded churn under corpus "
+    "growth; the per-stratum quota compiles to WindowGroupLimit, so "
+    "map tasks pre-prune to their local top-n before the stratum "
+    "shuffle (plan-pinned in tests/test_plans.py).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, 40).select("doc_id", "source")
+
+
 def _ngram_expr_sql(n: int) -> str:
     gram = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(n))
     return rf"""
@@ -2975,6 +3003,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # -- 4b. round-4 additions (appended past the window so positions
     #    1-50 stay stable per VERDICT r3 #5; oracle-checked in pytest)
     "variant_topk_props",
+    "stratified_sample",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
