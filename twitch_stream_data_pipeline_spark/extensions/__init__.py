@@ -22,6 +22,7 @@ from .text_analysis import (
 )
 from .dedup_text import (
     canonical_dedup,
+    decontaminate,
     exact_dedup_groups,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -37,6 +38,8 @@ from .sampling import (
     mixture_sample,
     pack_sequences,
     split_assign,
+    stratified_sample,
+    weighted_sample,
 )
 from .similarity import (
     cosine_knn,
@@ -54,6 +57,7 @@ __all__ = [
     "chunk_documents",
     "connected_components",
     "cosine_knn",
+    "decontaminate",
     "exact_dedup_groups",
     "group_outlier_scores",
     "group_outlier_scores_scalable",
@@ -72,10 +76,12 @@ __all__ = [
     "simhash64",
     "simhash_near_dup_pairs",
     "split_assign",
+    "stratified_sample",
     "text_fingerprint",
     "text_quality",
     "tfidf_top_terms",
     "tokenize",
     "token_count",
     "unigram_logprob",
+    "weighted_sample",
 ]
