@@ -97,3 +97,15 @@ def test_cli_list_and_lookup(capsys):
         main(["run", "pricing"])
     with _pytest.raises(SystemExit, match="no SQL oracle"):
         main(["oracle", "lsh_knn"])
+
+
+def test_window_unchanged_from_round3():
+    """VERDICT r3 #5: keep the harness window stable so round 4 grades
+    the same 50 queries (including the 4 timestamp-bug fixes) — new
+    queries must be appended PAST the window, never inserted into it."""
+    import json
+
+    r3_graded = list(
+        json.load(open("/root/repo/CORRECTNESS_r03.json")).keys()
+    )
+    assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == r3_graded
