@@ -71,7 +71,7 @@ def test_queries_and_oracles_follow_exposure_order():
     assert all(sql for sql in oracles.values())
 
 
-def test_cli_list_and_lookup(capsys):
+def test_cli_list_and_lookup():
     """The CLI runner's non-Spark paths: full list, tag filter, oracle
     print, and the unknown-name hint."""
     import io
@@ -105,7 +105,8 @@ def test_window_unchanged_from_round3():
     queries must be appended PAST the window, never inserted into it."""
     import json
 
-    r3_graded = list(
-        json.load(open("/root/repo/CORRECTNESS_r03.json")).keys()
-    )
+    from pathlib import Path
+
+    r3_path = Path(__file__).resolve().parents[1] / "CORRECTNESS_r03.json"
+    r3_graded = list(json.load(open(r3_path)).keys())
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == r3_graded

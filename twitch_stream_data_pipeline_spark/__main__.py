@@ -57,7 +57,8 @@ def _lookup(name: str):
     return q
 
 
-def main(argv: list[str] | None = None, out=sys.stdout) -> int:
+def main(argv: list[str] | None = None, out=None) -> int:
+    out = out if out is not None else sys.stdout  # late-bound default
     args = _build_parser().parse_args(argv)
 
     if args.cmd == "list":
@@ -85,7 +86,15 @@ def main(argv: list[str] | None = None, out=sys.stdout) -> int:
     spark = get_spark(f"cli:{args.name}")
     df = q.fn(spark, args.sf_dir)
     if args.explain:
-        print(df._jdf.queryExecution().explainString("formatted"), file=out)
+        # the JVM-side explainString takes an ExplainMode object; the
+        # string-accepting entry point PySpark itself uses is
+        # PythonSQLUtils.explainString
+        print(
+            spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ),
+            file=out,
+        )
         return 0
     if args.json:
         for row in df.limit(args.limit).collect():
