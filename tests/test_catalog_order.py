@@ -110,3 +110,12 @@ def test_window_unchanged_from_round3():
     r3_path = Path(__file__).resolve().parents[1] / "CORRECTNESS_r03.json"
     r3_graded = list(json.load(open(r3_path)).keys())
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == r3_graded
+
+
+def test_cli_verify_rejects_rows_only():
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.__main__ import main
+
+    with _pytest.raises(SystemExit, match="no SQL oracle"):
+        main(["verify", "lsh_knn"])

@@ -43,6 +43,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
     orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orc.add_argument("name")
+
+    ver = sub.add_parser(
+        "verify", help="run a query on Spark AND DuckDB, compare results"
+    )
+    ver.add_argument("name")
+    ver.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     return p
 
 
@@ -78,6 +84,47 @@ def main(argv: list[str] | None = None, out=None) -> int:
             raise SystemExit(f"{args.name!r} has no SQL oracle (rows-only)")
         print(q.oracle.strip(), file=out)
         return 0
+
+    if args.cmd == "verify":
+        q = _lookup(args.name)
+        if q.oracle is None:
+            raise SystemExit(f"{args.name!r} has no SQL oracle (rows-only)")
+        import duckdb
+
+        from .session import get_spark
+
+        spark = get_spark(f"cli-verify:{args.name}")
+        sdf = q.fn(spark, args.sf_dir)
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+            )
+
+        def norm(rows, cols):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+        s = norm(
+            [tuple(r) for r in sdf.collect()], [c.lower() for c in sdf.columns]
+        )
+        res = con.execute(q.oracle)
+        d = norm(res.fetchall(), [c[0].lower() for c in res.description])
+        if s == d:
+            print(f"MATCH: {args.name} ({len(s)} rows, spark == duckdb)", file=out)
+            return 0
+        print(
+            f"MISMATCH: {args.name} spark={len(s)} rows duckdb={len(d)} rows",
+            file=out,
+        )
+        for tag, mine, theirs in (("spark-only", s, d), ("duckdb-only", d, s)):
+            extra = [r for r in mine if r not in theirs][:5]
+            for r in extra:
+                print(f"  {tag}: {r}", file=out)
+        return 1
 
     # run
     q = _lookup(args.name)
