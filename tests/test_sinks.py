@@ -519,3 +519,64 @@ def test_training_shards_rejects_shard_column_and_handles_null_keys(spark, tmp_p
     shards = {r["shard"] for r in manifest.collect()}
     assert shards <= {0, 1}
     assert sum(r["n_rows"] for r in manifest.collect()) == 3
+
+
+def test_write_zordered_tightens_file_envelopes_on_both_dims(spark, tmp_path):
+    """Z-order clustering: with files split by maxRecordsPerFile, every
+    file's parquet min/max envelope must be narrow on BOTH z-ordered
+    columns (multi-dimensional data skipping), where a plain
+    single-column sort leaves the other column's envelope at full
+    span. Row multiset must be unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from twitch_stream_data_pipeline_spark.sinks import write_zordered
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(pmod(hash(id), 1000) AS BIGINT) AS user_id",
+        "CAST(id * 7 AS BIGINT) AS secs",
+    )
+
+    def envelopes(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for i in range(g.num_columns):
+                    c = g.column(i)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        spans.append(st.max - st.min)
+        return spans
+
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, ["user_id", "secs"], max_records_per_file=2000)
+    assert len(glob.glob(f"{zpath}/*.parquet")) >= 5
+
+    # multiset unchanged
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.selectExpr("sum(user_id)", "sum(secs)").first() == df.selectExpr(
+        "sum(user_id)", "sum(secs)"
+    ).first()
+
+    # baseline: sort by secs only — user_id envelope is ~full span
+    spath = str(tmp_path / "s")
+    df.repartitionByRange(F.col("secs")).sortWithinPartitions("secs").write.option(
+        "maxRecordsPerFile", "2000"
+    ).parquet(spath)
+
+    user_span = 999
+    z_user = envelopes(zpath, "user_id")
+    s_user = envelopes(spath, "user_id")
+    avg = lambda xs: sum(xs) / len(xs)
+    # plain secs-sort leaves user_id unclustered (envelope ~ full span)
+    assert avg(s_user) > 0.9 * user_span, avg(s_user)
+    # z-order tightens it several-fold while ALSO clustering secs
+    assert avg(z_user) < 0.5 * user_span, avg(z_user)
+    z_secs = envelopes(zpath, "secs")
+    assert avg(z_secs) < 0.5 * (n - 1) * 7, avg(z_secs)

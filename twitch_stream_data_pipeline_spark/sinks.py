@@ -240,6 +240,80 @@ def write_training_shards(
     )
 
 
+def zorder_key(
+    cols: Sequence[str],
+    mins: Sequence[int],
+    maxs: Sequence[int],
+    bits: int = 16,
+) -> "Column":
+    """Morton (Z-order) interleave key over integer columns.
+
+    Each column is normalized to ``[0, 2^bits)`` against its
+    ``[min, max]`` range, then the bits of all columns are interleaved
+    so rows close in EVERY dimension get close keys. Built as one
+    ``F.expr`` string (2 x bits x n_cols terms — the Column-tree form
+    would be thousands of py4j round trips, see BENCHNOTES round 4).
+    """
+    terms = []
+    n = len(cols)
+    for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = max(int(hi) - int(lo), 1)
+        # scale to [0, 2^bits) with integer arithmetic (deterministic)
+        scaled = (
+            f"CAST((CAST({c} AS BIGINT) - {int(lo)}L) * {(1 << bits) - 1}L"
+            f" / {span}L AS BIGINT)"
+        )
+        for b in range(bits):
+            # fully parenthesized: SQL `+` binds TIGHTER than `<<`, so
+            # `a << 1 + b << 2` parses as `a << (1 + b) << 2`
+            terms.append(
+                f"((shiftright({scaled}, {b}) & 1L) << {b * n + ci})"
+            )
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 16,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write — multi-dimensional data
+    skipping for the lake layer (the OPTIMIZE ZORDER analog, in plain
+    Spark).
+
+    A single-column sort gives perfect parquet min/max pruning on that
+    column and none on any other; range-partitioning by the Morton
+    interleave of several columns gives every file/row-group a NARROW
+    min/max envelope on ALL of them, so a predicate on any z-ordered
+    column skips most row groups at scan time (footer stats — free at
+    read). The ranges are computed in one aggregate pass, the key is
+    pure integer bit arithmetic, and ``repartitionByRange`` on the key
+    does the clustering with one range shuffle — no UDF, no driver
+    loop. Within each range partition rows are sorted by the key so
+    row-group envelopes inside big files stay tight too.
+    """
+    row = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in zorder_cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in zorder_cols],
+    ).first()
+    mins = [row[f"lo_{c}"] for c in zorder_cols]
+    maxs = [row[f"hi_{c}"] for c in zorder_cols]
+    key = zorder_key(zorder_cols, mins, maxs, bits).alias("__zkey")
+    out = (
+        df.select("*", key)
+        .repartitionByRange(F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
