@@ -14,6 +14,9 @@ Layout
                     curated) as pure DataFrame transforms.
 - ``plans``       — the analytical query catalog (star-schema
                     aggregates, the driver-facing queries).
+- ``sinks``       — partitioned/bucketed/Z-ordered/sharded writers,
+                    JDBC warehouse load, compaction, schema-evolution
+                    reads (K1–K9 in SURVEY.md §2.2).
 - ``extensions``  — large-scale training-data operators: dedup,
                     similarity search, text analysis, multimodal.
 - ``streaming``   — Structured Streaming restatement of the 15-minute
