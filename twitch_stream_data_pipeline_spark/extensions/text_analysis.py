@@ -371,22 +371,31 @@ def bm25_topk(
     Robertson/Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``. Emits
     ``query_id, doc_id, score, rnk``.
 
-    Scale shape — the corpus is tokenized ONCE (the naive formulation
-    derives tf, doc-length, and document-frequency as three separate
-    aggregations of the same exploded token relation, which Catalyst
-    materializes as repeated scans + shuffles of the corpus; this one
-    runs 2 parquet scans and ~4 shuffles total):
+    Scale shape — NOTHING corpus-sized ever shuffles (the naive
+    formulation aggregates the full exploded postings relation —
+    a corpus-vocabulary-wide shuffle — before pruning; Catalyst
+    cannot push a join below an aggregation, so the prune must be
+    written upstream of the group-by, and here it is):
 
+    - the (query_id, term) pairs are tokenized Spark-side then
+      collected to the driver ONCE — the same documented Q<<N
+      contract as cosine_knn (queries are probe-sized; the corpus is
+      not) — so the term prune compiles to an ``IN`` literal filter
+      evaluated inside the corpus scan stage *before* the tf
+      aggregation (no broadcast exchange, no second scan of the
+      query relation), and every shuffle in the plan is
+      candidate-sized;
+    - ``query_id`` is attached by one broadcast join against the
+      driver-local pairs relation — a LocalTableScan, zero extra
+      jobs;
     - doc length is ``size(tokens)``, computed in the same projection
       that explodes them and carried through the tf aggregation as a
       (functionally dependent) grouping column — no second aggregation;
-    - postings are pruned to query terms by a broadcast join with the
-      (query-vocabulary-sized — the same Q<<N contract as cosine_knn)
-      distinct term set, so everything downstream is candidate-sized;
     - document frequency is a ``count over (partition by term)`` window
-      ON the pruned postings — exactly one row per (doc, term) exists
-      there, so the count IS the df, with no corpus-sized aggregation
-      and nothing vocabulary-sized ever broadcast;
+      ON the pruned tf — exactly one row per (doc, term) exists there,
+      so the count IS the corpus df of each query term (pruning drops
+      other terms, never docs), with no corpus-sized aggregation and
+      nothing vocabulary-sized ever broadcast;
     - corpus totals (N, total length) aggregate the un-exploded token
       arrays: one map-only scan into a 1-row broadcast.
 
@@ -397,23 +406,26 @@ def bm25_topk(
     toksdf = docs.select(
         "doc_id", tokenize(F.lower(F.col(text_col))).alias("toks")
     )
-    tf = (
-        toksdf.select(
-            "doc_id", F.size("toks").alias("len_d"), F.explode("toks").alias("term")
-        )
-        .groupBy("doc_id", "len_d", "term")
-        .agg(F.count("*").alias("tf"))
-    )
     stats = toksdf.agg(
         F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("total_len")
     )
-    qterms = queries.select(
+    qrel = queries.select(
         F.col("query_id"),
         F.explode_outer(
             F.array_distinct(tokenize(F.lower(F.col(text_col))))
         ).alias("term"),
     ).distinct()
-    cand = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    qpairs = [r for r in qrel.collect() if r["term"] is not None]
+    vocab = sorted({r["term"] for r in qpairs})
+    qterms = queries.sparkSession.createDataFrame(qpairs, schema=qrel.schema)
+    cand = (
+        toksdf.select(
+            "doc_id", F.size("toks").alias("len_d"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(vocab) if vocab else F.lit(False))
+        .groupBy("doc_id", "len_d", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     dfw = Window.partitionBy("term")
     cand = cand.withColumn("df", F.count("*").over(dfw))
     idf = F.log(
