@@ -580,3 +580,130 @@ def test_write_zordered_tightens_file_envelopes_on_both_dims(spark, tmp_path):
     assert avg(z_user) < 0.5 * user_span, avg(z_user)
     z_secs = envelopes(zpath, "secs")
     assert avg(z_secs) < 0.5 * (n - 1) * 7, avg(z_secs)
+
+
+def test_write_zordered_wide_span_no_overflow(spark, tmp_path):
+    """Epoch-microsecond-scale column spans (> ~1.4e14) overflowed the
+    old BIGINT normalization `(c - lo) * 65535` — ANSI mode aborted the
+    write with ARITHMETIC_OVERFLOW, non-ANSI silently scrambled the
+    clustering. The double-precision clamped normalization must write
+    such spans cleanly AND still cluster them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from twitch_stream_data_pipeline_spark.sinks import write_zordered
+
+    n = 8_000
+    # ts_us spanning ~6 years of epoch-microseconds (span ~1.9e14)
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(1600000000000000 + id * 25000000000 AS BIGINT) AS ts_us",
+        "CAST(pmod(hash(id), 100) AS BIGINT) AS user_id",
+    )
+    zpath = str(tmp_path / "wide")
+    write_zordered(df, zpath, ["ts_us", "user_id"], max_records_per_file=1000)
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    # sum the offset (raw sum would itself overflow int64 at n=8000)
+    chk = "sum(ts_us - 1600000000000000)"
+    assert back.selectExpr(chk).first()[0] == df.selectExpr(chk).first()[0]
+    # clustering still effective, not scrambled: per-row-group ts_us
+    # envelopes average below ~full span (Morton splits the key bits
+    # evenly across dims, so with few row groups each dim keeps about
+    # half its range — the old wrapped-BIGINT bug left every envelope
+    # AT full span)
+    spans = []
+    full = (n - 1) * 25_000_000_000
+    for f in glob.glob(f"{zpath}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                c = g.column(i)
+                if c.path_in_schema == "ts_us":
+                    st = c.statistics
+                    spans.append(st.max - st.min)
+    assert sum(spans) / len(spans) < 0.8 * full
+    assert min(spans) < 0.55 * full
+
+
+def test_write_zordered_sampled_ranges_and_file_count(spark, tmp_path):
+    """sample_fraction must avoid the exact-range full scan while
+    out-of-sample values clamp into edge buckets (row multiset intact),
+    and num_files must control the range-partition/file count."""
+    import glob
+
+    from twitch_stream_data_pipeline_spark.sinks import write_zordered
+
+    n = 10_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(pmod(hash(id), 500) AS BIGINT) AS a",
+        "CAST(id * 3 AS BIGINT) AS b",
+    )
+    zpath = str(tmp_path / "zs")
+    write_zordered(df, zpath, ["a", "b"], sample_fraction=0.05, num_files=4)
+    files = glob.glob(f"{zpath}/*.parquet")
+    assert len(files) == 4, files
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.selectExpr("sum(a)", "sum(b)").first() == df.selectExpr(
+        "sum(a)", "sum(b)"
+    ).first()
+
+
+def test_training_shards_rejects_append(spark, tmp_path):
+    """Append would double-count the read-back manifest and break the
+    one-file-per-shard invariant — rejected loudly."""
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.sinks import write_training_shards
+
+    with _pytest.raises(ValueError, match="full-snapshot"):
+        write_training_shards(
+            spark.createDataFrame([(1,)], "doc_id long"),
+            str(tmp_path / "a"),
+            2,
+            mode="append",
+        )
+
+
+def test_read_partitioned_verbatim_serialized_and_restores_conf(spark, tmp_path):
+    """The inference toggle must restore the conf and be serialized so
+    concurrent verbatim readers never leak disabled inference to each
+    other's restore path."""
+    import threading as _threading
+
+    from twitch_stream_data_pipeline_spark.sinks import (
+        read_partitioned_verbatim,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "0015"), (2, "0930")], "v long, slot string"
+    )
+    path = str(tmp_path / "p")
+    write_partitioned(df, path, ["slot"], mode="overwrite")
+
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    before = spark.conf.get(conf_key)
+    results, errs = [], []
+
+    def worker():
+        try:
+            got = read_partitioned_verbatim(spark, path)
+            results.append(sorted(r["slot"] for r in got.select("slot").collect()))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [_threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert all(r == ["0015", "0015", "0930", "0930"][:2] * 1 or True for r in results)
+    for r in results:
+        assert r == ["0015", "0930"], r  # verbatim strings, zero-pad kept
+    assert spark.conf.get(conf_key) == before

@@ -118,14 +118,27 @@ _EVENTS_CONTRACT_OK: set[str] = set()
 
 
 def _check_events_epoch_contract(path: str, ev: DataFrame, ts_type) -> None:
-    """One-row probe (first row group only, memoized per path) that the
-    decoded epoch seconds are plausible. Cost at 100 TB: one task
-    reading one row of one file, once per process."""
+    """Bounded probe (min/max over the first 1024 rows, memoized per
+    path) that the decoded epoch seconds are plausible. min AND max
+    must both be in-range, so a *partially* re-encoded or mixed file
+    fails even when its first row happens to decode plausibly; a probe
+    that proves nothing (empty table, all-NULL sample) is NOT memoized,
+    so the next read re-probes instead of trusting a vacuous pass.
+    Cost at 100 TB: one task reading one row group of one file, once
+    per process."""
     if path in _EVENTS_CONTRACT_OK:
         return
-    probe = ev.select("secs").limit(1).collect()
-    if probe and probe[0][0] is not None:
-        secs = probe[0][0]
+    row = (
+        ev.select("secs")
+        .limit(1024)
+        .agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
+        .first()
+    )
+    lo = row["lo"] if row else None
+    hi = row["hi"] if row else None
+    if lo is None or hi is None:
+        return  # nothing provable — skip memoization, re-probe next read
+    for secs in (lo, hi):
         if not (_EPOCH_LO <= secs <= _EPOCH_HI):
             raise ValueError(
                 f"events timestamp contract violated for {path}: ts has "

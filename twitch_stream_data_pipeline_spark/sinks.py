@@ -11,10 +11,15 @@ the Postgres warehouse load (K3).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Serializes the partition-type-inference conf toggle in
+# read_partitioned_verbatim (see its docstring).
+_VERBATIM_READ_LOCK = threading.Lock()
 
 
 def write_json_envelope(
@@ -114,16 +119,25 @@ def read_partitioned_verbatim(spark: SparkSession, path: str) -> DataFrame:
     The inference conf has no per-read option, so it is toggled around
     relation resolution only — partition schema is resolved eagerly
     inside ``spark.read.parquet``, and the conf is restored before
-    returning, keeping the mutation window to this call (queries
-    planned afterwards are unaffected).
+    returning. The toggle window is serialized by a module-level lock:
+    without it, a query planned concurrently on the same session
+    (another thread, or two maintenance jobs racing the restore) would
+    silently inherit disabled inference — the same cross-writer hazard
+    that made write_partitioned take partitionOverwriteMode as a
+    per-write option instead of session conf. The lock covers every
+    caller *of this function*; genuinely unrelated concurrent planning
+    still observes the brief toggle, which is why this stays the only
+    conf-mutating read in the repo and exists solely for maintenance
+    jobs that must round-trip directory names verbatim.
     """
     conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(conf_key)
-    try:
-        spark.conf.set(conf_key, "false")
-        return spark.read.parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    with _VERBATIM_READ_LOCK:
+        prev = spark.conf.get(conf_key)
+        try:
+            spark.conf.set(conf_key, "false")
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
 
 
 def write_csv_compat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -212,7 +226,20 @@ def write_training_shards(
     should not have NULL ids in the first place — dedup/validity tiers
     run earlier. A pre-existing ``shard`` column is an error, not a
     silent overwrite.
+
+    ``mode="append"`` is rejected: the manifest is read back from the
+    written path, so appending would count pre-existing rows from
+    earlier exports, and the one-file-per-shard invariant only holds
+    for a fresh write. Re-exports are full overwrites by design — the
+    md5 shard assignment already guarantees membership stability
+    across them.
     """
+    if mode == "append":
+        raise ValueError(
+            "write_training_shards is a full-snapshot export: append "
+            "would break the manifest (it reads back the whole path) "
+            "and the one-file-per-shard invariant; use mode='overwrite'"
+        )
     if "shard" in df.columns:
         raise ValueError(
             "input already has a 'shard' column; rename it before export"
@@ -253,15 +280,28 @@ def zorder_key(
     so rows close in EVERY dimension get close keys. Built as one
     ``F.expr`` string (2 x bits x n_cols terms — the Column-tree form
     would be thousands of py4j round trips, see BENCHNOTES round 4).
+
+    The normalization runs in DOUBLE, not BIGINT: ``(c - lo) * 65535``
+    overflows int64 for column spans above ~1.4e14 (an epoch-micros
+    column spanning ~4.5 years is enough), which under Spark 4's
+    default ANSI mode aborts the write with ARITHMETIC_OVERFLOW — and
+    with ANSI off would silently wrap and scramble the clustering.
+    Doubles keep 53 bits of mantissa, far beyond the 2^bits bucket
+    granularity that survives the cast, and the result is clamped to
+    ``[0, 2^bits)`` so out-of-range values (e.g. when the caller
+    passes *sampled* mins/maxs) cluster into the edge buckets instead
+    of corrupting the interleave.
     """
     terms = []
     n = len(cols)
+    m = (1 << bits) - 1
     for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
         span = max(int(hi) - int(lo), 1)
-        # scale to [0, 2^bits) with integer arithmetic (deterministic)
+        # scale to [0, 2^bits) in double precision, clamped
         scaled = (
-            f"CAST((CAST({c} AS BIGINT) - {int(lo)}L) * {(1 << bits) - 1}L"
-            f" / {span}L AS BIGINT)"
+            f"CAST(LEAST(CAST({m} AS DOUBLE), GREATEST(CAST(0 AS DOUBLE), "
+            f"(CAST({c} AS DOUBLE) - CAST({int(lo)} AS DOUBLE)) "
+            f"* CAST({m} AS DOUBLE) / CAST({span} AS DOUBLE))) AS BIGINT)"
         )
         for b in range(bits):
             # fully parenthesized: SQL `+` binds TIGHTER than `<<`, so
@@ -279,6 +319,8 @@ def write_zordered(
     bits: int = 16,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    sample_fraction: float | None = None,
+    num_files: int | None = None,
 ) -> None:
     """Z-order-clustered parquet write — multi-dimensional data
     skipping for the lake layer (the OPTIMIZE ZORDER analog, in plain
@@ -290,21 +332,37 @@ def write_zordered(
     min/max envelope on ALL of them, so a predicate on any z-ordered
     column skips most row groups at scan time (footer stats — free at
     read). The ranges are computed in one aggregate pass, the key is
-    pure integer bit arithmetic, and ``repartitionByRange`` on the key
-    does the clustering with one range shuffle — no UDF, no driver
-    loop. Within each range partition rows are sorted by the key so
-    row-group envelopes inside big files stay tight too.
+    clamped double-normalized bit arithmetic, and ``repartitionByRange``
+    on the key does the clustering with one range shuffle — no UDF, no
+    driver loop. Within each range partition rows are sorted by the key
+    so row-group envelopes inside big files stay tight too.
+
+    ``sample_fraction`` computes the min/max ranges on a sample instead
+    of a full extra scan — at 100 TB the exact-range pass costs a whole
+    table read before the write even starts, while a 0.1% sample pins
+    the envelope to within noise of the true range; values outside the
+    sampled range clamp into the edge buckets (zorder_key guarantees
+    this), so clustering quality degrades gracefully, never corrupts.
+    ``num_files`` targets that many range partitions (≈ output files),
+    decoupling file count from ``spark.sql.shuffle.partitions``.
     """
-    row = df.agg(
+    src = df.sample(sample_fraction) if sample_fraction is not None else df
+    row = src.agg(
         *[F.min(c).cast("long").alias(f"lo_{c}") for c in zorder_cols],
         *[F.max(c).cast("long").alias(f"hi_{c}") for c in zorder_cols],
     ).first()
     mins = [row[f"lo_{c}"] for c in zorder_cols]
     maxs = [row[f"hi_{c}"] for c in zorder_cols]
+    if any(v is None for v in mins + maxs):
+        # empty table or empty sample: no meaningful ranges — fall back
+        # to zeros so the write still succeeds (all keys clamp equal)
+        mins = [0 if v is None else v for v in mins]
+        maxs = [0 if v is None else v for v in maxs]
     key = zorder_key(zorder_cols, mins, maxs, bits).alias("__zkey")
+    parts = [num_files] if num_files is not None else []
     out = (
         df.select("*", key)
-        .repartitionByRange(F.col("__zkey"))
+        .repartitionByRange(*parts, F.col("__zkey"))
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
