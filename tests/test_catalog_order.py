@@ -99,17 +99,32 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_unchanged_from_round3():
-    """VERDICT r3 #5: keep the harness window stable so round 4 grades
-    the same 50 queries (including the 4 timestamp-bug fixes) — new
-    queries must be appended PAST the window, never inserted into it."""
+def test_window_is_round4_order_with_documented_r5_rotation():
+    """VERDICT r4 #2: the round-5 window is the round-4 graded order
+    with EXACTLY four documented substitutions, each at the position of
+    the query it replaces — the last never-driver-graded oracle-bearing
+    queries rotate in, four triple-green (r01/r02/r04) trivial queries
+    rotate out, and every other position is byte-identical to what the
+    r4 harness graded."""
     import json
 
     from pathlib import Path
 
-    r3_path = Path(__file__).resolve().parents[1] / "CORRECTNESS_r03.json"
-    r3_graded = list(json.load(open(r3_path)).keys())
-    assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == r3_graded
+    r4_path = Path(__file__).resolve().parents[1] / "CORRECTNESS_r04.json"
+    r4_graded = list(json.load(open(r4_path)).keys())
+    rotation = {
+        "pricing_summary": "variant_topk_props",
+        "rollup_lineitem": "stratified_sample",
+        "value_percentiles": "multimodal_decode",
+        "embedding_centroid": "ivf_knn_exact",
+    }
+    expected = [rotation.get(n, n) for n in r4_graded]
+    assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected
+    # the rotated-out queries stay registered and oracle-bearing, right
+    # after the window (rotated-green evidence remains reproducible)
+    tail = list(EXPOSURE_ORDER[HARNESS_WINDOW:])
+    for name in rotation:
+        assert name in tail and CATALOG[name].oracle, name
 
 
 def test_cli_verify_rejects_rows_only():

@@ -534,3 +534,45 @@ def test_nearest_slot_matches_reference_scan(spark):
             got[int(dt.timestamp())],
             reference_scan(naive),
         )
+
+
+def test_decode_f32le_exact_roundtrip_and_strict_path(spark):
+    """The strict branch is a REAL decode: struct.pack'd little-endian
+    float32 vectors round-trip exactly through decode_f32le AND through
+    the Arrow mapInPandas path (float32->double widening is exact);
+    NaN payloads surface as NULL after the Arrow transfer (pandas
+    nan-is-null), infinities survive with sign."""
+    import math
+    import struct
+
+    from twitch_stream_data_pipeline_spark.extensions.multimodal import (
+        decode_f32le,
+        decode_stub,
+        extract_features,
+    )
+
+    vals = [0.0, -0.0, 1.5, -2.25, 3.4e38, 1.4e-45, float("inf"), float("-inf")]
+    payload = struct.pack(f"<{len(vals)}f", *vals)
+    got = decode_f32le(payload)
+    assert len(got) == len(vals)
+    for g, v in zip(got, vals):
+        assert struct.pack("<f", g) == struct.pack("<f", v), (g, v)
+    # strict decode_stub routes to the real decoder
+    assert decode_stub(payload, strict=True) == got
+    # trailing partial float ignored; max_dim caps
+    assert len(decode_f32le(payload + b"\x01\x02", max_dim=3)) == 3
+
+    nan_payload = struct.pack("<2f", 1.0, float("nan"))
+    df = spark.createDataFrame(
+        [(1, payload), (2, nan_payload)], "doc_id long, payload binary"
+    )
+    rows = {
+        (r["doc_id"], r["feat_idx"]): r["f"]
+        for r in extract_features(df, strict=True)
+        .select("doc_id", F.posexplode("features").alias("feat_idx", "f"))
+        .collect()
+    }
+    assert rows[(1, 6)] == float("inf") and rows[(1, 7)] == float("-inf")
+    assert rows[(2, 0)] == 1.0
+    assert rows[(2, 1)] is None  # NaN -> NULL through Arrow
+    assert not any(v is not None and math.isnan(v) for v in rows.values())

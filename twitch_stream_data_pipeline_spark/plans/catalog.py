@@ -1262,6 +1262,36 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+@_register(
+    "ivf_knn_exact",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    ("similarity", "ext", "ivf"),
+    "IVF ANN run in exact mode (n_probe == n_cells: every cell probed, "
+    "so the quantizer prunes nothing and the output equals brute-force "
+    "cosine_knn by construction) — gives the IVF train/assign/score "
+    "machinery a full differential oracle, not just a rows-only check; "
+    "recall at n_probe < n_cells stays covered by ivf_knn + tests.",
+)
+def q_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ivf_knn(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=16
+    )
+
+
 # ===========================================================================
 # Extension operators: multimodal plumbing
 # ===========================================================================
@@ -1298,6 +1328,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "payload_md5",
         F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+@_register(
+    "multimodal_decode",
+    r"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    pos AS (SELECT CAST(unnest(range(4)) AS INT) AS feat_idx),
+    bytes AS (
+      SELECT doc_id, feat_idx,
+             CAST(length(hx) // 2 AS INT) AS n_bytes,
+             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 2, 1)) - 1 AS b0,
+             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 4, 1)) - 1 AS b1,
+             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 5, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 6, 1)) - 1 AS b2,
+             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 7, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 8, 1)) - 1 AS b3
+      FROM h CROSS JOIN pos
+    ),
+    fields AS (
+      SELECT doc_id, feat_idx, n_bytes,
+             CAST(1 - 2 * (b3 // 128) AS DOUBLE) AS sgn,
+             (b3 % 128) * 2 + b2 // 128 AS e,
+             CAST((b2 % 128) * 65536 + b1 * 256 + b0 AS DOUBLE) AS m
+      FROM bytes
+    )
+    SELECT doc_id, n_bytes, feat_idx,
+           CASE
+             WHEN e = 0 THEN sgn * m * power(CAST(2 AS DOUBLE), -149)
+             WHEN e = 255 AND m = 0 THEN sgn * CAST('infinity' AS DOUBLE)
+             WHEN e = 255 THEN NULL
+             ELSE sgn * (CAST(8388608 AS DOUBLE) + m)
+                  * power(CAST(2 AS DOUBLE), e - 150)
+           END AS feat
+    FROM fields
+    """,
+    ("multimodal", "ext"),
+    "REAL strict-mode media decode, differentially verified: payloads "
+    "are the declared fixed-layout codec (little-endian float32 "
+    "vectors — here unhex(md5(doc_id)), 16 bytes = 4 floats), decoded "
+    "through the Arrow mapInPandas path with struct.unpack, while the "
+    "oracle reconstructs the identical IEEE-754 values from hex-"
+    "character arithmetic (sign/exponent/mantissa recomposed with "
+    "exact power-of-two double math — float32->double widening is "
+    "exact, so the engines agree bit-for-bit, infinities included; "
+    "NaN bit patterns surface as NULL on both sides, the pandas/Arrow "
+    "nan-is-null transfer convention).",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import extract_features as _xf
+
+    docs = _docs(spark, sf_dir)
+    payloads = docs.select(
+        "doc_id",
+        F.to_binary(
+            F.md5(F.col("doc_id").cast("string")), F.lit("hex")
+        ).alias("payload"),
+    )
+    feats = _xf(payloads, strict=True)
+    ex = feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("feat_idx", "f")
+    )
+    return ex.select(
+        "doc_id",
+        "n_bytes",
+        "feat_idx",
+        F.col("f").cast("double").alias("feat"),
     )
 
 
@@ -2965,28 +3066,46 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "weighted_sample",
     "json_props_stats",
     "scd2_intervals",
-    # -- 3. previously-green core retained in the window
-    "pricing_summary",
+    # -- 3. previously-green core retained in the window.
+    #    ROUND-5 ROTATION (VERDICT r4 #2): four slots freed for the
+    #    last never-driver-graded queries, swapped IN at the exact
+    #    positions of the queries swapped OUT so every other graded
+    #    position is unchanged from r4:
+    #      pricing_summary    -> variant_topk_props   (r4b, pytest-green)
+    #      rollup_lineitem    -> stratified_sample    (r4b, pytest-green)
+    #      value_percentiles  -> multimodal_decode    (new r5 strict decode)
+    #      embedding_centroid -> ivf_knn_exact        (new r5 IVF oracle)
+    #    The four rotated OUT each carry three rounds of green driver
+    #    evidence (r01, r02, r04) + pytest, and each leaves an
+    #    in-window family representative (cube_volume for grouping
+    #    sets, binned_quantiles for quantiles, embedding_near_dup for
+    #    quantized cosine, the agg tier for pricing_summary).
+    "variant_topk_props",
     "curate_events",
     "validity_filter",
     "dedup_keep_first",
     "star_revenue_by_region",
     "nearest_slot",
-    "rollup_lineitem",
+    "stratified_sample",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash",
     "cosine_knn",
     "embedding_near_dup",
-    "embedding_centroid",
+    "ivf_knn_exact",
     "topk_per_group",
     "cube_volume",
     "asof_join_click_attribution",
     "range_join_quantity_buckets",
-    "value_percentiles",
+    "multimodal_decode",
     # ---------------- 50-query harness window ends here ----------------
     # -- 4. long-stable trivial greens (r1+r2 green, pytest-covered)
+    # -- 4a. rotated out of the window in round 5 (see rotation note)
+    "pricing_summary",
+    "rollup_lineitem",
+    "value_percentiles",
+    "embedding_centroid",
     "popularity_by_type",
     "semi_join_big_spenders",
     "pivot_status",
@@ -3013,10 +3132,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_fingerprint",
     "binary_meta",
-    # -- 4b. round-4 additions (appended past the window so positions
-    #    1-50 stay stable per VERDICT r3 #5; oracle-checked in pytest)
-    "variant_topk_props",
-    "stratified_sample",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
