@@ -105,26 +105,45 @@ def main() -> None:
         # 2.5x inflation on queries that follow the shingle exploders).
         spark._jvm.System.gc()
 
-    # Second, steady-state pass. The sf0.001 warmup above does NOT
-    # cover target-SF codegen: AQE re-plans at sf0.1 stats (different
+    # Steady-state passes. The sf0.001 warmup above does NOT cover
+    # target-SF codegen: AQE re-plans at sf0.1 stats (different
     # broadcast/coalesce/skew decisions), so each first run above pays
     # janino compilation + JIT for the re-planned stages — measured at
     # up to 5s extra on the heaviest plans, which is session-lifetime
     # cost, not query cost. On a long-lived cluster every recurring
-    # query runs steady-state; `steady_*` report that regime as the
-    # per-query MIN over both passes — the noise-robust estimator for a
-    # deterministic workload on a host whose throughput swings multi-x
-    # on a minutes timescale (see BENCHNOTES.md). The first-pass
-    # `value` keeps the round-1-comparable methodology.
-    steady: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = CATALOG[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        steady[name] = round(
-            min(timings[name], time.perf_counter() - t0), 4
-        )
-        spark._jvm.System.gc()
+    # query runs steady-state; `steady_*` report that regime.
+    #
+    # VERDICT r4 #6 (variance discipline): the host's throughput swings
+    # multi-x on a minutes timescale (BENCHNOTES.md: 1.7-6.2s across
+    # four back-to-back reps of the same query), so one steady rep is
+    # not adjudicable. We run THREE target-SF steady reps and report
+    #   steady_queries        — per-query MIN over first pass + 3 reps
+    #                           (noise-robust floor for a deterministic
+    #                           workload under multiplicative host noise)
+    #   steady_median_queries — per-query MEDIAN of the 3 steady reps
+    #                           (the typical-run estimator; a regression
+    #                           real in BOTH min and median is real)
+    # plus os.getloadavg() before/after the timed section so external
+    # load is visible in the record. The first-pass `value` keeps the
+    # round-1-comparable methodology.
+    load_before = os.getloadavg()
+    steady_reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(3):
+        for name in HEADLINE:
+            fn = CATALOG[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            steady_reps[name].append(time.perf_counter() - t0)
+            spark._jvm.System.gc()
+    steady = {
+        name: round(min([timings[name]] + reps), 4)
+        for name, reps in steady_reps.items()
+    }
+    steady_median = {
+        name: round(sorted(reps)[len(reps) // 2], 4)
+        for name, reps in steady_reps.items()
+    }
+    load_after = os.getloadavg()
 
     total = round(sum(timings[n] for n in BASELINE_HEADLINE), 4)
     extended_total = round(sum(timings[n] for n in EXTENDED), 4)
@@ -141,6 +160,15 @@ def main() -> None:
                     sum(steady[n] for n in EXTENDED), 4
                 ),
                 "steady_queries": steady,
+                "steady_median_total": round(
+                    sum(steady_median[n] for n in BASELINE_HEADLINE), 4
+                ),
+                "steady_median_extended_total": round(
+                    sum(steady_median[n] for n in EXTENDED), 4
+                ),
+                "steady_median_queries": steady_median,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,
             }
         )

@@ -49,6 +49,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ver.add_argument("name")
     ver.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ver.add_argument(
+        "--max-rows",
+        type=int,
+        default=1_000_000,
+        help="refuse to compare results larger than this (driver-OOM guard; "
+        "the differential is a test-SF tool, not a production diff)",
+    )
     return p
 
 
@@ -108,8 +115,18 @@ def main(argv: list[str] | None = None, out=None) -> int:
             order = sorted(range(len(cols)), key=lambda i: cols[i])
             return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
+        # Driver-OOM guard: pull at most cap+1 rows — enough to detect
+        # overflow without materializing an unbounded result on the driver.
+        cap = args.max_rows
+        spark_rows = sdf.limit(cap + 1).collect()
+        if len(spark_rows) > cap:
+            raise SystemExit(
+                f"{args.name!r} returned more than --max-rows={cap} rows; "
+                "refusing to collect the full result to the driver. "
+                "Raise --max-rows only if the driver has headroom."
+            )
         s = norm(
-            [tuple(r) for r in sdf.collect()], [c.lower() for c in sdf.columns]
+            [tuple(r) for r in spark_rows], [c.lower() for c in sdf.columns]
         )
         res = con.execute(q.oracle)
         d = norm(res.fetchall(), [c[0].lower() for c in res.description])
