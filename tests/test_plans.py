@@ -449,30 +449,32 @@ def test_bm25_broadcasts_query_terms(spark):
     (Q<<N) BEFORE any aggregation — the r4 shape aggregated the full
     corpus postings (a corpus-vocabulary-wide shuffle Catalyst cannot
     eliminate, since joins don't push below aggregates) and then
-    pruned; the r5 shape collects the query terms once (the documented
-    Q<<N contract) so the prune is an IN literal inside the scan
-    stage, query_id attaches via ONE broadcast of the driver-local
-    pairs relation, and every exchange in the plan is candidate-sized.
-    Document frequency stays a window over the pruned postings, never
-    a vocab-sized aggregate or broadcast (the r3 hazard); doc length
-    rides the tf aggregation instead of being a second derivation of
-    the exploded corpus."""
+    pruned; the query terms are collected once (the documented Q<<N
+    contract) so the prune is an IN literal inside the scan stage.
+
+    r5 df shape: the candidate relation is lazily checkpointed (one
+    corpus tokenize) and document frequency is a ≤|query-vocab|-row
+    re-aggregation of it, broadcast back alongside the precomputed
+    idf/avg_len — TWO broadcast hash joins (termstats + the
+    driver-local qterms pairs) and no candidate-wide df window, which
+    previously re-shuffled and sorted the whole candidate relation."""
     df = CATALOG["bm25_topk"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
-    # exactly one broadcast hash join: the driver-local qterms pairs
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    # exactly two broadcast hash joins: per-term idf/avg_len stats and
+    # the driver-local qterms pairs — both query-vocabulary-sized
+    assert plan.count("BroadcastHashJoin") == 2, plan
     # the term prune is a literal IN/INSET filter, not a join
     assert " INSET " in plan or " IN (" in plan, plan
-    # df-by-window on the pruned postings, not a vocab-sized aggregate
-    assert "Window" in plan, plan
-    # the tf aggregation partial-aggregates map-side
-    assert "partial_count" in plan, plan
-    assert "partial_sum" in plan, plan
-    # two corpus-sized scans only (postings + the 1-row stats agg);
-    # the query probe is collected once at build time, so it never
-    # appears as a runtime scan (the r4 shape ran 4, the r3 shape 11)
-    assert plan.count("Scan parquet") <= 2, plan
+    # the final top-k executes as a group-limit, not a full window sort
+    assert "WindowGroupLimit" in plan, plan
+    # stats branch is the only parquet scan left in the scoring plan:
+    # the candidate subtree reads the checkpointed RDD (ExistingRDD /
+    # LogicalRDD), never re-scans or re-tokenizes the corpus — the tf
+    # partial aggregation lives in the checkpointed subplan, which
+    # materializes exactly once for its two consumers
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_weighted_sample_is_take_ordered(spark):

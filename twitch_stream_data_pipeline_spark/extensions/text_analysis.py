@@ -391,13 +391,23 @@ def bm25_topk(
     - doc length is ``size(tokens)``, computed in the same projection
       that explodes them and carried through the tf aggregation as a
       (functionally dependent) grouping column — no second aggregation;
-    - document frequency is a ``count over (partition by term)`` window
-      ON the pruned tf — exactly one row per (doc, term) exists there,
-      so the count IS the corpus df of each query term (pruning drops
-      other terms, never docs), with no corpus-sized aggregation and
-      nothing vocabulary-sized ever broadcast;
+    - document frequency re-aggregates the pruned tf relation per term
+      (exactly one row per (doc, term) exists there, so the count IS
+      the corpus df of each query term — pruning drops other terms,
+      never docs) into a query-vocabulary-sized relation that also
+      absorbs the 1-row corpus stats, precomputing ``idf`` and
+      ``avg_len`` once per term; that tiny relation broadcast-joins
+      back onto the candidates. The candidate relation is lazily
+      checkpointed so its two consumers (df aggregate, score join)
+      tokenize/explode the corpus exactly ONCE; this replaces the
+      previous ``count over (partition by term)`` window — which
+      re-shuffled AND sorted the whole candidate relation — with a
+      ≤|query-vocab|-row aggregate, and folds the former
+      candidate-wide crossJoin of the stats row into the broadcast
+      side;
     - corpus totals (N, total length) aggregate the un-exploded token
-      arrays: one map-only scan into a 1-row broadcast.
+      arrays: one map-only scan into a 1-row relation joined onto the
+      vocabulary-sized side only.
 
     The per-(query, doc) score is a decimal-routed sum (order-stable),
     and the final top-k is one window per query over the candidate
@@ -425,21 +435,40 @@ def bm25_topk(
         .filter(F.col("term").isin(vocab) if vocab else F.lit(False))
         .groupBy("doc_id", "len_d", "term")
         .agg(F.count("*").alias("tf"))
+        # lazy checkpoint (same pattern as graph.py's label propagation):
+        # the candidate relation has two consumers (df aggregation +
+        # score join); materializing it once keeps the corpus tokenize/
+        # explode single-pass — without it Catalyst prunes the two
+        # branches differently and re-derives candidates from the raw
+        # scan, re-tokenizing the whole corpus for a ≤|vocab|-row
+        # aggregate. Candidate-sized (postings of query terms only,
+        # no document bodies), so the materialization is bounded by the
+        # same Q<<N contract as the driver-collected query pairs.
+        .localCheckpoint(eager=False)
     )
-    dfw = Window.partitionBy("term")
-    cand = cand.withColumn("df", F.count("*").over(dfw))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    avg_len = F.col("total_len").cast("double") / F.col("n_docs")
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("len_d") / avg_len)
+    termstats = (
+        cand.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(stats)
+        .select(
+            "term",
+            idf.alias("idf"),
+            (F.col("total_len").cast("double") / F.col("n_docs")).alias(
+                "avg_len"
+            ),
+        )
     )
-    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("len_d") / F.col("avg_len"))
+    )
+    contrib = F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0)) / denom
     scored = (
-        cand.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
+        cand.join(F.broadcast(termstats), "term")
+        .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(contrib.cast("decimal(25,6)")).cast("double").alias("score")
