@@ -1,0 +1,226 @@
+"""S5/S6: the paged-cursor API source as a Spark 4 Python Data Source.
+
+Fixture layout mirrors a recorded Helix session
+(``scripts/get_raw_data/get_raw_streams_data.py:78-101``): each batch
+directory holds cursor-linked page files; ``pagination.cursor`` names
+the next page, an empty ``pagination`` ends the chain.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from twitch_stream_data_pipeline_spark.sources.paged_api import (
+    END_CURSOR,
+    FilePager,
+    HttpPager,
+    PagedEnvelopeDataSource,
+    PagedEnvelopeStreamReader,
+    _walk,
+)
+
+
+def _write_page(root, batch, cursor, records, next_cursor=None):
+    os.makedirs(os.path.join(root, batch), exist_ok=True)
+    envelope = {"data": records}
+    envelope["pagination"] = {"cursor": next_cursor} if next_cursor else {}
+    with open(os.path.join(root, batch, f"{cursor}.json"), "w") as fh:
+        json.dump(envelope, fh, indent=4)  # reference writes indented
+
+
+@pytest.fixture()
+def session_dir(tmp_path):
+    """Two batches: b1 has a 3-page chain, b2 a single page."""
+    root = str(tmp_path / "recorded")
+    _write_page(root, "b1", "start",
+                [{"id": "1", "game_id": "10"}, {"id": "2", "game_id": "10"}],
+                next_cursor="c1")
+    _write_page(root, "b1", "c1", [{"id": "3", "game_id": "10"}],
+                next_cursor="c2")
+    _write_page(root, "b1", "c2", [{"id": "4", "game_id": "10"}])
+    _write_page(root, "b2", "start", [{"id": "9", "game_id": "20"}])
+    return root
+
+
+def test_batch_read_follows_cursor_chain(spark, session_dir):
+    spark.dataSource.register(PagedEnvelopeDataSource)
+    df = (
+        spark.read.format("paged_envelope")
+        .option("path", session_dir)
+        .load()
+    )
+    rows = sorted(
+        (r["batch_id"], r["page"], r["record_pos"],
+         json.loads(r["value"])["id"])
+        for r in df.collect()
+    )
+    assert rows == [
+        ("b1", 0, 0, "1"), ("b1", 0, 1, "2"),
+        ("b1", 1, 0, "3"), ("b1", 2, 0, "4"),
+        ("b2", 0, 0, "9"),
+    ]
+    # one input partition per batch — the reference's id-batch fan-out
+    assert (
+        df.selectExpr("spark_partition_id() pid", "batch_id")
+        .distinct().count() == 2
+    )
+
+
+def test_batch_read_explicit_batches_option(spark, session_dir):
+    spark.dataSource.register(PagedEnvelopeDataSource)
+    df = (
+        spark.read.format("paged_envelope")
+        .option("path", session_dir)
+        .option("batches", "b2")
+        .load()
+    )
+    assert [r["batch_id"] for r in df.collect()] == ["b2"]
+
+
+def test_walk_raises_on_cursor_cycle(tmp_path):
+    root = str(tmp_path)
+    _write_page(root, "b", "start", [{"id": "1"}], next_cursor="loop")
+    _write_page(root, "b", "loop", [{"id": "2"}], next_cursor="loop")
+    with pytest.raises(RuntimeError, match="cursor cycle"):
+        list(_walk(FilePager(root), "b", "start", 100))
+
+
+def test_walk_raises_on_page_limit(tmp_path):
+    root = str(tmp_path)
+    _write_page(root, "b", "start", [{"id": "1"}], next_cursor="c1")
+    _write_page(root, "b", "c1", [{"id": "2"}], next_cursor="c2")
+    _write_page(root, "b", "c2", [{"id": "3"}])
+    with pytest.raises(RuntimeError, match="page_limit"):
+        list(_walk(FilePager(root), "b", "start", 2))
+
+
+def test_stream_reader_rate_limit_and_offsets(session_dir):
+    """Driver-side protocol test: one page per trigger per batch, the
+    offset is the cursor map, and the chain parks at 'end'."""
+    reader = PagedEnvelopeStreamReader(
+        {"path": session_dir, "max_pages_per_trigger": "1"}
+    )
+    off0 = reader.initialOffset()
+    assert off0 == {"cursors": {"b1": "start", "b2": "start"}}
+
+    rows1, off1 = reader.read(off0)
+    ids1 = sorted(json.loads(v)["id"] for _, _, _, v in rows1)
+    assert ids1 == ["1", "2", "9"]  # page 0 of both batches
+    assert off1 == {"cursors": {"b1": "c1", "b2": END_CURSOR}}
+
+    rows2, off2 = reader.read(off1)
+    assert sorted(json.loads(v)["id"] for _, _, _, v in rows2) == ["3"]
+    assert off2["cursors"]["b1"] == "c2"
+
+    rows3, off3 = reader.read(off2)
+    assert sorted(json.loads(v)["id"] for _, _, _, v in rows3) == ["4"]
+    assert off3 == {"cursors": {"b1": END_CURSOR, "b2": END_CURSOR}}
+
+    rows4, off4 = reader.read(off3)
+    assert list(rows4) == [] and off4 == off3  # exhausted, stable
+
+    # recovery path: deterministic replay of the committed range
+    replay = list(reader.readBetweenOffsets(off0, off1))
+    assert sorted(json.loads(v)["id"] for _, _, _, v in replay) == ids1
+
+
+def test_streaming_end_to_end_with_checkpoint(spark, session_dir, tmp_path):
+    """The real readStream surface: micro-batches respect the page
+    budget and a restart resumes from the checkpointed cursor offset
+    without re-emitting committed pages (exactly-once per page)."""
+    spark.dataSource.register(PagedEnvelopeDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("paged_envelope")
+            .option("path", session_dir)
+            .option("max_pages_per_trigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Python micro-batch sources run a single batch per availableNow
+    # start (Spark logs the fallback), so each run_once processes
+    # exactly one rate-limited micro-batch and checkpoints its cursor
+    # map — three restarts walk the whole 3-page chain with no page
+    # ever re-emitted.
+    run_once()
+    first = sorted(
+        json.loads(r["value"])["id"] for r in spark.read.parquet(out).collect()
+    )
+    assert first == ["1", "2", "9"]  # page 0 of each batch, nothing more
+    run_once()
+    run_once()
+    run_once()  # chain exhausted: must be a no-op, not a replay
+    got = sorted(
+        json.loads(r["value"])["id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == ["1", "2", "3", "4", "9"]
+
+
+def test_http_pager_speaks_helix_protocol():
+    """The live transport sends first/after/batch params and follows
+    the returned cursor — verified against an injected fake opener, no
+    network."""
+    pages = {
+        ("10", None): {"data": [{"id": "1"}],
+                       "pagination": {"cursor": "abc"}},
+        ("10", "abc"): {"data": [{"id": "2"}], "pagination": {}},
+    }
+    seen_urls = []
+
+    class FakeResponse(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req):
+        from urllib.parse import parse_qs, urlparse
+
+        seen_urls.append(req.full_url)
+        q = parse_qs(urlparse(req.full_url).query)
+        key = (q["game_id"][0], q.get("after", [None])[0])
+        assert q["first"] == ["100"]
+        assert req.headers.get("Client-id") == "cid"
+        return FakeResponse(json.dumps(pages[key]).encode())
+
+    pager = HttpPager(
+        "https://api.example.test/streams",
+        batch_param="game_id",
+        page_size=100,
+        headers={"Client-Id": "cid"},
+    )
+    pager._urlopen = fake_urlopen
+    chain = list(_walk(pager, "10", "start", 10))
+    assert [e["data"][0]["id"] for e, _, _ in chain] == ["1", "2"]
+    assert [nxt for _, _, nxt in chain] == ["abc", END_CURSOR]
+    assert len(seen_urls) == 2
+
+
+def test_option_validation(tmp_path):
+    from twitch_stream_data_pipeline_spark.sources.paged_api import (
+        _batches,
+        _make_pager,
+    )
+
+    with pytest.raises(ValueError, match="'path' is required"):
+        _make_pager({})
+    with pytest.raises(ValueError, match="'url' is required"):
+        _make_pager({"transport": "http"})
+    with pytest.raises(ValueError, match="unknown transport"):
+        _make_pager({"transport": "carrier-pigeon"})
+    with pytest.raises(ValueError, match="no batches"):
+        _batches({"path": str(tmp_path)}, FilePager(str(tmp_path)))

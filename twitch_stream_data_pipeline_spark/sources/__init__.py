@@ -4,6 +4,7 @@ from .star import load_star, register_star_views
 from .json_envelope import read_envelope_records
 from .csv_source import read_csv_reference
 from .generators import day_dates_dim, time_of_day_dim
+from .paged_api import PagedEnvelopeDataSource
 
 __all__ = [
     "load_star",
@@ -12,4 +13,5 @@ __all__ = [
     "read_csv_reference",
     "day_dates_dim",
     "time_of_day_dim",
+    "PagedEnvelopeDataSource",
 ]
