@@ -56,9 +56,11 @@ def test_never_verified_r2_queries_inside_window():
         "repetition_stats",
         "pii_scrub",
         "chunk_documents",
-        "intersect_users",
         "above_avg_orders",
-        "scalar_subquery_filter",
+        # intersect_users and scalar_subquery_filter left this set in
+        # round 5: graded green in r03 AND r04, they rotated out to
+        # free slots for the two new round-5 operators (see the
+        # rotation map in test_window_is_round4_order_with_...).
     }
     window = set(EXPOSURE_ORDER[:HARNESS_WINDOW])
     assert never_verified <= window, never_verified - window
@@ -101,11 +103,11 @@ def test_cli_list_and_lookup():
 
 def test_window_is_round4_order_with_documented_r5_rotation():
     """VERDICT r4 #2: the round-5 window is the round-4 graded order
-    with EXACTLY four documented substitutions, each at the position of
-    the query it replaces — the last never-driver-graded oracle-bearing
-    queries rotate in, four triple-green (r01/r02/r04) trivial queries
-    rotate out, and every other position is byte-identical to what the
-    r4 harness graded."""
+    with EXACTLY six documented substitutions, each at the position of
+    the query it replaces — the never-driver-graded oracle-bearing
+    queries plus the two new round-5 operators rotate in, six
+    triple-green trivial queries rotate out, and every other position
+    is byte-identical to what the r4 harness graded."""
     import json
 
     from pathlib import Path
@@ -117,6 +119,8 @@ def test_window_is_round4_order_with_documented_r5_rotation():
         "rollup_lineitem": "stratified_sample",
         "value_percentiles": "multimodal_decode",
         "embedding_centroid": "ivf_knn_exact",
+        "intersect_users": "winnow_near_dup",
+        "scalar_subquery_filter": "bpe_token_stats",
     }
     expected = [rotation.get(n, n) for n in r4_graded]
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected

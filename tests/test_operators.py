@@ -576,3 +576,93 @@ def test_decode_f32le_exact_roundtrip_and_strict_path(spark):
     assert rows[(2, 0)] == 1.0
     assert rows[(2, 1)] is None  # NaN -> NULL through Arrow
     assert not any(v is not None and math.isnan(v) for v in rows.values())
+
+
+def test_winnow_fingerprint_guarantee_and_edges(spark):
+    """Winnowing's defining property: documents sharing a substring of
+    length >= k + w - 1 (= 11 with k=8, w=4) share at least one
+    fingerprint; identical text yields identical fingerprint sets
+    regardless of surrounding case/whitespace; docs shorter than k have
+    none; docs with fewer than w gram hashes get exactly one (the
+    overall min)."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"PREFIX alpha {shared} omega"),
+            (2, f"{shared.upper()}  with   different    spacing"),
+            (3, "completely unrelated zebra text body here"),
+            (4, "tiny"),            # < k chars: no fingerprints
+            (5, "exactlynine"),     # 11 chars: 4 grams = w, 1 window
+            (6, "ninechars"),       # 9 chars: 2 grams < w, overall min
+            (7, ""),                # empty
+        ],
+        "doc_id long, text string",
+    )
+    fps = {d: set() for d in range(1, 8)}
+    for r in winnow_fingerprints(df).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    # case/whitespace normalization makes docs 1 and 2 share the grams
+    # of the 43-char common substring, so the guarantee applies
+    assert fps[1] & fps[2], "shared 43-char substring must share a fp"
+    assert fps[4] == set()
+    assert len(fps[5]) == 1
+    assert len(fps[6]) == 1
+    assert fps[7] == set()
+
+
+def test_winnow_near_dup_pairs_find_duplicates_not_strangers(spark):
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        winnow_near_dup_pairs,
+    )
+
+    body = (
+        "streaming engines shuffle partitioned data across executors "
+        "while broadcast joins keep dimension tables resident in memory"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body + " with a tiny suffix edit"),
+            (3, "an entirely different document about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared"]
+        for r in winnow_near_dup_pairs(df, min_shared=5, max_fp_df=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 5
+    assert not any(3 in p for p in pairs)
+
+
+def test_bpe_token_count_examples(spark):
+    from twitch_stream_data_pipeline_spark.extensions.text_analysis import (
+        bpe_token_count,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),        # 2 pre-tokens
+            (2, "it's fine"),          # it | 's | " fine"
+            (3, "x=42"),               # x | = | 42
+            (4, ""),                   # empty
+            (5, "a  b"),               # "a" + " b" + residual space
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[1] == 2
+    assert got[2] == 3
+    assert got[3] == 3
+    assert got[4] == 0
+    assert got[5] == 3

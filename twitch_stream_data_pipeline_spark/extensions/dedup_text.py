@@ -451,3 +451,110 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprints) — Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD'03),
+# the MOSS algorithm; the character-level near-dup tier below the word
+# n-gram one (catches reordered/partially-overlapping text that word
+# shingles miss, and is tokenizer-independent — the standard choice for
+# code corpora in LLM data pipelines).
+# ---------------------------------------------------------------------------
+
+#: Rabin-Karp polynomial hash parameters. base * mod < 2^63 / mod keeps
+#: every intermediate (acc * 257 + char) strictly inside signed-64 —
+#: exact in Spark AND DuckDB, no silent wraparound (same discipline as
+#: MINHASH_PRIME above).
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document: ``doc_id, fp``.
+
+    Text is normalized (lowercase, whitespace runs collapsed to one
+    space), hashed as Rabin-Karp polynomial hashes of every ``k``-char
+    gram, and winnowed: the minimum hash of each ``w``-wide window of
+    consecutive gram hashes is a fingerprint. Guarantees of the
+    winnowing scheme: any shared substring of length >= ``k + w - 1``
+    produces at least one shared fingerprint, and the fingerprint
+    density is ~``2/(w+1)`` — a principled, tunable sample of the gram
+    space rather than an arbitrary one.
+
+    Built entirely from JVM column expressions (sequence/transform/
+    aggregate/slice/array_min) — no UDF, no shuffle until the caller
+    aggregates; the per-document work is O(chars * k) with k fixed at
+    8, embarrassingly parallel over the corpus. Documents shorter than
+    ``k`` chars produce no fingerprints; with fewer than ``w`` gram
+    hashes the single overall min is the fingerprint (both guards are
+    mirrored in the DuckDB oracle — Spark's ``sequence(1, 0)`` counts
+    DOWN, so the empty cases must be explicit).
+
+    The polynomial hash (not md5 here) is deliberate: it IS the
+    rolling-hash family winnowing was defined over, and its modular
+    arithmetic is exactly reproducible in any signed-64 SQL engine.
+
+    Implementation note — the normalized text and the gram-hash array
+    are bound as LAMBDA VARIABLES (``transform(array(x), v -> ...)``
+    let-binding) rather than intermediate projected columns. Projected
+    intermediates get inlined by ``CollapseProject``, and an inlined
+    array expression referenced inside the windowing lambda re-evaluates
+    PER WINDOW — turning the per-document cost from O(chars·k) into
+    O(chars²·k) plus a regex per gram (measured: a 100-document slice
+    went from sub-second to unkillable). A lambda variable is evaluated
+    once per row no matter how the optimizer rewrites the projection.
+    """
+    b, m = WINNOW_BASE, WINNOW_MOD
+    fps = f"""
+    element_at(transform(array(regexp_replace(lower({text_col}), '\\\\s+', ' ')), __wn ->
+      element_at(transform(array(
+        CASE WHEN length(__wn) >= {k} THEN
+          transform(sequence(1, length(__wn) - {k - 1}), i ->
+            aggregate(split(substring(__wn, i, {k}), ''), 0L,
+              (acc, ch) -> (acc * {b}L + ascii(ch)) % {m}L))
+        ELSE cast(array() as array<bigint>) END), __gh ->
+        CASE WHEN size(__gh) >= {w} THEN
+          array_distinct(transform(sequence(1, size(__gh) - {w - 1}),
+            j -> array_min(slice(__gh, j, {w}))))
+        WHEN size(__gh) >= 1 THEN array(array_min(__gh))
+        ELSE cast(array() as array<bigint>) END
+      ), 1)
+    ), 1)
+    """
+    return df.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 100,
+) -> DataFrame:
+    """Character-level near-duplicate pairs via shared winnowing
+    fingerprints: ``doc_a < doc_b`` with ``shared`` >= ``min_shared``.
+
+    Same 100 TB plan shape as :func:`ngram_jaccard_pairs`: fingerprint
+    posting-list buckets (one shuffle of ``(fp, doc_id)`` pairs — 8-byte
+    hashes, never text), ``max_fp_df`` caps the O(f^2) blowup of a
+    boilerplate fingerprint shared by f documents, and pairs generate
+    inside each cap-bounded bucket array — no self-join.
+    """
+    fp = winnow_fingerprints(df, text_col, k, w)
+    buckets = fp.groupBy("fp").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("members")
+    )
+    sz = F.size("members")
+    if max_fp_df is not None:
+        buckets = buckets.filter(sz <= max_fp_df)
+    return (
+        buckets.filter(sz >= 2)
+        .select(F.explode(_bucket_pairs("members")).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
