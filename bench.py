@@ -62,6 +62,11 @@ EXTENDED = (
     "boilerplate_ratio",
     "trailing_hour_sum",
     "bm25_topk",
+    # round 5: the two new curation operators. NOTE extended_total is
+    # therefore not directly comparable with BENCH_r04 — subtract these
+    # two queries for an apples-to-apples read (see BENCHNOTES.md).
+    "winnow_near_dup",
+    "bpe_token_stats",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED
