@@ -559,3 +559,32 @@ def test_spread_is_noop_on_wide_scans(spark, tmp_path):
     narrow = spark.read.parquet(path).coalesce(1)
     plan = _spread(narrow, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_winnow_near_dup_is_bucketed_no_self_join(spark):
+    """The winnowing pair plan must be the posting-list-bucket shape:
+    one groupBy(fp) collecting members, pairs expanded IN-ARRAY inside
+    each cap-bounded bucket — no join operator, no cartesian product,
+    and the shuffled relation carries (fp, doc_id) hashes, never text.
+    The fingerprint derivation itself must be a single projection over
+    the scan (lambda-bound let expressions), not a chain of collapsible
+    intermediate projections."""
+    df = CATALOG["winnow_near_dup"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # both aggregations map-side combine
+    assert "partial_" in plan, plan
+    # one corpus scan feeds everything ("FileScan parquet" contains the
+    # substring "Scan parquet", so count a single spelling)
+    assert max(plan.count("FileScan"), plan.count("Scan parquet")) <= 1, plan
+
+
+def test_bpe_token_stats_prunes_and_stays_scan_local(spark):
+    """Token counting is a map-only projection: no shuffle beyond the
+    deliberate _docs rebalance, no join, and the scan reads only the
+    two referenced columns."""
+    df = CATALOG["bpe_token_stats"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
