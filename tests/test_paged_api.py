@@ -224,3 +224,69 @@ def test_option_validation(tmp_path):
         _make_pager({"transport": "carrier-pigeon"})
     with pytest.raises(ValueError, match="no batches"):
         _batches({"path": str(tmp_path)}, FilePager(str(tmp_path)))
+
+
+def test_paged_ingest_composes_with_golden_pipeline(spark, tmp_path):
+    """End-to-end S5 parity: the reference's 3,915-record raw shard,
+    re-recorded as a cursor-paginated API session (100 records/page,
+    the Helix `first: 100` page size), ingested through the
+    paged_envelope source, parsed with the S1 record schema, and run
+    through process_raw_streams + curate_streams — must match the
+    reference's own processed/curated goldens exactly. This is the
+    ingest path a reference user would actually migrate: API loop ->
+    engine source, not a side-channel feeder."""
+    import pyspark.sql.functions as F
+
+    from twitch_stream_data_pipeline_spark import schemas
+    from twitch_stream_data_pipeline_spark.pipeline.streams import (
+        curate_streams,
+        process_raw_streams,
+    )
+
+    from .test_golden_replay import PROCESSED, RAW, assert_matches_golden
+
+    shard = json.load(
+        open(
+            f"{RAW}/raw_streams_data/20260111_1715/"
+            "raw_streams_data_X370699X_20260111_1715.json"
+        )
+    )
+    records = shard["data"]
+    root = str(tmp_path / "session")
+    page_size = 100
+    pages = [
+        records[i : i + page_size] for i in range(0, len(records), page_size)
+    ]
+    cursors = ["start"] + [f"c{i}" for i in range(1, len(pages))]
+    for i, (cur, page) in enumerate(zip(cursors, pages)):
+        nxt = cursors[i + 1] if i + 1 < len(pages) else None
+        _write_page(root, "slot_20260111_1715", cur, page, next_cursor=nxt)
+
+    spark.dataSource.register(PagedEnvelopeDataSource)
+    paged = (
+        spark.read.format("paged_envelope")
+        .option("path", root)
+        .option("page_limit", "100")
+        .load()
+    )
+    parsed = paged.select(
+        F.lit(shard["day_date_id"]).alias("day_date_id"),
+        F.lit(shard["time_of_day_id"]).alias("time_of_day_id"),
+        F.col("batch_id").alias("source_file"),
+        (F.col("page") * page_size + F.col("record_pos")).alias("record_pos"),
+        F.from_json("value", schemas.RAW_STREAM_RECORD).alias("record"),
+    ).select(
+        "day_date_id",
+        "time_of_day_id",
+        "source_file",
+        "record_pos",
+        *[f"record.{f.name}" for f in schemas.RAW_STREAM_RECORD.fields],
+    )
+    processed = process_raw_streams(parsed)
+    assert_matches_golden(
+        processed,
+        f"{PROCESSED}/processed_streams_data/20260111/"
+        "processed_streams_data_20260111_1715.csv",
+    )
+    curated = curate_streams(processed, "20260111", "1715")
+    assert curated.count() == processed.count()
