@@ -100,32 +100,75 @@ def test_walk_raises_on_page_limit(tmp_path):
 
 def test_stream_reader_rate_limit_and_offsets(session_dir):
     """Driver-side protocol test: one page per trigger per batch, the
-    offset is the cursor map, and the chain parks at 'end'."""
+    offset is the (cursor, pages_done) chain position, the emitted
+    ``page`` column is CHAIN-GLOBAL (identical to what the batch
+    reader emits for the same directory), and the chain parks at
+    'end'."""
     reader = PagedEnvelopeStreamReader(
         {"path": session_dir, "max_pages_per_trigger": "1"}
     )
     off0 = reader.initialOffset()
-    assert off0 == {"cursors": {"b1": "start", "b2": "start"}}
+    assert off0 == {
+        "cursors": {"b1": "start", "b2": "start"},
+        "pages": {"b1": 0, "b2": 0},
+    }
 
     rows1, off1 = reader.read(off0)
+    rows1 = list(rows1)
     ids1 = sorted(json.loads(v)["id"] for _, _, _, v in rows1)
     assert ids1 == ["1", "2", "9"]  # page 0 of both batches
-    assert off1 == {"cursors": {"b1": "c1", "b2": END_CURSOR}}
+    assert {(b, p) for b, p, _, _ in rows1} == {("b1", 0), ("b2", 0)}
+    assert off1 == {
+        "cursors": {"b1": "c1", "b2": END_CURSOR},
+        "pages": {"b1": 1, "b2": 1},
+    }
 
     rows2, off2 = reader.read(off1)
+    rows2 = list(rows2)
     assert sorted(json.loads(v)["id"] for _, _, _, v in rows2) == ["3"]
-    assert off2["cursors"]["b1"] == "c2"
+    # chain-global numbering: this is page 1 of b1, not "page 0 of the
+    # second micro-batch" (streaming/batch parity for derived keys)
+    assert [(b, p) for b, p, _, _ in rows2] == [("b1", 1)]
+    assert off2["cursors"]["b1"] == "c2" and off2["pages"]["b1"] == 2
 
     rows3, off3 = reader.read(off2)
-    assert sorted(json.loads(v)["id"] for _, _, _, v in rows3) == ["4"]
-    assert off3 == {"cursors": {"b1": END_CURSOR, "b2": END_CURSOR}}
+    rows3 = list(rows3)
+    assert [(b, p) for b, p, _, _ in rows3] == [("b1", 2)]
+    assert off3["cursors"] == {"b1": END_CURSOR, "b2": END_CURSOR}
 
     rows4, off4 = reader.read(off3)
     assert list(rows4) == [] and off4 == off3  # exhausted, stable
 
-    # recovery path: deterministic replay of the committed range
+    # recovery path: deterministic replay of the committed range,
+    # with the same chain-global page numbers
     replay = list(reader.readBetweenOffsets(off0, off1))
     assert sorted(json.loads(v)["id"] for _, _, _, v in replay) == ids1
+    replay2 = list(reader.readBetweenOffsets(off1, off2))
+    assert [(b, p) for b, p, _, _ in replay2] == [("b1", 1)]
+
+
+def test_stream_reader_parks_on_unrecorded_page(tmp_path):
+    """A recorder mid-write (pagination.cursor committed before the
+    next page file exists) must PARK the batch — emit nothing, keep the
+    cursor — and resume when the page appears, never kill the query."""
+    root = str(tmp_path / "live")
+    _write_page(root, "b", "start", [{"id": "1"}], next_cursor="pending")
+    reader = PagedEnvelopeStreamReader(
+        {"path": root, "max_pages_per_trigger": "5"}
+    )
+    rows1, off1 = reader.read(reader.initialOffset())
+    assert [json.loads(v)["id"] for _, _, _, v in rows1] == ["1"]
+    assert off1["cursors"]["b"] == "pending"  # parked, not crashed
+
+    rows2, off2 = reader.read(off1)
+    assert list(rows2) == [] and off2 == off1  # still parked
+
+    _write_page(root, "b", "pending", [{"id": "2"}])  # recorder catches up
+    rows3, off3 = reader.read(off2)
+    assert [(b, p, json.loads(v)["id"]) for b, p, _, v in rows3] == [
+        ("b", 1, "2")
+    ]
+    assert off3["cursors"]["b"] == END_CURSOR
 
 
 def test_streaming_end_to_end_with_checkpoint(spark, session_dir, tmp_path):

@@ -129,7 +129,15 @@ def main(argv: list[str] | None = None, out=None) -> int:
             [tuple(r) for r in spark_rows], [c.lower() for c in sdf.columns]
         )
         res = con.execute(q.oracle)
-        d = norm(res.fetchall(), [c[0].lower() for c in res.description])
+        # the guard must be symmetric: a Spark plan bug can UNDER-produce
+        # while the correct oracle explodes, so cap the DuckDB side too
+        oracle_rows = res.fetchmany(cap + 1)
+        if len(oracle_rows) > cap:
+            raise SystemExit(
+                f"{args.name!r} oracle returned more than --max-rows={cap} "
+                "rows; refusing to materialize the full result."
+            )
+        d = norm(oracle_rows, [c[0].lower() for c in res.description])
         if s == d:
             print(f"MATCH: {args.name} ({len(s)} rows, spark == duckdb)", file=out)
             return 0

@@ -227,14 +227,21 @@ class PagedEnvelopeReader(DataSourceReader):
 
 
 class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
-    """Offsets ARE the cursor map: ``{"cursors": {batch: cursor}}``.
+    """Offsets ARE the chain position: ``{"cursors": {batch: cursor},
+    "pages": {batch: pages_done}}``.
 
-    Each micro-batch advances every batch's chain by at most
-    ``max_pages_per_trigger`` pages (rate limiting, the
-    ``maxFilesPerTrigger`` analog); a batch whose chain is exhausted
-    parks at ``end`` and re-checks on later triggers only if the
-    recorded directory grows a page under the same cursor (a live
-    recorder appending pages)."""
+    ``pages_done`` makes the ``page`` output column CHAIN-GLOBAL — the
+    same record carries the same (batch_id, page, record_pos) key
+    whether it arrived through one batch read or many rate-limited
+    micro-batches (streaming/batch parity for downstreams that derive
+    positions from it). Each micro-batch advances every batch's chain
+    by at most ``max_pages_per_trigger`` pages (rate limiting, the
+    ``maxFilesPerTrigger`` analog). A cursor whose page is not yet
+    recorded (a live recorder mid-write: ``pagination.cursor`` written
+    before the next file exists) PARKS — the batch emits nothing this
+    trigger and retries the same cursor on the next one — instead of
+    killing the query. ``end`` is terminal, mirroring the reference's
+    ``cursor = "end"`` loop exit: a finished chain is never re-read."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -243,39 +250,76 @@ class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
         self._pager = _make_pager(self.options)
 
     def initialOffset(self) -> dict:
-        pager = self._pager
+        batches = _batches(self.options, self._pager)
         return {
-            "cursors": {b: START_CURSOR for b in _batches(self.options, pager)}
+            "cursors": {b: START_CURSOR for b in batches},
+            "pages": {b: 0 for b in batches},
         }
+
+    def _advance(self, batch_id: str, cursor: str, page_no: int,
+                 max_pages: int, collect):
+        """Walk ``batch_id``'s chain from ``cursor`` for at most
+        ``max_pages`` pages, passing (envelope, page_no) to
+        ``collect``; returns the (cursor, page_no) to commit. Parks on
+        a not-yet-recorded page file; guards cursor cycles within the
+        walk (the committed offset makes cross-trigger loops visible as
+        a never-advancing cursor, which parks rather than spins)."""
+        seen: set[str] = set()
+        taken = 0
+        while cursor != END_CURSOR and taken < max_pages:
+            if cursor in seen:
+                raise RuntimeError(
+                    f"paged_envelope: cursor cycle at {cursor!r} in batch "
+                    f"{batch_id!r}"
+                )
+            seen.add(cursor)
+            if page_no >= self.page_limit:
+                raise RuntimeError(
+                    f"paged_envelope: batch {batch_id!r} exceeded "
+                    f"page_limit={self.page_limit}; raise the option if "
+                    "the chain is real"
+                )
+            try:
+                envelope = self._pager.fetch(batch_id, cursor)
+            except FileNotFoundError:
+                break  # page not recorded yet: park, retry next trigger
+            pagination = envelope.get("pagination") or {}
+            collect(envelope, page_no)
+            cursor = pagination.get("cursor") or END_CURSOR
+            page_no += 1
+            taken += 1
+        return cursor, page_no
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         out: list[Tuple] = []
-        end = {"cursors": dict(start["cursors"])}
+        start_pages = start.get("pages", {})
+        end = {"cursors": dict(start["cursors"]), "pages": dict(start_pages)}
         for batch_id, cursor in start["cursors"].items():
             if cursor == END_CURSOR:
                 continue
-            taken = 0
-            page_no = 0
-            for envelope, _cur, nxt in _walk(
-                self._pager, batch_id, cursor, self.page_limit
-            ):
-                out.extend(_rows(envelope, batch_id, page_no))
-                end["cursors"][batch_id] = nxt
-                taken += 1
-                page_no += 1
-                if taken >= self.max_pages:
-                    break
+            cursor, page_no = self._advance(
+                batch_id,
+                cursor,
+                int(start_pages.get(batch_id, 0)),
+                self.max_pages,
+                lambda env, pno, b=batch_id: out.extend(_rows(env, b, pno)),
+            )
+            end["cursors"][batch_id] = cursor
+            end["pages"][batch_id] = page_no
         return iter(out), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         # deterministic replay of a committed range — file transport
         # only (a live API cannot replay); used by Spark on recovery.
+        # Committed ranges were fully recorded when first read, so a
+        # missing page here is corruption and raises loudly.
+        start_pages = start.get("pages", {})
         for batch_id, cursor in start["cursors"].items():
             stop = end["cursors"].get(batch_id, END_CURSOR)
             if cursor == stop:
                 continue
-            page_no = 0
-            for envelope, cur, nxt in _walk(
+            page_no = int(start_pages.get(batch_id, 0))
+            for envelope, _cur, nxt in _walk(
                 self._pager, batch_id, cursor, self.page_limit
             ):
                 yield from _rows(envelope, batch_id, page_no)
