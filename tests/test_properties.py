@@ -160,3 +160,52 @@ def test_events_decode_is_encoding_independent(spark, tmp_path_factory, epochs):
         }
     expect = {i: (e // 1_000_000, e) for i, e in enumerate(epochs)}
     assert decoded["ns"] == decoded["us"] == expect
+
+
+def _brute_winnow(text, k=8, w=4, b=257, m=1_000_000_007):
+    """Independent pure-Python winnowing (true rolling form would give
+    identical values; direct evaluation keeps the reference obvious)."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower())
+    if len(norm) < k:
+        return set()
+    gh = []
+    for i in range(len(norm) - k + 1):
+        acc = 0
+        for ch in norm[i : i + k]:
+            acc = (acc * b + ord(ch)) % m
+        gh.append(acc)
+    if len(gh) < w:
+        return {min(gh)}
+    return {min(gh[j : j + w]) for j in range(len(gh) - w + 1)}
+
+
+_chars = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(st.lists(_chars, min_size=1, max_size=6))
+@_SETTINGS
+def test_winnow_fingerprints_match_reference_implementation(spark, texts):
+    """The Spark column-expression winnowing (lambda-bound let
+    expressions, signed-64 modular arithmetic) must equal an
+    independent pure-Python implementation on arbitrary printable
+    text — including short docs, whitespace runs, empty strings, and
+    punctuation-only bodies."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    expect = {i: _brute_winnow(t) for i, t in enumerate(texts)}
+    expect = {i: s for i, s in expect.items() if s}
+    assert got == expect, (got, expect)
