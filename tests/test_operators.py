@@ -666,3 +666,55 @@ def test_bpe_token_count_examples(spark):
     assert got[3] == 3
     assert got[4] == 0
     assert got[5] == 3
+
+
+def test_pool_features_adaptive_average_windows(spark):
+    """The multimodal resize: AdaptiveAvgPool1d window semantics —
+    dim j averages input[floor(j*n/out) : ceil((j+1)*n/out)] — for
+    downsample, identity, upsample-by-repeat, and empty inputs
+    (all-NULL, never silently zero)."""
+    from twitch_stream_data_pipeline_spark.extensions.multimodal import (
+        pool_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [2.0, 4.0, 6.0, 8.0]),        # 4 -> 2: [3.0, 7.0]
+            (2, [1.0, 2.0, 3.0]),             # 3 -> 2: [1.5, 2.5] (torch)
+            (3, [5.0, 7.0]),                  # 2 -> 2: identity
+            (4, [9.0]),                       # 1 -> 2: repeat [9.0, 9.0]
+            (5, []),                          # 0 -> 2: [NULL, NULL]
+        ],
+        "doc_id long, features array<double>",
+    )
+    got = {
+        r["doc_id"]: r["features"]
+        for r in pool_features(df, out_dim=2).collect()
+    }
+    assert got[1] == [3.0, 7.0]
+    assert got[2] == [1.5, 2.5]
+    assert got[3] == [5.0, 7.0]
+    assert got[4] == [9.0, 9.0]
+    assert got[5] == [None, None]
+
+    # composes with the real strict decode: 16-dim f32 vectors pool to 4
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from twitch_stream_data_pipeline_spark.extensions.multimodal import (
+        extract_features,
+    )
+
+    payload = struct.pack("<16f", *range(16))
+    bdf = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    feats = extract_features(bdf, strict=True).withColumn(
+        "features", F.col("features").cast("array<double>")
+    )
+    pooled = pool_features(feats, out_dim=4).collect()[0]["features"]
+    assert pooled == [1.5, 5.5, 9.5, 13.5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        pool_features(df, out_dim=0)

@@ -182,3 +182,44 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
             "frame_md5"
         ),
     )
+
+
+def pool_features(
+    df: DataFrame,
+    out_dim: int,
+    features_col: str = "features",
+) -> DataFrame:
+    """Resize a decoded feature vector to ``out_dim`` by adaptive
+    average pooling — the multimodal "resize" step (image thumbnail /
+    waveform downsample analog, operating on the decoded tensor rather
+    than the codec): dimension ``j`` of the output averages the input
+    slice ``[floor(j*n/out), ceil((j+1)*n/out))`` — exactly
+    AdaptiveAvgPool1d's window rule, so any non-empty input length
+    maps deterministically onto a fixed output shape with every window
+    non-empty (upsampling repeats values, the pool analog of
+    nearest-neighbor resize). Empty inputs pool to all-NULL — honest
+    missingness, no silent zero-fill.
+
+    Pure JVM column expressions (sequence + slice + aggregate over a
+    lambda-bound vector — the CollapseProject-safe let-binding, see
+    winnow_fingerprints) — no Python in the loop, embarrassingly
+    parallel, no shuffle. Emits the input columns with ``features``
+    replaced by the pooled ``array<double>``.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    lo = f"(j * size(__v)) div {out_dim}"
+    hi = f"((j + 1) * size(__v) + {out_dim - 1}) div {out_dim}"
+    pooled = f"""
+    element_at(transform(array({features_col}), __v ->
+      transform(sequence(0, {out_dim - 1}), j ->
+        CASE WHEN ({hi}) > ({lo}) THEN
+          aggregate(
+            slice(__v, ({lo}) + 1, ({hi}) - ({lo})),
+            cast(0.0 as double), (acc, x) -> acc + x,
+            acc -> acc / (({hi}) - ({lo})))
+        END)
+    ), 1)
+    """
+    others = [c for c in df.columns if c != features_col]
+    return df.select(*others, F.expr(pooled).alias(features_col))
