@@ -718,3 +718,56 @@ def test_pool_features_adaptive_average_windows(spark):
 
     with _pytest.raises(ValueError, match="out_dim"):
         pool_features(df, out_dim=0)
+
+
+def test_ivf_index_layout_pruning_and_exactness(spark, tmp_path):
+    """The materialized inverted file: build writes a cell-partitioned
+    layout + persisted quantizer; probing every cell equals brute-force
+    cosine exactly; probing fewer cells prunes partitions in the
+    physical plan (PartitionFilters on cell, the whole point of the
+    layout)."""
+    import os
+
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        cosine_knn,
+        ivf_index_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=8)
+
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(cells) <= 8, cells
+    assert os.path.isdir(f"{path}/_quantizer")
+    # layout and source agree on cardinality
+    assert spark.read.parquet(path).count() == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    full = ivf_index_knn(spark, path, q, k=5, n_probe=8)
+    exact = cosine_knn(q, emb, k=5)
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in rows
+        )
+    assert key(full.collect()) == key(exact.collect())
+
+    probed = ivf_index_knn(spark, path, q, k=5, n_probe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l
+    )
+    assert "cell" in scan_line, scan_line
+    rows = probed.collect()
+    assert rows, "probing 2 of 8 cells must still return neighbors"
+    # approximate results are a subset of pairs scored identically
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_knn(q, emb, k=len(cells) * 64).collect()
+    }
+    for r in rows:
+        pair = (r["query_id"], r["neighbor_id"])
+        assert pair in exact_scores and exact_scores[pair] == r["cosine"], pair
