@@ -111,6 +111,7 @@ def test_stream_reader_rate_limit_and_offsets(session_dir):
     assert off0 == {
         "cursors": {"b1": "start", "b2": "start"},
         "pages": {"b1": 0, "b2": 0},
+        "stalls": {"b1": 0, "b2": 0},
     }
 
     rows1, off1 = reader.read(off0)
@@ -121,6 +122,7 @@ def test_stream_reader_rate_limit_and_offsets(session_dir):
     assert off1 == {
         "cursors": {"b1": "c1", "b2": END_CURSOR},
         "pages": {"b1": 1, "b2": 1},
+        "stalls": {"b1": 0, "b2": 0},
     }
 
     rows2, off2 = reader.read(off1)
@@ -161,7 +163,10 @@ def test_stream_reader_parks_on_unrecorded_page(tmp_path):
     assert off1["cursors"]["b"] == "pending"  # parked, not crashed
 
     rows2, off2 = reader.read(off1)
-    assert list(rows2) == [] and off2 == off1  # still parked
+    assert list(rows2) == []  # still parked
+    assert off2["cursors"] == off1["cursors"]
+    assert off2["pages"] == off1["pages"]
+    assert off2["stalls"]["b"] == 1  # the no-progress trigger is counted
 
     _write_page(root, "b", "pending", [{"id": "2"}])  # recorder catches up
     rows3, off3 = reader.read(off2)
@@ -333,3 +338,31 @@ def test_paged_ingest_composes_with_golden_pipeline(spark, tmp_path):
     )
     curated = curate_streams(processed, "20260111", "1715")
     assert curated.count() == processed.count()
+
+
+def test_stream_reader_self_loop_and_stall_alarm(tmp_path):
+    """Guard rails: a page naming itself as next raises immediately
+    even at one page per trigger; the opt-in max_consecutive_stalls
+    alarm converts a permanently-missing page from an invisible
+    forever-park into a loud error, with the stall count carried in
+    the offset."""
+    root = str(tmp_path / "bad")
+    _write_page(root, "loopy", "start", [{"id": "1"}], next_cursor="start")
+    reader = PagedEnvelopeStreamReader(
+        {"path": root, "max_pages_per_trigger": "1"}
+    )
+    with pytest.raises(RuntimeError, match="self-loop"):
+        reader.read(reader.initialOffset())
+
+    root2 = str(tmp_path / "stalled")
+    _write_page(root2, "b", "start", [{"id": "1"}], next_cursor="never")
+    reader2 = PagedEnvelopeStreamReader(
+        {"path": root2, "max_pages_per_trigger": "1",
+         "max_consecutive_stalls": "2"}
+    )
+    rows, off = reader2.read(reader2.initialOffset())
+    assert len(list(rows)) == 1 and off["stalls"]["b"] == 0
+    rows, off = reader2.read(off)  # stall 1: parked, counted, tolerated
+    assert list(rows) == [] and off["stalls"]["b"] == 1
+    with pytest.raises(RuntimeError, match="consecutive triggers"):
+        reader2.read(off)  # stall 2 hits the alarm

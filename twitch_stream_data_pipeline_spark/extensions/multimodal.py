@@ -208,10 +208,13 @@ def pool_features(
     """
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if features_col not in df.columns:
+        raise ValueError(f"pool_features: no column {features_col!r}")
+    quoted = "`" + features_col.replace("`", "``") + "`"
     lo = f"(j * size(__v)) div {out_dim}"
     hi = f"((j + 1) * size(__v) + {out_dim - 1}) div {out_dim}"
     pooled = f"""
-    element_at(transform(array({features_col}), __v ->
+    element_at(transform(array({quoted}), __v ->
       transform(sequence(0, {out_dim - 1}), j ->
         CASE WHEN ({hi}) > ({lo}) THEN
           aggregate(
@@ -221,5 +224,12 @@ def pool_features(
         END)
     ), 1)
     """
-    others = [c for c in df.columns if c != features_col]
-    return df.select(*others, F.expr(pooled).alias(features_col))
+    # substitute in place: column ORDER is part of the contract
+    # ("input columns with features replaced"), positional consumers
+    # (union-by-position, golden CSV compares) must see it unchanged
+    return df.select(
+        *[
+            F.expr(pooled).alias(features_col) if c == features_col else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -274,6 +274,8 @@ def _train_coarse_quantizer(
         .collect()  # intentionally driver-side: quantizer training sample
     )
     X = np.array([r["v"] for r in train], dtype=np.float64)
+    if X.size == 0:
+        return X.reshape(0, 0)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     cent = X[: min(n_cells, len(X))].copy()
     for _ in range(iters):
@@ -423,9 +425,19 @@ def build_ivf_index(
 
     from ..sinks import write_partitioned
 
+    reserved = {"cell", "q_vec"} & set(candidates.columns)
+    if reserved:
+        raise ValueError(
+            f"build_ivf_index: candidates already carry reserved column(s) "
+            f"{sorted(reserved)} — rename them (an index read back from "
+            "disk includes 'cell'; drop it before rebuilding)"
+        )
     cent = _train_coarse_quantizer(
         candidates, n_cells, train_size, iters, id_col, vec_col
     )
+    if len(cent) == 0:
+        raise ValueError("build_ivf_index: candidates are empty — nothing "
+                         "to train the quantizer on")
 
     def assign(batches):
         for pdf in batches:
@@ -487,6 +499,10 @@ def ivf_index_knn(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
     ).collect()  # ANN contract: Q << N
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qf = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
     qn = qf / np.linalg.norm(qf, axis=1, keepdims=True)
     n_probe = min(n_probe, len(cent))
@@ -497,14 +513,15 @@ def ivf_index_knn(
     ]
     all_cells = sorted({c for _, cells in probed for c in cells})
 
+    # the query relation was already collected above — build the probe
+    # relation from those rows instead of re-evaluating `queries`'s
+    # lineage a second time through a join
     qdf = spark.createDataFrame(
-        [(qid, cells) for qid, cells in probed], "query_id long, probe array<int>"
-    ).join(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            quantized_embedding(F.col(vec_col)).alias("q_vec"),
-        ),
-        "query_id",
+        [
+            (qid, cells, list(r["q_vec"]))
+            for (qid, cells), r in zip(probed, q_rows)
+        ],
+        "query_id long, probe array<int>, q_vec array<bigint>",
     )
     cand = (
         spark.read.parquet(path)

@@ -241,12 +241,33 @@ class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
     before the next file exists) PARKS — the batch emits nothing this
     trigger and retries the same cursor on the next one — instead of
     killing the query. ``end`` is terminal, mirroring the reference's
-    ``cursor = "end"`` loop exit: a finished chain is never re-read."""
+    ``cursor = "end"`` loop exit: a finished chain is never re-read.
+
+    Guard rails, honestly stated:
+
+    - ``page_limit`` bounds the TOTAL chain length per batch (default
+      10000) — the runaway/cycle backstop. A long-lived live chain
+      must raise it; the ceiling exists because a cursor cycle longer
+      than one trigger window cannot be detected statelessly (the
+      offset holds one cursor, not the visited set), so bounding chain
+      length is what turns an undetected cycle from an infinite
+      duplicate stream into a loud error. Self-loops (a page naming
+      itself as next) and cycles shorter than one trigger's walk are
+      detected immediately.
+    - ``max_consecutive_stalls`` (default 0 = unlimited) raises after
+      N successive triggers in which a parked batch made no progress —
+      the opt-in alarm that distinguishes a recorder that is merely
+      behind from a page file that will never exist (deleted /
+      recorder dead). Unlimited by default because a legitimate
+      recorder can lag arbitrarily; set it when liveness matters more
+      than patience. Stall counts ride in the offset
+      (``{"stalls": {batch: n}}``) so they survive query restarts."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
         self.page_limit = int(options.get("page_limit", "10000"))
         self.max_pages = int(options.get("max_pages_per_trigger", "1"))
+        self.max_stalls = int(options.get("max_consecutive_stalls", "0"))
         self._pager = _make_pager(self.options)
 
     def initialOffset(self) -> dict:
@@ -254,6 +275,7 @@ class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
         return {
             "cursors": {b: START_CURSOR for b in batches},
             "pages": {b: 0 for b in batches},
+            "stalls": {b: 0 for b in batches},
         }
 
     def _advance(self, batch_id: str, cursor: str, page_no: int,
@@ -261,9 +283,10 @@ class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
         """Walk ``batch_id``'s chain from ``cursor`` for at most
         ``max_pages`` pages, passing (envelope, page_no) to
         ``collect``; returns the (cursor, page_no) to commit. Parks on
-        a not-yet-recorded page file; guards cursor cycles within the
-        walk (the committed offset makes cross-trigger loops visible as
-        a never-advancing cursor, which parks rather than spins)."""
+        a not-yet-recorded page file. Cycle detection is best-effort by
+        construction: self-loops and cycles shorter than this trigger's
+        walk raise here; longer cycles are only caught by the
+        ``page_limit`` chain-length ceiling (see class docstring)."""
         seen: set[str] = set()
         taken = 0
         while cursor != END_CURSOR and taken < max_pages:
@@ -276,16 +299,23 @@ class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
             if page_no >= self.page_limit:
                 raise RuntimeError(
                     f"paged_envelope: batch {batch_id!r} exceeded "
-                    f"page_limit={self.page_limit}; raise the option if "
-                    "the chain is real"
+                    f"page_limit={self.page_limit} total pages (the "
+                    "runaway/cycle backstop); raise the option if the "
+                    "chain is genuinely this long"
                 )
             try:
                 envelope = self._pager.fetch(batch_id, cursor)
             except FileNotFoundError:
                 break  # page not recorded yet: park, retry next trigger
             pagination = envelope.get("pagination") or {}
+            nxt = pagination.get("cursor") or END_CURSOR
+            if nxt == cursor:
+                raise RuntimeError(
+                    f"paged_envelope: page {cursor!r} in batch {batch_id!r} "
+                    "names itself as its own next page (self-loop)"
+                )
             collect(envelope, page_no)
-            cursor = pagination.get("cursor") or END_CURSOR
+            cursor = nxt
             page_no += 1
             taken += 1
         return cursor, page_no
@@ -293,19 +323,38 @@ class PagedEnvelopeStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         out: list[Tuple] = []
         start_pages = start.get("pages", {})
-        end = {"cursors": dict(start["cursors"]), "pages": dict(start_pages)}
+        start_stalls = start.get("stalls", {})
+        end = {
+            "cursors": dict(start["cursors"]),
+            "pages": dict(start_pages),
+            "stalls": dict(start_stalls),
+        }
         for batch_id, cursor in start["cursors"].items():
             if cursor == END_CURSOR:
                 continue
+            page_was = int(start_pages.get(batch_id, 0))
             cursor, page_no = self._advance(
                 batch_id,
                 cursor,
-                int(start_pages.get(batch_id, 0)),
+                page_was,
                 self.max_pages,
                 lambda env, pno, b=batch_id: out.extend(_rows(env, b, pno)),
             )
             end["cursors"][batch_id] = cursor
             end["pages"][batch_id] = page_no
+            stalls = (
+                0 if page_no > page_was
+                else int(start_stalls.get(batch_id, 0)) + 1
+            )
+            end["stalls"][batch_id] = stalls
+            if self.max_stalls and stalls >= self.max_stalls:
+                raise RuntimeError(
+                    f"paged_envelope: batch {batch_id!r} parked at "
+                    f"{cursor!r} for {stalls} consecutive triggers "
+                    f"(max_consecutive_stalls={self.max_stalls}) — the "
+                    "next page file never appeared; recorder dead or "
+                    "session truncated?"
+                )
         return iter(out), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
