@@ -496,6 +496,9 @@ def winnow_fingerprints(
     The polynomial hash (not md5 here) is deliberate: it IS the
     rolling-hash family winnowing was defined over, and its modular
     arithmetic is exactly reproducible in any signed-64 SQL engine.
+    (A native-md5-per-gram variant was measured only ~1.2x faster at
+    sf0.1 — the interpreted per-char lambda is not the bottleneck —
+    so the polynomial form is not worth trading away.)
 
     Implementation note — the normalized text and the gram-hash array
     are bound as LAMBDA VARIABLES (``transform(array(x), v -> ...)``
