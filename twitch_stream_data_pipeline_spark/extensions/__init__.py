@@ -10,6 +10,7 @@ marked multimodal decode stubs.
 
 from .text_analysis import (
     boilerplate_ratio,
+    bpe_token_count,
     language_id,
     pii_scrub,
     repetition_stats,
@@ -22,6 +23,8 @@ from .text_analysis import (
 )
 from .dedup_text import (
     canonical_dedup,
+    winnow_fingerprints,
+    winnow_near_dup_pairs,
     decontaminate,
     exact_dedup_groups,
     minhash_signatures,
@@ -42,7 +45,9 @@ from .sampling import (
     weighted_sample,
 )
 from .similarity import (
+    build_ivf_index,
     cosine_knn,
+    ivf_index_knn,
     group_outlier_scores,
     group_outlier_scores_scalable,
     ivf_knn,
@@ -50,8 +55,16 @@ from .similarity import (
     quantized_embedding,
 )
 
+from .multimodal import pool_features
+
 __all__ = [
     "boilerplate_ratio",
+    "bpe_token_count",
+    "build_ivf_index",
+    "ivf_index_knn",
+    "pool_features",
+    "winnow_fingerprints",
+    "winnow_near_dup_pairs",
     "budget_select",
     "canonical_dedup",
     "chunk_documents",
