@@ -773,3 +773,37 @@ def test_ivf_index_layout_pruning_and_exactness(spark, tmp_path):
     for r in rows:
         pair = (r["query_id"], r["neighbor_id"])
         assert pair in exact_scores and exact_scores[pair] == r["cosine"], pair
+
+
+def test_winnow_pairs_compose_with_connected_components(spark):
+    """Character-level dedup clustering: winnowing pairs feed the same
+    min-label connected-components the word-level tier uses — three
+    mutual near-dups and one chained edit collapse into one cluster,
+    strangers stay singletons."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        winnow_near_dup_pairs,
+    )
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+
+    base = (
+        "distributed query engines push filters into columnar scans "
+        "and broadcast small dimension tables to every executor core"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " appended"),
+            (3, "PREFIX " + base),
+            (4, "a wholly different text on sourdough fermentation"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_dup_pairs(docs, min_shared=5, max_fp_df=10)
+    clusters = connected_components(
+        docs.select("doc_id"), pairs
+    ).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    assert label[1] == label[2] == label[3] == 1
+    assert label[4] == 4  # singleton keeps its own id
