@@ -209,3 +209,118 @@ def test_winnow_fingerprints_match_reference_implementation(spark, texts):
     expect = {i: _brute_winnow(t) for i, t in enumerate(texts)}
     expect = {i: s for i, s in expect.items() if s}
     assert got == expect, (got, expect)
+
+
+def _brute_pool(vec, out_dim):
+    """AdaptiveAvgPool1d reference: dim j averages
+    input[floor(j*n/out) : ceil((j+1)*n/out)]."""
+    n = len(vec)
+    out = []
+    for j in range(out_dim):
+        lo = (j * n) // out_dim
+        hi = -((-(j + 1) * n) // out_dim)  # ceil
+        out.append(sum(vec[lo:hi]) / (hi - lo) if hi > lo else None)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32).map(float),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@_SETTINGS
+def test_pool_features_matches_adaptive_avg_reference(spark, vecs, out_dim):
+    from twitch_stream_data_pipeline_spark.extensions.multimodal import (
+        pool_features,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "doc_id long, features array<double>"
+    )
+    got = {
+        r["doc_id"]: r["features"]
+        for r in pool_features(df, out_dim=out_dim).collect()
+    }
+    for i, vec in enumerate(vecs):
+        expect = _brute_pool(vec, out_dim)
+        assert len(got[i]) == out_dim
+        for g, e in zip(got[i], expect):
+            if e is None:
+                assert g is None
+            else:
+                assert g is not None and abs(g - e) < 1e-9, (i, got[i], expect)
+
+
+@given(
+    st.lists(  # pages per batch: each page carries 0-2 record ids
+        st.lists(st.integers(0, 2), min_size=1, max_size=5),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_paged_stream_equals_batch_under_any_rate_limit(
+    tmp_path_factory, chains, max_pages
+):
+    """Protocol invariant: draining the stream reader at ANY
+    max_pages_per_trigger yields exactly the batch reader's rows —
+    same (batch_id, page, record_pos, value) keys, same order within a
+    batch, no dupes, no gaps — because offsets are chain positions."""
+    import json as _json
+    import os
+
+    from twitch_stream_data_pipeline_spark.sources.paged_api import (
+        END_CURSOR,
+        FilePager,
+        PagedEnvelopeStreamReader,
+        START_CURSOR,
+        _rows,
+        _walk,
+    )
+
+    root = str(tmp_path_factory.mktemp("paged_prop"))
+    next_id = 0
+    for b, pages in enumerate(chains):
+        batch = f"b{b}"
+        os.makedirs(f"{root}/{batch}")
+        cursors = [START_CURSOR] + [f"c{i}" for i in range(1, len(pages))]
+        for i, n_recs in enumerate(pages):
+            recs = []
+            for _ in range(n_recs):
+                recs.append({"id": str(next_id)})
+                next_id += 1
+            env = {"data": recs}
+            env["pagination"] = (
+                {"cursor": cursors[i + 1]} if i + 1 < len(pages) else {}
+            )
+            _json.dump(env, open(f"{root}/{batch}/{cursors[i]}.json", "w"))
+
+    # batch-reader ground truth via the same walk the executor runs
+    pager = FilePager(root)
+    expect = []
+    for b in range(len(chains)):
+        page = 0
+        for env, _c, _n in _walk(pager, f"b{b}", START_CURSOR, 1000):
+            expect.extend(_rows(env, f"b{b}", page))
+            page += 1
+
+    reader = PagedEnvelopeStreamReader(
+        {"path": root, "max_pages_per_trigger": str(max_pages)}
+    )
+    off = reader.initialOffset()
+    drained = []
+    for _ in range(100):
+        rows, off = reader.read(off)
+        rows = list(rows)
+        drained.extend(rows)
+        if not rows and all(c == END_CURSOR for c in off["cursors"].values()):
+            break
+    assert sorted(drained) == sorted(expect)
