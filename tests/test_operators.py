@@ -807,3 +807,46 @@ def test_winnow_pairs_compose_with_connected_components(spark):
     label = {r["doc_id"]: r["cluster_id"] for r in clusters}
     assert label[1] == label[2] == label[3] == 1
     assert label[4] == 4  # singleton keeps its own id
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Appending with the persisted quantizer must be indistinguishable
+    from having built over the full corpus: full-probe results equal
+    brute force over old + new vectors, and the quantizer on disk is
+    untouched (no retrain drift)."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_knn,
+        ivf_index_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(old, path, n_cells=8)
+    quant_before = sorted(
+        (r["cell"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/_quantizer").collect()
+    )
+    append_to_ivf_index(new, path)
+    quant_after = sorted(
+        (r["cell"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/_quantizer").collect()
+    )
+    assert quant_before == quant_after  # append never retrains
+    assert spark.read.parquet(path).count() == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = ivf_index_knn(spark, path, q, k=5, n_probe=8).collect()
+    exact = cosine_knn(q, emb, k=5).collect()
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in rows
+        )
+    assert key(got) == key(exact)
+
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ivf_index(spark.read.parquet(path), path)

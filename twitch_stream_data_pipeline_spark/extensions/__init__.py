@@ -45,6 +45,7 @@ from .sampling import (
     weighted_sample,
 )
 from .similarity import (
+    append_to_ivf_index,
     build_ivf_index,
     cosine_knn,
     ivf_index_knn,
@@ -58,6 +59,7 @@ from .similarity import (
 from .multimodal import pool_features
 
 __all__ = [
+    "append_to_ivf_index",
     "boilerplate_ratio",
     "bpe_token_count",
     "build_ivf_index",

@@ -439,6 +439,28 @@ def build_ivf_index(
         raise ValueError("build_ivf_index: candidates are empty — nothing "
                          "to train the quantizer on")
 
+    write_partitioned(
+        _assign_cells(candidates, cent, vec_col), path, ["cell"],
+        mode="overwrite",
+    )
+    spark = candidates.sparkSession
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": range(len(cent)),
+                "centroid": [row.tolist() for row in cent],
+            }
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_quantizer")
+
+
+def _assign_cells(candidates: DataFrame, cent, vec_col: str) -> DataFrame:
+    """One Arrow pass adding the coarse-quantizer ``cell`` (int32)
+    assignment to ``candidates`` — shared by build and append so an
+    incremental load can never use different assignment math than the
+    layout it extends."""
+    import numpy as np
+
     def assign(batches):
         for pdf in batches:
             if pdf.empty:
@@ -453,19 +475,44 @@ def build_ivf_index(
     src_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     )
-    assigned = candidates.withColumn(
+    return candidates.withColumn(
         "q_vec", quantized_embedding(F.col(vec_col))
     ).mapInPandas(assign, f"{src_fields}, cell int")
-    write_partitioned(assigned, path, ["cell"], mode="overwrite")
-    spark = candidates.sparkSession
-    spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "cell": range(len(cent)),
-                "centroid": [row.tolist() for row in cent],
-            }
+
+
+def append_to_ivf_index(
+    new_candidates: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a :func:`build_ivf_index` layout: assign
+    new vectors with the PERSISTED quantizer (never retrain — a
+    retrain would silently disagree with the cells already on disk)
+    and append them into their cell partitions. The K8-style
+    incremental path for a growing corpus: probes see old and new
+    vectors identically, and a periodic full rebuild re-balances cells
+    when drift accumulates (cell-size skew is the rebuild signal).
+    """
+    import numpy as np
+
+    reserved = {"cell", "q_vec"} & set(new_candidates.columns)
+    if reserved:
+        raise ValueError(
+            f"append_to_ivf_index: new candidates carry reserved column(s) "
+            f"{sorted(reserved)} — rename or drop them first"
         )
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_quantizer")
+    from ..sinks import write_partitioned
+
+    spark = new_candidates.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+    cent = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    write_partitioned(
+        _assign_cells(new_candidates, cent, vec_col), path, ["cell"],
+        mode="append",
+    )
 
 
 def ivf_index_knn(
