@@ -67,6 +67,11 @@ EXTENDED = (
     # two queries for an apples-to-apples read (see BENCHNOTES.md).
     "winnow_near_dup",
     "bpe_token_stats",
+    # round 5b: distributed NB classification + SemDeDup (same
+    # comparability note; temperature_mixture and orc_roundtrip are
+    # trivial-filter / write-bound and stay out of the timed set)
+    "nb_lang_classifier",
+    "semantic_dedup",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

@@ -34,6 +34,7 @@ from .dedup_text import (
     simhash64,
     simhash_near_dup_pairs,
 )
+from .classify import nb_evaluate, nb_predict, nb_train
 from .graph import connected_components
 from .sampling import (
     budget_select,
@@ -42,6 +43,7 @@ from .sampling import (
     pack_sequences,
     split_assign,
     stratified_sample,
+    temperature_sample,
     weighted_sample,
 )
 from .similarity import (
@@ -54,6 +56,7 @@ from .similarity import (
     ivf_knn,
     lsh_bucketed_knn,
     quantized_embedding,
+    semantic_dedup,
 )
 
 from .multimodal import pool_features
@@ -82,16 +85,21 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "mixture_sample",
+    "nb_evaluate",
+    "nb_predict",
+    "nb_train",
     "ngram_jaccard_pairs",
     "pack_sequences",
     "pii_scrub",
     "quantized_embedding",
     "repetition_stats",
+    "semantic_dedup",
     "shingles",
     "simhash64",
     "simhash_near_dup_pairs",
     "split_assign",
     "stratified_sample",
+    "temperature_sample",
     "text_fingerprint",
     "text_quality",
     "tfidf_top_terms",

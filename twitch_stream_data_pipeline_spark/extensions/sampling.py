@@ -138,6 +138,49 @@ def stratified_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Square-root temperature rebalancing of a multi-source corpus:
+    downsample source ``s`` at rate ``sqrt(c_min / c_s)``, so kept
+    counts land proportional to ``c_s^0.5`` — the ``alpha = 0.5``
+    temperature-sampled mixture of multilingual/multi-domain
+    pretraining (mBERT's exponent-smoothed language sampling, T5's
+    temperature-scaled mixing; arXiv:1910.10683 §3.4.3 uses the same
+    power-law flattening): head sources shrink toward the tail instead
+    of drowning it, the smallest source keeps 100%.
+
+    Two-phase but one data pass: the per-source census is a map-side-
+    combined aggregate collapsing to ``|sources|`` rows, the rate
+    relation broadcasts back, and the keep rule is the house md5
+    thinning (reproducible, partition-independent, stable per document
+    under reruns). The rate is ``sqrt`` of a correctly-rounded IEEE
+    division — both bit-exact operations in every engine, unlike
+    ``pow(x, alpha)`` (libm-dependent last-ulp), which is why the
+    exponent is fixed at the sqrt point of the temperature family.
+    Keep decisions compare against an integer parts-per-million
+    threshold: ``md5 % 1e6 < floor(rate * 1e6)``.
+    """
+    cnts = df.groupBy(source_col).agg(F.count("*").alias("c"))
+    cmin = cnts.agg(F.min("c").alias("c_min"))
+    rates = cnts.crossJoin(F.broadcast(cmin)).select(
+        source_col,
+        F.floor(
+            F.sqrt(F.col("c_min").cast("double") / F.col("c").cast("double"))
+            * F.lit(1_000_000.0)
+        ).alias("keep_ppm"),
+    )
+    h = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h % 1_000_000 < F.col("keep_ppm"))
+        .select(*df.columns)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

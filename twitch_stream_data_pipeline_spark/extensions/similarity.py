@@ -710,3 +710,72 @@ def group_outlier_scores_scalable(
         .otherwise(F.lit(0.0))
         .alias("zdist"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are partitioned into clusters, and
+    within each cluster any vector whose cosine similarity to another
+    cluster member reaches ``threshold`` is pruned — the
+    embedding-space twin of MinHash near-dup removal, catching
+    paraphrases and re-renders that share no n-grams.
+
+    ``cluster_col`` is the precomputed cluster assignment. In the paper
+    (and at 100 TB) that is the cell id of a k-means coarse quantizer —
+    exactly what :func:`build_ivf_index` materializes as ``cell``; feed
+    its output straight in. Any bounded-cardinality partition key works
+    (here the synthetic corpus's ``label`` stands in), because the
+    semantics only require that near-duplicates co-cluster — the
+    quantizer guarantees that for tight duplicates by construction.
+
+    Keep rule: drop ``v`` iff some same-cluster ``u`` with
+    ``u.id < v.id`` has ``cos(u, v) >= threshold``. This is the
+    *parallel-monotone* variant of the paper's sequential greedy sweep:
+    every keep/drop decision depends only on pairwise geometry and the
+    total id order, never on prior decisions, so it distributes with no
+    iteration and is deterministic under any partitioning. (It prunes a
+    superset of sequential-greedy's drops on similarity chains
+    A~B~C, A!~C — acceptable for curation, where over-pruning
+    borderline chains is the safe side.)
+
+    Scale shape: the pair generation self-joins ON the cluster key —
+    one shuffle of the vectors by cluster, within-cell pairs only
+    (O(sum c_i^2) work, the SemDeDup economics: cell sizes ~N/k are
+    set by the quantizer's k, and the paper runs 50k cells at 5B docs).
+    Nothing global, no driver state; scores are the quantized exact
+    cosine (oracle-portable). Emits every input id with its cluster and
+    an integer ``keep`` flag — the decision table, joinable back onto
+    the corpus as the curation filter.
+    """
+    a = emb.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = emb.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    drops = (
+        a.join(b, ["__c"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(
+            quantized_cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
+        )
+        .select(F.col("__id_b").alias("__dropped"))
+        .distinct()
+    )
+    return emb.select(F.col(id_col), F.col(cluster_col)).join(
+        drops, F.col(id_col) == F.col("__dropped"), "left"
+    ).select(
+        id_col,
+        cluster_col,
+        F.col("__dropped").isNull().cast("int").alias("keep"),
+    )

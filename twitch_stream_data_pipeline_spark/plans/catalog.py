@@ -3104,6 +3104,181 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+@_register(
+    "nb_lang_classifier",
+    rf"""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    ttok AS (
+      SELECT lang AS label,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM split WHERE split = 'train'
+    ),
+    model AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM ttok GROUP BY 1, 2),
+    class_tok AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n_tok
+                  FROM model GROUP BY 1),
+    class_docs AS (SELECT lang AS label, COUNT(*) AS n_docs
+                   FROM split WHERE split = 'train' GROUP BY 1),
+    n_train AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM class_docs),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v_size FROM model),
+    consts AS (
+      SELECT label,
+             ln(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)) AS ln_prior,
+             ln(CAST(n_tok + v_size AS DOUBLE)) AS ln_denom
+      FROM class_docs JOIN class_tok USING (label)
+      CROSS JOIN n_train CROSS JOIN vocab
+    ),
+    dtok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM split WHERE split = 'test'
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dtok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens
+             FROM dtf GROUP BY 1),
+    matched AS (
+      SELECT doc_id, label,
+             CAST(SUM(CAST(tf * ln(CAST(cnt + 1 AS DOUBLE))
+                           AS DECIMAL(25,6))) AS DOUBLE) AS m
+      FROM dtf JOIN model USING (term) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, c.label AS pred_label,
+             c.ln_prior - d.n_tokens * c.ln_denom + COALESCE(m.m, 0.0) AS score
+      FROM dlen d CROSS JOIN consts c
+      LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.label = c.label
+    ),
+    pred AS (
+      SELECT doc_id, pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, pred_label) AS rnk
+        FROM scored
+      ) WHERE rnk = 1
+    )
+    SELECT t.doc_id, t.lang AS label, p.pred_label,
+           CAST(t.lang = p.pred_label AS INT) AS hit
+    FROM (SELECT doc_id, lang FROM split WHERE split = 'test') t
+    JOIN pred p USING (doc_id)
+    """,
+    ("classify", "ext", "llm"),
+    "Distributed supervised text classification: multinomial Naive "
+    "Bayes language classifier trained on the deterministic md5 80% "
+    "split, scored on the held-out 20% — the fastText-style "
+    "quality/language-filter family of LLM curation as one training "
+    "aggregation + one sparse inference join + an argmax window. The "
+    "smoothing floor folds into a closed-form per-class base term so "
+    "the dense doc x class x vocab tensor never materializes; graded "
+    "output is integer/label-only (the decimal-routed float machinery "
+    "stays internal to the argmax). The synthetic corpus carries no "
+    "text-lang mutual information, so accuracy sits at the prior by "
+    "construction — the graded artifact is the exact distributed "
+    "train+score computation; learning behavior is pinned by the "
+    "marker-injection test in tests/test_extensions_round5b.py.",
+)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.classify import nb_evaluate
+
+    return nb_evaluate(_docs(spark, sf_dir), label_col="lang")
+
+
+@_register(
+    "semantic_dedup",
+    f"""
+    WITH v AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS dropped
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.qv', b='b.qv')}
+              / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')}) >= 0.3
+    )
+    SELECT e.vec_id, e.label,
+           CAST(d.dropped IS NULL AS INT) AS keep
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.dropped
+    """,
+    ("similarity", "dedup", "ext", "llm"),
+    "SemDeDup (arXiv:2303.09540): within-cluster embedding-cosine "
+    "pruning — drop any vector with a smaller-id same-cluster neighbor "
+    "at cosine >= 0.3 (parallel-monotone keep rule). The cluster key "
+    "here is the corpus label standing in for the IVF coarse-quantizer "
+    "cell id (build_ivf_index emits exactly that assignment at scale); "
+    "pair generation joins ON the cluster key so work is sum of "
+    "squared cell sizes, never corpus-quadratic. Quantized exact "
+    "cosine, integer decision output.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.3)
+
+
+@_register(
+    "temperature_mixture",
+    rf"""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+    m AS (SELECT MIN(c) AS c_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c AS DOUBLE))
+                        * 1000000) AS BIGINT) AS keep_ppm
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {_MD5INT.format(x="'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+            < keep_ppm
+    """,
+    ("sampling", "ext", "llm"),
+    "Square-root temperature rebalancing (the alpha=0.5 member of "
+    "T5/mBERT's temperature-scaled language mixing): downsample each "
+    "language at rate sqrt(c_min/c) so kept counts go ~ c^0.5 — the "
+    "head flattens toward the tail, the smallest language keeps 100%. "
+    "Census aggregate -> broadcast rate relation -> md5 ppm thinning; "
+    "sqrt of an IEEE division is bit-exact in both engines (pow is "
+    "not, which fixes the exponent at the sqrt point).",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    return temperature_sample(docs, source_col="lang").select("doc_id", "lang")
+
+
+@_register(
+    "orc_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    ("source", "K2", "ext"),
+    "ORC write + read round-trip: the documents metadata projection "
+    "written as lang-partitioned ORC (Spark's second native columnar "
+    "format — same predicate-pushdown/column-pruning contract as "
+    "parquet), read back through partition discovery, and aggregated. "
+    "The oracle states the invariant (round-trip preserves the "
+    "aggregate) straight from parquet; the partition column survives "
+    "the directory encoding as its string form.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # unique scratch dir per invocation (same contract as csv_roundtrip)
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -3231,6 +3406,14 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_fingerprint",
     "binary_meta",
+    # -- 4b. oracle-bearing queries added mid-round-5, AFTER the graded
+    #    window was frozen for this round's run — deliberately placed
+    #    past position 50 (window stability rule, VERDICT r3 #5);
+    #    pytest-oracle-green now, rotation candidates for round 6.
+    "nb_lang_classifier",
+    "semantic_dedup",
+    "temperature_mixture",
+    "orc_roundtrip",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
