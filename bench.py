@@ -72,6 +72,11 @@ EXTENDED = (
     # trivial-filter / write-bound and stay out of the timed set)
     "nb_lang_classifier",
     "semantic_dedup",
+    # round 5c: exact repeated-span detection + order-2 LM score
+    # (global_row_index / salted_join_brand_revenue are trivial-cost
+    # and stay out of the timed set)
+    "duplicate_spans",
+    "bigram_logprob",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

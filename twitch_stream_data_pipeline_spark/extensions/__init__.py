@@ -19,9 +19,11 @@ from .text_analysis import (
     tfidf_top_terms,
     tokenize,
     token_count,
+    bigram_logprob,
     unigram_logprob,
 )
 from .dedup_text import (
+    duplicate_span_stats,
     canonical_dedup,
     winnow_fingerprints,
     winnow_near_dup_pairs,
@@ -41,6 +43,7 @@ from .sampling import (
     chunk_documents,
     mixture_sample,
     pack_sequences,
+    global_row_index,
     split_assign,
     stratified_sample,
     temperature_sample,
@@ -63,6 +66,7 @@ from .multimodal import pool_features
 
 __all__ = [
     "append_to_ivf_index",
+    "bigram_logprob",
     "boilerplate_ratio",
     "bpe_token_count",
     "build_ivf_index",
@@ -76,7 +80,9 @@ __all__ = [
     "connected_components",
     "cosine_knn",
     "decontaminate",
+    "duplicate_span_stats",
     "exact_dedup_groups",
+    "global_row_index",
     "group_outlier_scores",
     "group_outlier_scores_scalable",
     "ivf_knn",

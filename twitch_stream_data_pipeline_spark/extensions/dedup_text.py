@@ -561,3 +561,80 @@ def winnow_near_dup_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span statistics: the fixed-``k`` member
+    of the exact-substring dedup family ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, arXiv:2107.06499 —
+    their suffix array finds all repeats >= 50 tokens; a fixed k-token
+    window hashed at every position finds every repeat >= k tokens,
+    since any such repeat contains a repeated k-gram). Emits per
+    document ``n_positions`` (token positions carrying a k-gram),
+    ``n_dup_positions`` (positions whose k-gram also appears in at
+    least ``min_docs`` distinct documents), and ``dup_frac`` — the
+    fraction of the document that is verbatim-shared text. High
+    ``dup_frac`` marks templated/mirrored pages that per-document
+    near-dup (MinHash) under-weighs and within-document repetition
+    stats (:func:`~.text_analysis.repetition_stats`) cannot see.
+
+    Plan shape: positions carry only the 60-bit md5 k-gram hash, never
+    gram text — the shuffles move ``(hash, doc_id)`` pairs. Gram
+    document-frequency is aggregated BEFORE the join back (one row per
+    distinct gram, so the join fans out nothing — the
+    boilerplate_ratio economics), and every aggregation is map-side
+    combinable. Nothing is pairwise: cost is linear in corpus token
+    count. Documents shorter than ``k`` tokens surface with zero
+    positions via the final left join.
+    """
+    toks = tokenize(F.lower(F.col(text_col)))
+    cnt = F.size(toks) - (k - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: md5_int(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+        ),
+    )
+    pos = df.select("doc_id", F.explode(grams).alias("gh"))
+    gram_df = (
+        pos.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    stats = (
+        pos.join(gram_df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_positions"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_docs, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_positions"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_positions", F.lit(0)).alias("n_positions"),
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            F.when(
+                F.coalesce("n_positions", F.lit(0)) > 0,
+                F.col("n_dup_positions").cast("double")
+                / F.col("n_positions"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

@@ -503,3 +503,67 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "score", "rnk")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Order-2 corpus-LM quality score: mean per-position bigram
+    conditional log-probability — one step up the KenLM ladder from
+    :func:`unigram_logprob` toward the CCNet / GPT-3 perplexity
+    filters (arXiv:1911.00359 trains a 5-gram model; order 2 is the
+    smallest model that sees word ORDER, so scrambled or
+    machine-mangled text scores low even when its unigram profile is
+    clean). The corpus is its own model (the same self-trained
+    contract as the unigram score): every scored bigram is in the
+    model by construction, so no smoothing floor is needed.
+
+    ``score = sum tf * ln(c2(w1,w2) / c1(w1)) / sum tf`` over the
+    document's bigram positions, where ``c2`` is the corpus bigram
+    count and ``c1(w1) = sum_w c2(w1, w)`` the history count — a true
+    MLE conditional (sums to 1 over the vocabulary; every per-position
+    term is <= 0). Documents with fewer than 2 tokens drop out (no
+    bigram positions — callers left-join if they need them back).
+
+    Plan shape: one doc x bigram aggregation feeds BOTH the model and
+    the scoring (lazily checkpointed — the nb_train economics, one
+    tokenize of the corpus total); the bigram-count join shuffles on
+    the high-cardinality (w1, w2) key; the history relation is
+    unigram-vocabulary-sized and broadcast by default
+    (``broadcast_vocab=False`` for web-scale vocabularies). The
+    weighted ln-sum is decimal-routed; ``ln`` of one double division
+    per row keeps cross-engine bit parity.
+    """
+    toks = tokenize(F.lower(F.col(text_col)))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    b = (
+        df.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf2 = (
+        b.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    hist = F.broadcast(c1) if broadcast_vocab else c1
+    ln_p = F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+    weighted = (
+        tf2.join(c2, ["w1", "w2"])
+        .join(hist, "w1")
+        .select("doc_id", "tf", (F.col("tf") * ln_p).alias("w"))
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (
+            F.sum(F.col("w").cast("decimal(25,6)")).cast("double")
+            / F.sum("tf")
+        ).alias("bigram_logprob"),
+    )

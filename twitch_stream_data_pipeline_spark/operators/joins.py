@@ -144,3 +144,42 @@ def positional_join(
     lnum = left.withColumn("__pos", F.row_number().over(lw))
     rnum = right.withColumn("__pos", F.row_number().over(rw))
     return lnum.join(rnum, on="__pos", how="full_outer").drop("__pos")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    row_key: Sequence[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-resilient inner equi-join by salting (the manual twin of
+    AQE's skew-join splitting, for when the small side is too big to
+    broadcast but a handful of join keys carry most of the fact rows —
+    one viral category, one dominant language).
+
+    A plain shuffle join sends every fact row for a hot key to that
+    key's single reducer. Salting splits the hot key's rows across
+    ``buckets`` reducers instead: the dim side is replicated once per
+    salt (``explode(sequence(...))`` — dim is the SMALL side, so the
+    blow-up is bounded at ``|dim| * buckets``), and each fact row
+    routes to one salt chosen by hashing the row's own identity
+    (``row_key`` — NOT the join key: hashing the join key would send
+    the hot key back to one reducer). Joining on ``(key, salt)`` then
+    meets every fact row with exactly one copy of its dim row, so the
+    result multiset is identical to the unsalted join — verified by
+    the catalog oracle, which states the plain join.
+
+    Spark-specific note: AQE (`skewJoin.enabled`) handles this
+    automatically for *sort-merge* joins by splitting oversized
+    partitions, but cannot split the build side of a shuffled hash
+    join or a downstream aggregation's state — explicit salting is the
+    portable answer and composes with any consumer.
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__salt")
+    dsalt = dim.select("*", salts)
+    route = F.pmod(
+        F.xxhash64(*[F.col(c) for c in row_key]), F.lit(buckets)
+    ).alias("__salt")
+    fsalt = fact.select("*", route)
+    return fsalt.join(dsalt, [on, "__salt"]).drop("__salt")

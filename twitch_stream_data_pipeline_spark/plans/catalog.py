@@ -3279,6 +3279,151 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "global_row_index",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_index
+    FROM documents
+    """,
+    ("sampling", "ext", "llm", "window"),
+    "Contiguous global row numbering in doc_id order WITHOUT the "
+    "single-partition global sort a naive row_number() plans: bounded "
+    "approxQuantile boundary probe -> range buckets -> partitioned "
+    "window + buckets-sized prefix offsets + broadcast join. Output is "
+    "independent of the probe's sampling error; the only unpartitioned "
+    "window runs over |buckets| rows. The sample-index assignment step "
+    "of training-data ordering (epoch shuffling, resumable loaders).",
+)
+def q_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import global_row_index
+
+    return global_row_index(_docs(spark, sf_dir), key_col="doc_id").select(
+        "doc_id", "row_index"
+    )
+
+
+@_register(
+    "salted_join_brand_revenue",
+    f"""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    ("join", "skew", "ext"),
+    "Skew-resilient salted equi-join (operators.joins.salted_join): "
+    "the dim side replicates across 16 salt buckets, each fact row "
+    "routes by a hash of its OWN identity (never the join key), and "
+    "the (key, salt) join splits any hot key across 16 reducers. The "
+    "oracle states the plain join — identical result multiset by "
+    "construction; the manual twin of AQE skew-split for the shapes "
+    "AQE cannot split (shuffled-hash build sides, downstream agg "
+    "state).",
+)
+def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    joined = salted_join(
+        li, pt, on="l_partkey", row_key=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@_register(
+    "duplicate_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 8 THEN
+               list_transform(generate_series(1, len(toks) - 7),
+                 i -> {_MD5INT.format(x="array_to_string(toks[i:i+7], ' ')")})
+             ELSE CAST([] AS BIGINT[]) END AS ghs
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
+    gdf AS (SELECT gh, COUNT(DISTINCT doc_id) AS n_docs FROM p GROUP BY 1),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_positions
+      FROM p JOIN gdf USING (gh) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_positions, 0) AS n_positions,
+           COALESCE(s.n_dup_positions, 0) AS n_dup_positions,
+           CASE WHEN COALESCE(s.n_positions, 0) > 0
+                THEN CAST(s.n_dup_positions AS DOUBLE) / s.n_positions
+                ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+    """,
+    ("dedup", "text", "ext", "llm"),
+    "Cross-document repeated-span detection: the fixed-k member of "
+    "exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 — any "
+    "repeat >= k tokens contains a repeated k-gram). Positions carry "
+    "only 60-bit md5 gram hashes; gram document-frequency aggregates "
+    "BEFORE the join back (boilerplate_ratio economics), nothing is "
+    "pairwise — linear in corpus tokens. dup_frac marks templated / "
+    "mirrored text that per-doc MinHash under-weighs and "
+    "within-doc repetition stats cannot see.",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), k=8, min_docs=2)
+
+
+@_register(
+    "bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    tf2 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(tf * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                         AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(tf) AS BIGINT) AS bigram_logprob
+    FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY 1
+    """,
+    ("text", "ext", "lm", "llm"),
+    "Order-2 corpus-LM quality score (mean bigram conditional "
+    "log-probability, history counts derived from the bigram relation "
+    "so the conditional is true MLE): the smallest LM that sees word "
+    "order — scrambled text scores low even with a clean unigram "
+    "profile. One tokenize (lazily checkpointed doc x bigram "
+    "aggregation feeds model AND scoring), (w1,w2)-keyed shuffle "
+    "join, broadcast history vocab, decimal-routed ln-sum.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -3414,6 +3559,10 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "semantic_dedup",
     "temperature_mixture",
     "orc_roundtrip",
+    "global_row_index",
+    "salted_join_brand_revenue",
+    "duplicate_spans",
+    "bigram_logprob",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
