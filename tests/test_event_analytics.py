@@ -1,0 +1,203 @@
+"""Tests for the event-analytics operators (funnel, retention,
+gap-fill) and the Levenshtein near-dup verify stage, against
+hand-built fixtures and independent Python references.
+
+(The registered catalog queries over these are additionally
+differentially verified against DuckDB by test_oracle_parity.py.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+    near_dup_verify,
+)
+from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+    funnel_stages,
+    gapfill_forward,
+    retention_cohorts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, secs long, value double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 converts fully in order
+        (1, "signup", 100, 0.0),
+        (1, "click", 200, 0.0),
+        (1, "purchase", 300, 0.0),
+        # u2 clicked BEFORE signing up -> stalls at stage 1
+        (2, "click", 50, 0.0),
+        (2, "signup", 100, 0.0),
+        (2, "purchase", 60, 0.0),
+        # u3 signup+click, no purchase -> stage 2
+        (3, "signup", 10, 0.0),
+        (3, "click", 20, 0.0),
+        # u4 never signed up -> not in the funnel at all
+        (4, "click", 10, 0.0),
+        (4, "purchase", 20, 0.0),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(
+            _ev(spark, rows), steps=("signup", "click", "purchase")
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_greedy_earliest_is_complete(spark):
+    """u1: signup@100, click@150, purchase@160. Greedy takes
+    click@150 then purchase@160 — still converts. A user with a
+    click only BEFORE the purchase-blocking point must not convert."""
+    rows = [
+        (1, "signup", 100, 0.0),
+        (1, "click", 150, 0.0),
+        (1, "purchase", 160, 0.0),
+        # u2: purchase falls between signup and click -> no conversion
+        (2, "signup", 100, 0.0),
+        (2, "purchase", 120, 0.0),
+        (2, "click", 150, 0.0),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(
+            _ev(spark, rows), steps=("signup", "click", "purchase")
+        ).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    """'Strictly after': a click at the same second as signup does not
+    advance the funnel."""
+    rows = [(1, "signup", 100, 0.0), (1, "click", 100, 0.0)]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(_ev(spark, rows), steps=("signup", "click")).collect()
+    }
+    assert out == {1: 1, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_retention_reference(spark):
+    wk = 604800
+    rows = [
+        # u1 joins week 0, returns weeks 1 and 3
+        (1, "view", 10, 0.0),
+        (1, "view", wk + 5, 0.0),
+        (1, "view", 3 * wk + 5, 0.0),
+        # u2 joins week 0, never returns
+        (2, "view", 20, 0.0),
+        # u3 joins week 1, returns week 2
+        (3, "view", wk + 50, 0.0),
+        (3, "view", 2 * wk + 50, 0.0),
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        (0, 0): 2,
+        (0, 1): 1,
+        (0, 3): 1,
+        (1, 0): 1,
+        (1, 1): 1,
+    }
+
+
+def test_retention_multiple_events_one_week_count_once(spark):
+    rows = [(1, "view", 10, 0.0), (1, "view", 20, 0.0), (1, "view", 30, 0.0)]
+    out = retention_cohorts(_ev(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["n_users"] == 1 and out[0]["week_offset"] == 0
+
+
+# ---------------------------------------------------------------------------
+# gapfill_forward
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_fills_gaps_and_flags_observed(spark):
+    s = 900
+    rows = [
+        # type A: slots 0, 3 observed -> 1, 2 filled from slot 0
+        (1, "A", 10, 1.5),
+        (1, "A", 20, 2.5),  # same slot 0, sums to 4.0
+        (1, "A", 3 * s + 1, 7.0),
+        # type B: single slot
+        (2, "B", 5 * s + 1, 9.0),
+    ]
+    out = {
+        (r["event_type"], r["slot"]): (r["sum_value"], r["is_observed"])
+        for r in gapfill_forward(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("A", 0): (4.0, 1),
+        ("A", 1): (4.0, 0),
+        ("A", 2): (4.0, 0),
+        ("A", 3): (7.0, 1),
+        ("B", 5): (9.0, 1),
+    }
+
+
+def test_gapfill_never_null(spark):
+    rows = [(1, "A", 10, 1.0), (1, "A", 10 * 900 + 5, 2.0)]
+    out = gapfill_forward(_ev(spark, rows))
+    assert out.filter(F.col("sum_value").isNull()).count() == 0
+    assert out.count() == 11  # slots 0..10 inclusive
+
+
+# ---------------------------------------------------------------------------
+# near_dup_verify
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_verify_reference(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # 1 sub
+            (3, "completely different text with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in near_dup_verify(docs, cands, max_dist_frac=0.2).collect()
+    }
+    # (1,2): 3 edits (dog->cat), len 43 -> frac ~0.07 -> kept
+    assert (1, 2) in out and out[(1, 2)]["dist"] == 3
+    assert abs(out[(1, 2)]["dist_frac"] - 3 / 43) < 1e-12
+    # (1,3): far apart -> dropped
+    assert (1, 3) not in out
+
+
+def test_near_dup_verify_respects_char_cap(spark):
+    """Differences past max_chars are invisible — the DP cost bound."""
+    base = "x " * 300  # 600 chars
+    docs = spark.createDataFrame(
+        [(1, base + "ending one"), (2, base + "totally other finale")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = near_dup_verify(docs, cands, max_dist_frac=0.5, max_chars=500).collect()
+    assert len(out) == 1 and out[0]["dist"] == 0

@@ -24,6 +24,7 @@ from .text_analysis import (
 )
 from .dedup_text import (
     duplicate_span_stats,
+    near_dup_verify,
     canonical_dedup,
     winnow_fingerprints,
     winnow_near_dup_pairs,
@@ -91,6 +92,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "mixture_sample",
+    "near_dup_verify",
     "nb_evaluate",
     "nb_predict",
     "nb_train",

@@ -638,3 +638,58 @@ def duplicate_span_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def near_dup_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    max_dist_frac: float = 0.2,
+    max_chars: int = 1000,
+) -> DataFrame:
+    """Edit-distance verification of near-duplicate CANDIDATE pairs —
+    the verify stage of the candidate-then-verify dedup pipeline
+    (MinHash/SimHash/winnowing generate candidates cheaply; only the
+    bucketed survivors pay the quadratic-per-pair exact comparison).
+    Keeps a pair when ``levenshtein(a, b) <= max_dist_frac *
+    max(len_a, len_b)`` over the lowercased first ``max_chars``
+    characters; emits ``doc_a, doc_b, dist, dist_frac``.
+
+    Scale shape: ``candidates`` is the bucket-capped LSH output —
+    linear-ish in corpus size, never all-pairs — and the two text
+    lookups are plain equi-joins on the id key (document bodies move
+    only for rows that are actually candidates). The per-pair DP cost
+    is bounded by ``max_chars²`` regardless of document length; raise
+    it only with a corresponding executor-CPU budget. ``levenshtein``
+    is a JVM built-in with identical semantics in DuckDB — the oracle
+    recomputes it bit-for-bit.
+    """
+    t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
+    texts = df.select(F.col("doc_id"), t.alias("__t"))
+    pairs = (
+        candidates.join(
+            texts.select(
+                F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")
+            ),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    longest = F.greatest(F.length("__ta"), F.length("__tb"))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("dist"),
+            F.when(longest > 0, dist.cast("double") / longest)
+            .otherwise(F.lit(0.0))
+            .alias("dist_frac"),
+        )
+        .filter(F.col("dist_frac") <= F.lit(max_dist_frac))
+    )

@@ -18,10 +18,16 @@ from .joins import (
     positional_join,
 )
 from .aggregates import category_popularity, min_by_group, profile_columns, salted_count_distinct
+from .event_analytics import funnel_stages, gapfill_forward, retention_cohorts
+from .joins import salted_join
 from .upsert import upsert_state
 from .packing import pack_into_groups
 
 __all__ = [
+    "funnel_stages",
+    "gapfill_forward",
+    "retention_cohorts",
+    "salted_join",
     "empty_to_sentinel",
     "sentinel_to_null",
     "valid_integer_ids",

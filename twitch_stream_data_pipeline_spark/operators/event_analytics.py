@@ -1,0 +1,186 @@
+"""Event-sequence analytics operators: funnels, retention cohorts,
+and time-grid gap filling.
+
+The product-analytics tier over the events stream — the questions the
+reference's dashboard layer asks of curated events (stream popularity
+over time, viewer conversion; ``SURVEY.md`` §2.7's windowed
+aggregates are the degenerate single-step case). All three are
+expressed as ordinary aggregations, windows, and bounded grid joins:
+
+- funnels shuffle per-user MIN timestamps (one row per user per
+  stage), never raw events past the first aggregation;
+- cohort retention shuffles distinct ``(user, week)`` pairs — partial
+  aggregation collapses each task's duplicates map-side;
+- gap filling joins observed slot aggregates onto an exploded
+  time-grid whose size is ``|groups| x |slots|`` — calendar-bounded
+  metadata, independent of event volume — and forward-fills with an
+  IGNORE NULLS running ``last`` (partitioned window; order within a
+  group is the time grid, so no skew beyond group cardinality).
+
+Determinism: all timestamps enter as integer epoch seconds (the
+``_events`` contract), all sums are decimal-routed, week/slot
+arithmetic is integer division — bit-identical on any engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WEEK_SECS = 7 * 86_400
+SLOT_SECS = 15 * 60
+
+__all__ = ["funnel_stages", "retention_cohorts", "gapfill_forward"]
+
+
+def funnel_stages(
+    ev: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "secs",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: how many users performed
+    ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, then
+    ``steps[2]`` after that, ... Emits one row per stage:
+    ``(stage, step, n_users)``.
+
+    Semantics: a user converts through stage k at the EARLIEST
+    possible chain — ``t_k = min(ts of steps[k] with ts > t_{k-1})``.
+    Greedy-earliest is the standard funnel definition and is complete:
+    if any increasing chain of timestamps exists, the greedy one does
+    (each greedy prefix ends no later than any other chain's prefix).
+
+    Plan shape: stage k is one filter on the event type + an equi-join
+    against the (user, t_{k-1}) relation + a per-user MIN — the join
+    key is the user id, both sides are user-cardinality or one event
+    type's slice, and each stage's output shrinks monotonically. The
+    final counts are single-row aggregates unioned together; no
+    window, no self-join of the full event stream.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = ev.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("s"),
+    )
+    reached = (
+        base.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("s").alias("ts_prev"))
+    )
+    out = [
+        reached.agg(
+            F.lit(1).alias("stage"),
+            F.lit(steps[0]).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+    ]
+    for k, step in enumerate(steps[1:], start=2):
+        reached = (
+            base.filter(F.col("t") == step)
+            .join(reached, "u")
+            .filter(F.col("s") > F.col("ts_prev"))
+            .groupBy("u")
+            .agg(F.min("s").alias("ts_prev"))
+        )
+        out.append(
+            reached.agg(
+                F.lit(k).alias("stage"),
+                F.lit(step).alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def retention_cohorts(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "secs",
+    period_secs: int = WEEK_SECS,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-activity
+    period (epoch-week by default), counted in every later period they
+    return. Emits ``(cohort_week, week_offset, n_users)`` — offset 0 is
+    the cohort size itself, offset k the k-period retention.
+
+    Two aggregations: per-user first period (user-keyed shuffle,
+    map-side combined), then distinct ``(user, period)`` activity
+    joined back (user-keyed again — the join reuses the same key) and
+    counted per (cohort, offset). Period arithmetic is integer
+    division of epoch seconds — no calendar, no timezone, portable.
+    """
+    # floor-divide (not cast-of-division: CAST(double) truncates in
+    # Spark but ROUNDS in DuckDB — floor first is portable)
+    p = F.floor(F.col(ts_col) / F.lit(period_secs)).cast("long").alias("w")
+    activity = ev.select(F.col(user_col).alias("u"), p).distinct()
+    cohort = activity.groupBy("u").agg(F.min("w").alias("cohort_week"))
+    return (
+        activity.join(cohort, "u")
+        .groupBy(
+            "cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def gapfill_forward(
+    ev: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "secs",
+    value_col: str = "value",
+    slot_secs: int = SLOT_SECS,
+) -> DataFrame:
+    """Regular time-grid resampling with forward fill: aggregate
+    ``value`` into ``slot_secs`` buckets per group, then emit EVERY
+    slot between the group's first and last activity, carrying the
+    most recent observed aggregate across empty slots. Emits
+    ``(group, slot, sum_value, is_observed)`` — the gap-free series a
+    dashboard or a downstream window expects (the timeseries
+    ``date_dim`` trick of SURVEY §2.2, generalized to dense numeric
+    grids with fill).
+
+    Plan shape: observed slots are one decimal-routed aggregation;
+    the grid is ``sequence(min_slot, max_slot)`` exploded per group —
+    calendar-bounded (a year of 15-min slots is 35k rows per group),
+    never event-volume-bounded; the fill is ``last(value, ignorenulls)``
+    over a window partitioned by group and ordered by the grid. The
+    first slot of every group is observed by construction, so the
+    filled value is never NULL.
+    """
+    slot = F.floor(F.col(ts_col) / F.lit(slot_secs)).cast("long")
+    observed = (
+        ev.select(F.col(group_col).alias("g"), slot.alias("slot"), F.col(value_col))
+        .groupBy("g", "slot")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    )
+    grid = (
+        observed.groupBy("g")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select("g", F.explode(F.sequence("lo", "hi")).alias("slot"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["g", "slot"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            "slot",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value"),
+            F.col("sum_value").isNotNull().cast("int").alias("is_observed"),
+        )
+    )

@@ -3424,6 +3424,139 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+
+@_register(
+    "funnel_conversion",
+    f"""
+    WITH e AS (SELECT user_id AS u, event_type AS t,
+                      {_OSECS.format(ts='ts')} AS s FROM events),
+    s1 AS (SELECT u, MIN(s) AS ts_prev FROM e WHERE t = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, MIN(e.s) AS ts_prev
+           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.ts_prev
+           WHERE e.t = 'click' GROUP BY 1),
+    s3 AS (SELECT e.u, MIN(e.s) AS ts_prev
+           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.ts_prev
+           WHERE e.t = 'purchase' GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+    ("events", "analytics", "ext"),
+    "Ordered-funnel conversion (signup -> click -> purchase, each step "
+    "strictly after the previous): greedy-earliest chain semantics "
+    "(complete — if any increasing chain exists, the greedy one does). "
+    "Each stage is one event-type filter + user-keyed join + per-user "
+    "MIN; the relation shrinks monotonically, raw events never move "
+    "past the first aggregation. The dashboard-tier question over the "
+    "curated events layer (SURVEY.md 2.7's windowed aggregates are "
+    "the single-step case).",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import funnel_stages
+
+    out = funnel_stages(
+        _events(spark, sf_dir), steps=("signup", "click", "purchase")
+    )
+    return out.select(
+        F.col("stage").cast("long").alias("stage"), "step", "n_users"
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH a AS (SELECT DISTINCT user_id AS u,
+                      CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+               FROM events),
+    c AS (SELECT u, MIN(w) AS cohort_week FROM a GROUP BY 1)
+    SELECT c.cohort_week, a.w - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (u) GROUP BY 1, 2
+    """,
+    ("events", "analytics", "ext"),
+    "Cohort retention triangle: users bucketed by first-activity "
+    "epoch-week, counted in each later week they return (offset 0 = "
+    "cohort size). Two user-keyed aggregations over distinct "
+    "(user, week) pairs — map-side combine collapses duplicates "
+    "before the shuffle; integer epoch-week arithmetic, no calendar.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+@_register(
+    "gapfill_15min",
+    """
+    WITH o AS (SELECT event_type AS g,
+                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                        AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
+    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r)
+    SELECT grid.g AS event_type, grid.slot,
+           last_value(o.sum_value IGNORE NULLS) OVER (
+             PARTITION BY grid.g ORDER BY grid.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+           CAST(o.sum_value IS NOT NULL AS INT) AS is_observed
+    FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
+    """,
+    ("events", "timeseries", "window", "ext"),
+    "Regular 15-min grid resampling with forward fill: observed slot "
+    "sums (decimal-routed) left-joined onto an exploded "
+    "sequence(min_slot, max_slot) grid per event type, gaps carrying "
+    "the last observed aggregate via IGNORE NULLS running last() over "
+    "a PARTITIONED window. Grid size is calendar-bounded (|groups| x "
+    "|slots|), never event-volume-bounded — the gap-free series every "
+    "downstream window/dashboard expects.",
+)
+def q_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import gapfill_forward
+
+    return gapfill_forward(_events(spark, sf_dir))
+
+
+@_register(
+    "near_dup_verified",
+    f"""
+    WITH cand AS (SELECT * FROM ({_minhash_pairs_oracle()}) mh),
+    t AS (SELECT doc_id, substr(lower(text), 1, 1000) AS tt FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS dist,
+           CASE WHEN greatest(length(a.tt), length(b.tt)) > 0
+                THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
+                     / greatest(length(a.tt), length(b.tt))
+                ELSE 0.0 END AS dist_frac
+    FROM cand c
+    JOIN t a ON c.doc_a = a.doc_id
+    JOIN t b ON c.doc_b = b.doc_id
+    WHERE CASE WHEN greatest(length(a.tt), length(b.tt)) > 0
+               THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
+                    / greatest(length(a.tt), length(b.tt))
+               ELSE 0.0 END <= 0.4
+    """,
+    ("dedup", "ext", "llm"),
+    "Candidate-then-verify dedup, the verify stage: MinHash-LSH "
+    "candidate pairs re-checked by exact Levenshtein distance "
+    "(normalized by the longer side, kept at <= 0.4) over the "
+    "lowercased first 1000 chars. Bodies move only for actual "
+    "candidates (two id-keyed joins); per-pair DP cost is capped at "
+    "max_chars^2 regardless of document length. JVM levenshtein == "
+    "DuckDB levenshtein, recomputed bit-for-bit by the oracle.",
+)
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import near_dup_verify
+
+    docs = _docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    return near_dup_verify(docs, cands, max_dist_frac=0.4)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -3563,6 +3696,10 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "salted_join_brand_revenue",
     "duplicate_spans",
     "bigram_logprob",
+    "funnel_conversion",
+    "retention_cohorts",
+    "gapfill_15min",
+    "near_dup_verified",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
