@@ -592,7 +592,11 @@ def duplicate_span_stats(
     count. Documents shorter than ``k`` tokens surface with zero
     positions via the final left join.
     """
-    toks = tokenize(F.lower(F.col(text_col)))
+    # token array materialized BEFORE the k-gram lambda — an inline
+    # split referenced from transform() is re-evaluated per element_at
+    # (the doc_shingles rule; measured 3x at sf0.1 even at k=8)
+    tdf = df.select("doc_id", tokenize(F.lower(F.col(text_col))).alias("toks"))
+    toks = F.col("toks")
     cnt = F.size(toks) - (k - 1)
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
         F.array().cast("array<int>")
@@ -603,7 +607,7 @@ def duplicate_span_stats(
             F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
         ),
     )
-    pos = df.select("doc_id", F.explode(grams).alias("gh"))
+    pos = tdf.select("doc_id", F.explode(grams).alias("gh"))
     gram_df = (
         pos.select("gh", "doc_id")
         .distinct()

@@ -536,13 +536,18 @@ def bigram_logprob(
     weighted ln-sum is decimal-routed; ``ln`` of one double division
     per row keeps cross-engine bit parity.
     """
-    toks = tokenize(F.lower(F.col(text_col)))
+    # token array materialized before the zip/slice expressions — the
+    # doc_shingles rule (an inline split is re-evaluated per consumer)
+    tdf = df.select(
+        "doc_id", tokenize(F.lower(F.col(text_col))).alias("toks")
+    )
+    toks = F.col("toks")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
         F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
     )
     b = (
-        df.filter(F.size(toks) >= 2)
+        tdf.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
