@@ -201,3 +201,49 @@ def test_near_dup_verify_respects_char_cap(spark):
     cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     out = near_dup_verify(docs, cands, max_dist_frac=0.5, max_chars=500).collect()
     assert len(out) == 1 and out[0]["dist"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dq_check
+# ---------------------------------------------------------------------------
+
+
+def test_dq_check_nulls_fail_closed(spark):
+    from twitch_stream_data_pipeline_spark.operators.aggregates import dq_check
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 100.0), (4, 5.0)],
+        "id long, qty double",
+    )
+    out = {
+        r["rule"]: r
+        for r in dq_check(
+            df,
+            {
+                "qty_in_range": F.col("qty").between(1, 50),
+                "qty_not_null": F.col("qty").isNotNull(),
+                "id_positive": F.col("id") > 0,
+            },
+        ).collect()
+    }
+    # NULL qty violates the range rule (NOT TRUE), plus the 100.0 row
+    assert out["qty_in_range"]["n_violations"] == 2
+    assert out["qty_not_null"]["n_violations"] == 1
+    assert out["id_positive"]["n_violations"] == 0
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert abs(out["qty_in_range"]["violation_frac"] - 0.5) < 1e-12
+
+
+def test_dq_check_single_aggregation_plan(spark):
+    """All rules ride one aggregate — the plan contains exactly one
+    scan of the input relation."""
+    from twitch_stream_data_pipeline_spark.operators.aggregates import dq_check
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    plan = (
+        dq_check(df, {"a": F.col("m") < 5, "b": F.col("id") < 90})
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.lower().count("range (0, 100") == 1

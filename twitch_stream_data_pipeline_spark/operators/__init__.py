@@ -17,13 +17,20 @@ from .joins import (
     nearest_slot_id,
     positional_join,
 )
-from .aggregates import category_popularity, min_by_group, profile_columns, salted_count_distinct
+from .aggregates import (
+    category_popularity,
+    dq_check,
+    min_by_group,
+    profile_columns,
+    salted_count_distinct,
+)
 from .event_analytics import funnel_stages, gapfill_forward, retention_cohorts
 from .joins import salted_join
 from .upsert import upsert_state
 from .packing import pack_into_groups
 
 __all__ = [
+    "dq_check",
     "funnel_stages",
     "gapfill_forward",
     "retention_cohorts",

@@ -165,3 +165,46 @@ def binned_quantiles(
         hit = F.when(F.col("cum") * 100 >= F.col("total") * F.lit(pct), edge)
         aggs.append(F.min(hit).alias(f"q_{pct}"))
     return cum.groupBy(key).agg(*aggs)
+
+
+def dq_check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One-pass data-quality expectation check (the dbt-test /
+    Great-Expectations shape a pipeline runs before promoting a layer):
+    ``rules`` maps a rule name to a boolean Column that every row
+    should satisfy. Emits one row per rule: ``rule, n_violations,
+    n_rows, violation_frac``.
+
+    A row violates a rule when the predicate is NOT TRUE — i.e. FALSE
+    *or* NULL (a NULL quantity fails ``quantity BETWEEN 1 AND 50``;
+    silently passing nulls is the classic DQ-check bug).
+
+    Plan shape: ALL rules evaluate in ONE aggregation pass over the
+    relation (conditional sums collapse map-side to a single partial
+    row per task — at 100 TB this is one scan + a 1-row shuffle, not
+    one scan per rule); the per-rule long format is an explode of a
+    1-row array, driver-free.
+    """
+    names = list(rules)
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(F.when(cond, 0).otherwise(1)).alias(f"__v{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"__v{i}").alias("n_violations")
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return wide.select(
+        F.explode(pairs).alias("p"), F.col("__n").alias("n_rows")
+    ).select(
+        "p.rule",
+        "p.n_violations",
+        "n_rows",
+        (F.col("p.n_violations").cast("double") / F.col("n_rows")).alias(
+            "violation_frac"
+        ),
+    )

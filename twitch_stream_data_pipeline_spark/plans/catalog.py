@@ -3557,6 +3557,180 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_verify(docs, cands, max_dist_frac=0.4)
 
 
+
+@_register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    ("aggregate", "olap", "ext"),
+    "GROUPING SETS aggregation (the general member of the "
+    "rollup/cube OLAP trio, both already in the catalog): revenue by "
+    "returnflag, by linestatus, and the grand total in ONE pass — "
+    "Spark expands the sets into a single Expand + hash aggregate, "
+    "one scan instead of three. grouping_id disambiguates NULL-as-"
+    "aggregate from NULL-as-data, identical bitmask semantics in "
+    "both engines.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "revenue")
+    )
+
+
+@_register(
+    "unpivot_metrics",
+    f"""
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n,
+           {_osum('val')} AS total
+    FROM long GROUP BY 1, 2
+    """,
+    ("reshape", "ext"),
+    "Wide-to-long unpivot (melt) + aggregate: three measure columns "
+    "stacked into (metric, value) rows via the native DataFrame "
+    "unpivot (Spark's Expand node — one scan, rows fan out 3x "
+    "map-side, no shuffle until the aggregate), then a decimal-routed "
+    "per-(flag, metric) rollup. The oracle states the UNION ALL "
+    "expansion unpivot is sugar for.",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"), dsum("val").alias("total")
+    )
+
+
+@_register(
+    "wow_growth",
+    """
+    WITH w AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, sum_value,
+           lag(sum_value) OVER (PARTITION BY event_type ORDER BY week)
+             AS prev_value,
+           sum_value - lag(sum_value) OVER (PARTITION BY event_type
+                                            ORDER BY week) AS delta
+    FROM w
+    """,
+    ("events", "analytics", "window", "ext"),
+    "Week-over-week growth: weekly decimal-routed sums per event type "
+    "with lag() deltas over a PARTITIONED window (weeks per type are "
+    "calendar-bounded; the window never sees raw events). First week "
+    "per type emits NULL prev/delta — the honest representation. "
+    "Subtraction of two decimal-routed doubles is bit-portable where "
+    "a growth *ratio* would hang on division edge cases.",
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    weekly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("secs") / F.lit(604800)).cast("long").alias("week"),
+    ).agg(dsum("value").alias("sum_value"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("sum_value").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "sum_value",
+        prev.alias("prev_value"),
+        (F.col("sum_value") - prev).alias("delta"),
+    )
+
+
+@_register(
+    "dq_expectations",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+    v AS (
+      SELECT 'quantity_in_range' AS rule,
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_quantity BETWEEN 1 AND 50, FALSE)) AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_max_5pct',
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_discount <= 0.05, FALSE)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_positive',
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_extendedprice > 0, FALSE)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_not_null',
+             CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain',
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_returnflag IN ('A', 'N', 'R'), FALSE)) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT v.rule, v.n_violations, n.n_rows,
+           CAST(v.n_violations AS DOUBLE) / n.n_rows AS violation_frac
+    FROM v CROSS JOIN n
+    """,
+    ("quality", "aggregate", "ext"),
+    "Data-quality expectation suite (operators.aggregates.dq_check): "
+    "five rules — range, threshold, positivity, non-null, domain "
+    "membership — evaluated in ONE aggregation pass (conditional sums "
+    "collapse map-side; one scan + a 1-row shuffle, not one scan per "
+    "rule; the oracle's per-rule scans state the semantics, not the "
+    "plan). A violation is a row where the predicate is NOT TRUE, so "
+    "NULLs fail closed — the promote-gate a layered lake runs before "
+    "publishing.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dq_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dq_check(
+        li,
+        {
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "discount_max_5pct": F.col("l_discount") <= 0.05,
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -3700,6 +3874,10 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "retention_cohorts",
     "gapfill_15min",
     "near_dup_verified",
+    "grouping_sets_revenue",
+    "unpivot_metrics",
+    "wow_growth",
+    "dq_expectations",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
