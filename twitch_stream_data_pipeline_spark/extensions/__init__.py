@@ -59,6 +59,7 @@ from .similarity import (
     group_outlier_scores_scalable,
     ivf_knn,
     lsh_bucketed_knn,
+    pq_knn,
     quantized_embedding,
     semantic_dedup,
 )
@@ -99,6 +100,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_sequences",
     "pii_scrub",
+    "pq_knn",
     "quantized_embedding",
     "repetition_stats",
     "semantic_dedup",

@@ -779,3 +779,154 @@ def semantic_dedup(
         cluster_col,
         F.col("__dropped").isNull().cast("int").alias("keep"),
     )
+
+
+def _train_pq_codebooks(
+    candidates: DataFrame,
+    m: int,
+    n_codes: int,
+    train_size: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Deterministic per-subvector L2 k-means codebooks (driver-side
+    numpy over a bounded sample — model-state-sized, ``m x n_codes x
+    d/m`` doubles). Same training contract as the IVF coarse
+    quantizer: first ``train_size`` candidates by id, vectors unit-
+    normalized from their quantized-int form, fixed init (first
+    ``n_codes`` sample rows), fixed ``iters`` Lloyd rounds."""
+    import numpy as np
+
+    train = (
+        candidates.orderBy(id_col)
+        .limit(train_size)
+        .select(quantized_embedding(F.col(vec_col)).alias("v"))
+        .collect()  # intentionally driver-side: codebook training sample
+    )
+    X = np.array([r["v"] for r in train], dtype=np.float64)
+    if X.size == 0:
+        return np.zeros((m, 0, 0))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subvectors")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cent = S[: min(n_codes, len(S))].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = S[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def pq_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    train_size: int = 256,
+    iters: int = 5,
+) -> DataFrame:
+    """Product-quantization approximate top-k (FAISS PQ / ADC shape,
+    re-expressed as a Spark plan) — the memory-compression axis of the
+    ANN family, complementing IVF's candidate-pruning axis: each unit-
+    normalized vector is encoded as ``m`` one-byte codes (its nearest
+    codebook centroid per d/m-dim subvector), and query-candidate
+    inner products are approximated by Asymmetric Distance
+    Computation — a table lookup per subvector against the query's
+    precomputed ``m x n_codes`` LUT, never a full d-dim dot product.
+    64-dim floats become 8 bytes per vector at m=8: the 100 TB corpus'
+    scoring working set shrinks 32x and the scan becomes
+    memory-bandwidth-, not FLOP-, bound.
+
+    Plan shape (the ivf_knn economics): codebooks train driver-side on
+    a bounded sample (model-state-sized); queries collect under the
+    documented Q << N ANN contract (their LUTs ride into the closure);
+    candidates ENCODE AND SCORE IN ONE Arrow pass — encoding is an
+    argmin against each subvector codebook, ADC scoring is a numpy
+    gather + sum over the code matrix, and candidates never shuffle.
+    Per-query top-k is the standard WindowGroupLimit.
+
+    Exactness property (pinned in tests): when every candidate
+    subvector appears in the codebook (``n_codes >= distinct
+    subvectors``, e.g. candidates ⊆ training sample with enough
+    codes), encoding reconstructs the vector exactly and the ADC
+    score equals the exact normalized dot product. Below that,
+    ``adc_cosine`` is a biased-but-monotone-enough estimate — the
+    standard PQ recall/memory dial. Emits ``query_id, neighbor_id,
+    adc_cosine, rank`` (rows-only by design: the scores are
+    quantization-dependent approximations, like lsh_knn's buckets).
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = _train_pq_codebooks(
+        candidates, m, n_codes, train_size, iters, id_col, vec_col
+    )
+    n_books, n_cent, dsub = books.shape
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_embedding(F.col(vec_col)).alias("q_vec"),
+    ).collect()  # ANN contract: Q << N
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # LUT[q, j, c] = <query subvector j, codebook j centroid c>
+    lut = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_ids), n_books, dsub), books
+    )
+    # ||c||^2 term of the encode argmin, precomputed once
+    cent_sq = (books**2).sum(axis=2)  # [m, n_codes]
+
+    def encode_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            S = C.reshape(len(C), n_books, dsub)
+            # argmin ||s - c||^2 = argmin ||c||^2 - 2 s.c per subvector
+            dots = np.einsum("bjd,jcd->bjc", S, books)
+            codes = (cent_sq[None, :, :] - 2.0 * dots).argmin(axis=2)
+            # ADC: sum over subvectors of LUT[q, j, codes[b, j]]
+            scores = lut[:, np.arange(n_books)[None, :], codes].sum(axis=2)
+            n_q, n_b = scores.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.array(q_ids, dtype=np.int64), n_b),
+                    "neighbor_id": np.tile(ids, n_q),
+                    "adc_cosine": scores.reshape(-1),
+                }
+            )
+
+    scored = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantized_embedding(F.col(vec_col)).alias("c_vec"),
+        )
+        .mapInPandas(
+            encode_score, "query_id long, neighbor_id long, adc_cosine double"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

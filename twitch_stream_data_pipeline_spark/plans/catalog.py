@@ -3731,6 +3731,28 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "pq_knn",
+    None,  # approximate by construction; exact-reconstruction ADC
+    # equality and recall vs cosine_knn asserted in tests
+    ("similarity", "ext", "pq"),
+    "Product-quantization approximate top-5 (FAISS PQ/ADC shape: "
+    "per-subvector codebooks, one-byte codes, LUT-gather asymmetric "
+    "distance scoring in a single Arrow encode+score pass) — the "
+    "memory-compression axis of the ANN family: 64-dim floats become "
+    "m=8 bytes, so 100 TB of vectors score from a 32x smaller, "
+    "bandwidth-bound working set. Complements IVF's candidate-pruning "
+    "axis; composing the two (IVF cells + PQ codes per cell) is the "
+    "standard billion-scale FAISS deployment.",
+)
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import pq_knn
+
+    emb = _emb(spark, sf_dir)
+    return pq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -3882,6 +3904,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lsh_knn",
     "group_outliers",
     "ivf_knn",
+    "pq_knn",
     "multimodal_features",
     "approx_distinct_users",
     "pack_groups",
