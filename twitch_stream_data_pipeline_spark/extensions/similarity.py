@@ -930,3 +930,34 @@ def pq_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )
+
+
+def quantized_norm_pandas_udf():
+    """Scalar Arrow ``pandas_udf`` computing the exact squared norm of
+    a quantized embedding (``sum of int64 element squares``) — the
+    vectorized-scalar member of the UDF surface (SURVEY.md §2.8):
+    one Arrow column batch in, one out, usable INSIDE any expression
+    (select/filter/join condition), unlike mapInPandas which replaces
+    the whole row stream. Integer arithmetic end to end, so the result
+    is bit-identical to the JVM/DuckDB expression form — which is what
+    lets the catalog grade a Python-UDF query against a SQL oracle.
+
+    (Built lazily so importing the module never touches the Arrow
+    runtime; the production expression form is ``_NORM``-style column
+    arithmetic — this exists to pin the pandas_udf execution path.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def qnorm(v):
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        mat = np.array(v.tolist(), dtype=np.int64)  # fixed-dim batch
+        return pd.Series((mat * mat).sum(axis=1))
+
+    # real annotation objects (the module's `from __future__ import
+    # annotations` would stringify inline hints, and pandas is not a
+    # module global here, so infer_eval_type could not resolve them)
+    qnorm.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(qnorm, "long")

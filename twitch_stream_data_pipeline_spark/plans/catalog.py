@@ -3753,6 +3753,115 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+
+@_register(
+    "anomaly_slots",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, slot, sum_value,
+             CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS wsum,
+             CAST(SUM(CAST(sum_value * sum_value AS DECIMAL(25,6))) OVER w
+                  AS DOUBLE) AS wsumsq,
+             COUNT(*) OVER w AS n
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY slot
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, slot, sum_value,
+           (sum_value - wsum / n)
+             / sqrt(wsumsq / n - (wsum / n) * (wsum / n)) AS zscore
+    FROM t
+    WHERE n >= 8
+      AND wsumsq / n - (wsum / n) * (wsum / n) > 0
+      AND abs((sum_value - wsum / n)
+              / sqrt(wsumsq / n - (wsum / n) * (wsum / n))) > 2.0
+    """,
+    ("events", "timeseries", "window", "ext"),
+    "Trailing-window anomaly detection: each observed 15-min slot sum "
+    "scored against the mean/std of its previous 8 observed slots "
+    "(frame ROWS 8 PRECEDING TO 1 PRECEDING — the detector never sees "
+    "the point it judges), flagged at |z| > 2 with a full-history "
+    "warm-up guard (n >= 8) and a zero-variance guard. Window is "
+    "PARTITIONED by type and ordered by the calendar-bounded slot "
+    "grid; sums stay decimal-routed inside the frame so the zscore "
+    "is bit-portable — the streaming twin is the same expression "
+    "over the watermarked windowed aggregate.",
+)
+def q_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = ev.groupBy(
+        "event_type",
+        F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
+    ).agg(dsum("value").alias("sum_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(-8, -1)
+    )
+    wsum = F.sum(F.col("sum_value").cast("decimal(25,6)")).over(w).cast("double")
+    wsumsq = (
+        F.sum((F.col("sum_value") * F.col("sum_value")).cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("*").over(w)
+    mean = wsum / n
+    var = wsumsq / n - mean * mean
+    z = (F.col("sum_value") - mean) / F.sqrt(var)
+    return (
+        s.select(
+            "event_type",
+            "slot",
+            "sum_value",
+            n.alias("__n"),
+            var.alias("__var"),
+            z.alias("zscore"),
+        )
+        .filter(
+            (F.col("__n") >= 8)
+            & (F.col("__var") > 0)
+            & (F.abs(F.col("zscore")) > 2.0)
+        )
+        .select("event_type", "slot", "sum_value", "zscore")
+    )
+
+
+@_register(
+    "vector_norm_udf",
+    f"""
+    SELECT vec_id,
+           CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS BIGINT)
+             AS qnorm
+    FROM embeddings
+    """,
+    ("udf", "similarity", "ext"),
+    "Scalar Arrow pandas_udf (the vectorized-scalar member of the UDF "
+    "surface, SURVEY.md 2.8): exact squared norm of the quantized "
+    "embedding computed in a Python Arrow batch — integer arithmetic "
+    "end to end, so a Python-UDF execution path grades against a SQL "
+    "oracle bit-for-bit. Column batches in/out; usable inside any "
+    "expression, unlike mapInPandas which replaces the row stream.",
+)
+def q_vector_norm_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import (
+        quantized_embedding,
+        quantized_norm_pandas_udf,
+    )
+
+    qnorm = quantized_norm_pandas_udf()
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        qnorm(quantized_embedding(F.col("embedding"))).alias("qnorm"),
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -3900,6 +4009,8 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "unpivot_metrics",
     "wow_growth",
     "dq_expectations",
+    "anomaly_slots",
+    "vector_norm_udf",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
