@@ -110,3 +110,60 @@ def test_pq_knn_catalog_smoke(spark):
     assert len(per_q) == 10
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ---------------------------------------------------------------------------
+# ivfpq_knn (composition)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_exact_when_probe_all_and_codebook_covers(spark):
+    """Composed exactness: probing every cell removes the IVF
+    approximation, a covering codebook removes the PQ approximation —
+    the composition must equal brute-force cosine exactly."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        ivfpq_knn,
+    )
+
+    random.seed(7)
+    dim, m = 16, 4
+    blocks = [
+        [round(random.uniform(-1, 1), 3) for _ in range(dim // m)]
+        for _ in range(4)
+    ]
+    rows = []
+    for i in range(16):
+        v = []
+        for j in range(m):
+            v += blocks[(i + j) % 4]
+        rows.append((i, v))
+    df = _vec_df(spark, rows, dim)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_cosine"]
+        for r in ivfpq_knn(
+            queries, df, k=5, n_cells=4, n_probe=4, m=m, n_codes=16,
+            train_size=64, iters=4,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_knn(queries, df, k=5).collect()
+    }
+    assert set(got) == set(exact)
+    for key, adc in got.items():
+        assert abs(adc - exact[key]) < 1e-9, key
+
+
+def test_ivfpq_catalog_smoke(spark):
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    out = CATALOG["ivfpq_knn"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == 10
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

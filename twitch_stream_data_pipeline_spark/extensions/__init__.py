@@ -58,6 +58,7 @@ from .similarity import (
     group_outlier_scores,
     group_outlier_scores_scalable,
     ivf_knn,
+    ivfpq_knn,
     lsh_bucketed_knn,
     pq_knn,
     quantized_embedding,
@@ -88,6 +89,7 @@ __all__ = [
     "group_outlier_scores",
     "group_outlier_scores_scalable",
     "ivf_knn",
+    "ivfpq_knn",
     "language_id",
     "lsh_bucketed_knn",
     "lsh_candidate_pairs",

@@ -961,3 +961,110 @@ def quantized_norm_pandas_udf():
     # module global here, so infer_eval_type could not resolve them)
     qnorm.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(qnorm, "long")
+
+
+def ivfpq_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    train_size: int = 256,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale FAISS deployment
+    shape: the coarse quantizer prunes WHICH candidates each query
+    scores (:func:`ivf_knn`'s candidate-pruning axis), PQ/ADC
+    compresses HOW each surviving candidate is scored
+    (:func:`pq_knn`'s memory axis). At 100 TB both axes matter at
+    once: a query touches ``n_probe/n_cells`` of the corpus, and what
+    it touches streams as one-byte codes instead of full vectors.
+
+    One Arrow pass does cell assignment, PQ encoding, ADC scoring, and
+    probe masking per batch; candidates never shuffle, and both models
+    (centroids + codebooks) are driver-trained on the same bounded
+    sample contract. Scoring uses plain-vector PQ (not FAISS's
+    residual encoding — the production refinement that re-centers each
+    cell before coding; plain coding keeps the exactness property
+    testable: at ``n_probe == n_cells`` with a covering codebook the
+    output equals :func:`cosine_knn` exactly, asserted in tests).
+    Emits ``query_id, neighbor_id, adc_cosine, rank`` (rows-only by
+    design, like the other approximate ANN members).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = _train_coarse_quantizer(
+        candidates, n_cells, train_size, iters, id_col, vec_col
+    )
+    books = _train_pq_codebooks(
+        candidates, m, n_codes, train_size, iters, id_col, vec_col
+    )
+    n_books, n_cent, dsub = books.shape
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_embedding(F.col(vec_col)).alias("q_vec"),
+    ).collect()  # ANN contract: Q << N
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_order = np.argsort(-(q_mat @ cent.T), axis=1, kind="stable")
+    probes = {
+        qid: frozenset(probe_order[i, :n_probe].tolist())
+        for i, qid in enumerate(q_ids)
+    }
+    lut = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_ids), n_books, dsub), books
+    )
+    cent_sq = (books**2).sum(axis=2)
+
+    def assign_encode_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            cells = (C @ cent.T).argmax(axis=1)
+            S = C.reshape(len(C), n_books, dsub)
+            dots = np.einsum("bjd,jcd->bjc", S, books)
+            codes = (cent_sq[None, :, :] - 2.0 * dots).argmin(axis=2)
+            scores = lut[:, np.arange(n_books)[None, :], codes].sum(axis=2)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cells, list(probes[qid]))
+                out_q.append(np.full(int(mask.sum()), qid, dtype=np.int64))
+                out_n.append(ids[mask])
+                out_s.append(scores[qi, mask])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantized_embedding(F.col(vec_col)).alias("c_vec"),
+        )
+        .mapInPandas(
+            assign_encode_score,
+            "query_id long, neighbor_id long, adc_cosine double",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

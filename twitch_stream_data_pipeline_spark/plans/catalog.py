@@ -3862,6 +3862,27 @@ def q_vector_norm_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "ivfpq_knn",
+    None,  # approximate by construction; composed exactness (probe-all
+    # + covering codebook == cosine_knn) asserted in tests
+    ("similarity", "ext", "ivf", "pq"),
+    "IVF + PQ composed approximate top-5 — the standard billion-scale "
+    "FAISS deployment: the coarse quantizer prunes WHICH candidates "
+    "each query scores (n_probe=4 of 16 cells), PQ/ADC compresses HOW "
+    "the survivors are scored (m=8 one-byte codes, LUT-gather "
+    "asymmetric distance). One Arrow pass assigns, encodes, scores, "
+    "and probe-masks per batch; candidates never shuffle; both models "
+    "train driver-side on the bounded sample contract.",
+)
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import ivfpq_knn
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4016,6 +4037,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "group_outliers",
     "ivf_knn",
     "pq_knn",
+    "ivfpq_knn",
     "multimodal_features",
     "approx_distinct_users",
     "pack_groups",
