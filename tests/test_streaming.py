@@ -848,3 +848,101 @@ def test_stream_to_partitioned_lake_exactly_once(spark, tmp_path):
     run()
     assert spark.read.parquet(out).count() == n_rows
     assert sorted(glob.glob(f"{out}/day_date_id=*/*.parquet")) == files_before
+
+
+def test_streaming_anomaly_parity_with_batch(spark, tmp_path):
+    """The anomaly detector is a pure function of the slot series:
+    feeding it the foreachBatch-maintained streaming windowed
+    aggregate yields exactly the batch catalog result on the same
+    events (the 'streaming twin' claim of anomaly_slots)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        anomaly_scores,
+    )
+
+    random.seed(42)
+    # two types, 40 slots each, one injected spike per type
+    rows = []
+    eid = 0
+    for t in ("A", "B"):
+        for slot in range(40):
+            v = 10.0 + random.uniform(-1, 1)
+            if slot == 30:
+                v += 60.0  # the anomaly
+            rows.append((eid, t, slot * 900 + 10, v))
+            eid += 1
+    src = tmp_path / "ev"
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, secs long, value double"
+    )
+    ev.write.parquet(str(src))
+
+    # batch path
+    slots_batch = ev.groupBy(
+        "event_type",
+        F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+            "sum_value"
+        )
+    )
+    batch = sorted(
+        map(tuple, anomaly_scores(slots_batch, trailing=8).collect())
+    )
+    # both injected spikes flagged (tight background noise may add a
+    # few legitimate 2-sigma crossings — parity below is the claim)
+    spikes = {(r[0], r[1]) for r in batch}
+    assert {("A", 30), ("B", 30)} <= spikes
+
+    # streaming path: watermarked 15-min windowed aggregate maintained
+    # into a per-slot state table by foreachBatch
+    state: dict = {}
+
+    def maintain(df, epoch_id):
+        for r in df.collect():
+            state[(r["event_type"], r["slot"])] = r["sum_value"]
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            "event_type",
+            F.timestamp_seconds("secs").alias("event_time"),
+            "value",
+        )
+        .withWatermark("event_time", "24 hours")
+        .groupBy(F.window("event_time", "15 minutes"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+        .select(
+            F.floor(F.unix_timestamp("window.start") / 900)
+            .cast("long")
+            .alias("slot"),
+            "event_type",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    slots_stream = spark.createDataFrame(
+        [(t, s, v) for (t, s), v in state.items()],
+        "event_type string, slot long, sum_value double",
+    )
+    stream_out = sorted(
+        map(tuple, anomaly_scores(slots_stream, trailing=8).collect())
+    )
+    assert stream_out == batch

@@ -24,12 +24,18 @@ from .aggregates import (
     profile_columns,
     salted_count_distinct,
 )
-from .event_analytics import funnel_stages, gapfill_forward, retention_cohorts
+from .event_analytics import (
+    anomaly_scores,
+    funnel_stages,
+    gapfill_forward,
+    retention_cohorts,
+)
 from .joins import salted_join
 from .upsert import upsert_state
 from .packing import pack_into_groups
 
 __all__ = [
+    "anomaly_scores",
     "dq_check",
     "funnel_stages",
     "gapfill_forward",

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 WEEK_SECS = 7 * 86_400
 SLOT_SECS = 15 * 60
 
-__all__ = ["funnel_stages", "retention_cohorts", "gapfill_forward"]
+__all__ = [
+    "anomaly_scores",
+    "funnel_stages",
+    "gapfill_forward",
+    "retention_cohorts",
+]
 
 
 def funnel_stages(
@@ -183,4 +188,56 @@ def gapfill_forward(
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_value"),
             F.col("sum_value").isNotNull().cast("int").alias("is_observed"),
         )
+    )
+
+
+def anomaly_scores(
+    slots: DataFrame,
+    group_col: str = "event_type",
+    slot_col: str = "slot",
+    value_col: str = "sum_value",
+    trailing: int = 8,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection over a regular slot
+    series: each slot is scored against the mean/std of its previous
+    ``trailing`` observed slots (the frame excludes the judged point),
+    and rows with ``|z| > z_threshold`` are emitted — after a full
+    warm-up (``n == trailing``) and a zero-variance guard.
+
+    Takes the ALREADY-AGGREGATED ``(group, slot, value)`` relation, so
+    the same expression serves both execution modes: the batch catalog
+    query feeds it the grouped 15-min sums, and the streaming pipeline
+    feeds it the foreachBatch-maintained windowed aggregate (the
+    detector is a pure function of the slot series, indifferent to how
+    the series was produced — pinned by the batch/stream parity test).
+    In-frame sums stay decimal-routed so the zscore is bit-portable.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(slot_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col)
+    wsum = F.sum(v.cast("decimal(25,6)")).over(w).cast("double")
+    wsumsq = F.sum((v * v).cast("decimal(25,6)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    mean = wsum / n
+    var = wsumsq / n - mean * mean
+    z = (v - mean) / F.sqrt(var)
+    return (
+        slots.select(
+            group_col,
+            slot_col,
+            value_col,
+            n.alias("__n"),
+            var.alias("__var"),
+            z.alias("zscore"),
+        )
+        .filter(
+            (F.col("__n") >= trailing)
+            & (F.col("__var") > 0)
+            & (F.abs(F.col("zscore")) > z_threshold)
+        )
+        .select(group_col, slot_col, value_col, "zscore")
     )

@@ -3794,42 +3794,14 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the watermarked windowed aggregate.",
 )
 def q_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import anomaly_scores
+
     ev = _events(spark, sf_dir)
     s = ev.groupBy(
         "event_type",
         F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
     ).agg(dsum("value").alias("sum_value"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("slot")
-        .rowsBetween(-8, -1)
-    )
-    wsum = F.sum(F.col("sum_value").cast("decimal(25,6)")).over(w).cast("double")
-    wsumsq = (
-        F.sum((F.col("sum_value") * F.col("sum_value")).cast("decimal(25,6)"))
-        .over(w)
-        .cast("double")
-    )
-    n = F.count("*").over(w)
-    mean = wsum / n
-    var = wsumsq / n - mean * mean
-    z = (F.col("sum_value") - mean) / F.sqrt(var)
-    return (
-        s.select(
-            "event_type",
-            "slot",
-            "sum_value",
-            n.alias("__n"),
-            var.alias("__var"),
-            z.alias("zscore"),
-        )
-        .filter(
-            (F.col("__n") >= 8)
-            & (F.col("__var") > 0)
-            & (F.abs(F.col("zscore")) > 2.0)
-        )
-        .select("event_type", "slot", "sum_value", "zscore")
-    )
+    return anomaly_scores(s, trailing=8, z_threshold=2.0)
 
 
 @_register(
