@@ -588,3 +588,59 @@ def test_bpe_token_stats_prunes_and_stays_scan_local(spark):
     plan = plan_of(df)
     assert "Join" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_event_analytics_windows_are_partitioned(spark):
+    """gapfill/anomaly/wow windows ride the group key — no
+    single-partition exchange anywhere in their plans (the
+    all-data-to-one-task shape global windows degrade to)."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    for name in ("gapfill_15min", "anomaly_slots", "wow_growth"):
+        plan = (
+            CATALOG[name]
+            .fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_grouping_sets_single_expand_single_scan(spark):
+    """GROUPING SETS plans as one Expand feeding one aggregate over
+    one scan — not one scan per set."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    plan = (
+        CATALOG["grouping_sets_revenue"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_salted_join_no_fact_broadcast(spark):
+    """The salted join's FACT side must never broadcast (the whole
+    point is splitting a shuffle); only the replicated dim side may."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    plan = (
+        CATALOG["salted_join_brand_revenue"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # lineitem is the fact: its scan must not sit under a broadcast
+    # exchange; the part-side broadcast is acceptable at test scale
+    fact_scan = plan.find("lineitem.parquet")
+    assert fact_scan != -1
+    bcast = plan.find("BroadcastExchange")
+    if bcast != -1:
+        # broadcast subtree must reference part, not lineitem
+        sub = plan[bcast : bcast + 2000]
+        assert "lineitem.parquet" not in sub

@@ -707,35 +707,3 @@ def test_read_partitioned_verbatim_serialized_and_restores_conf(spark, tmp_path)
         assert r == ["0015", "0930"], r  # verbatim strings, zero-pad kept
     assert spark.conf.get(conf_key) == before
 
-
-def test_bucketed_join_elides_exchange(spark):
-    """Two tables bucketed+sorted on the same key join with NO shuffle
-    and NO sort: the write-side bucketing is the join's exchange,
-    paid once instead of per run."""
-    from pyspark.sql import functions as F
-
-    from twitch_stream_data_pipeline_spark.sinks import write_bucketed
-
-    left = spark.range(0, 1000).select(
-        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
-    )
-    right = spark.range(0, 1000).select(
-        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
-    )
-    try:
-        write_bucketed(left, "t_bkt_left", "k", num_buckets=4)
-        write_bucketed(right, "t_bkt_right", "k", num_buckets=4)
-        joined = (
-            spark.table("t_bkt_left")
-            .hint("merge")  # pin SMJ so the claim is about bucketing,
-            .join(spark.table("t_bkt_right"), "k")  # not broadcast
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan
-        assert joined.count() == 1000
-        row = joined.filter(F.col("k") == 10).collect()[0]
-        assert row["a"] == 20 and row["b"] == 30
-    finally:
-        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
-        spark.sql("DROP TABLE IF EXISTS t_bkt_right")

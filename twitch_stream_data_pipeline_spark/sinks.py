@@ -484,33 +484,3 @@ def compact_partitions(
         partition_overwrite_mode="dynamic",
     )
 
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    key: str,
-    num_buckets: int = 8,
-    sort: bool = True,
-    mode: str = "overwrite",
-) -> None:
-    """Hash-bucketed (and bucket-sorted) managed table — the storage
-    half of a co-located join: rows are pre-partitioned into
-    ``num_buckets`` files by ``hash(key)`` AT WRITE TIME, so any
-    equi-join or aggregation on ``key`` between tables bucketed the
-    same way needs NO shuffle at read time — Catalyst recognizes the
-    matching output partitioning and elides both Exchanges (and with
-    ``sort=True`` both Sorts) under a sort-merge join.
-
-    At 100 TB this converts the recurring cost structure of a fact-
-    to-fact join (two full shuffles per run, every run) into a
-    one-time write-side cost — the right trade for tables joined every
-    day on the same key (the star schema's orders/customer spine).
-    Bucket counts must match across join partners; pick a count whose
-    per-bucket size fits an executor (buckets are the parallelism
-    ceiling for bucket-local reads). The shuffle-free plan is pinned
-    by ``tests/test_sinks.py::test_bucketed_join_elides_exchange``.
-    """
-    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, key)
-    if sort:
-        writer = writer.sortBy(key)
-    writer.saveAsTable(table)
