@@ -77,6 +77,10 @@ EXTENDED = (
     # and stay out of the timed set)
     "duplicate_spans",
     "bigram_logprob",
+    # round 5d/5f: dense-grid forward fill + trailing-window anomaly
+    # (the partitioned-window timeseries family)
+    "gapfill_15min",
+    "anomaly_slots",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED
