@@ -324,3 +324,116 @@ def test_paged_stream_equals_batch_under_any_rate_limit(
         if not rows and all(c == END_CURSOR for c in off["cursors"].values()):
             break
     assert sorted(drained) == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# round-5 session operators
+# ---------------------------------------------------------------------------
+
+_keys = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@given(_keys, st.integers(min_value=1, max_value=9))
+@_SETTINGS
+def test_global_row_index_is_sorted_permutation(spark, keys, buckets):
+    from twitch_stream_data_pipeline_spark.extensions.sampling import (
+        global_row_index,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["row_index"]
+        for r in global_row_index(df, "k", buckets=buckets).collect()
+    }
+    assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}
+
+
+_events_seq = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),        # user
+        st.sampled_from(["signup", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=50),       # secs
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_funnel(rows, steps):
+    users = {u for u, _, _ in rows}
+    counts = []
+    reached = {}
+    for u in users:
+        ts = sorted(s for uu, t, s in rows if uu == u and t == steps[0])
+        if ts:
+            reached[u] = ts[0]
+    counts.append(len(reached))
+    for step in steps[1:]:
+        nxt = {}
+        for u, prev in reached.items():
+            ts = sorted(
+                s for uu, t, s in rows if uu == u and t == step and s > prev
+            )
+            if ts:
+                nxt[u] = ts[0]
+        reached = nxt
+        counts.append(len(reached))
+    return counts
+
+
+@given(_events_seq)
+@_SETTINGS
+def test_funnel_matches_brute_force(spark, rows):
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        funnel_stages,
+    )
+
+    steps = ("signup", "click", "purchase")
+    df = spark.createDataFrame(
+        [(u, t, s, 0.0) for u, t, s in rows] or [(0, "noop", 0, 0.0)],
+        "user_id long, event_type string, secs long, value double",
+    )
+    got = {
+        r["stage"]: r["n_users"] for r in funnel_stages(df, steps).collect()
+    }
+    want = _brute_funnel(rows, steps)
+    assert [got[i + 1] for i in range(3)] == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # doc_id
+            st.sampled_from(["s0", "s1", "s2"]),      # source
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@_SETTINGS
+def test_temperature_sample_partition_independent_and_keeps_min(spark, rows):
+    from twitch_stream_data_pipeline_spark.extensions.sampling import (
+        temperature_sample,
+    )
+
+    df1 = spark.createDataFrame(rows, "doc_id long, source string")
+    df8 = df1.repartition(8)
+    kept1 = sorted(r["doc_id"] for r in temperature_sample(df1).collect())
+    kept8 = sorted(r["doc_id"] for r in temperature_sample(df8).collect())
+    assert kept1 == kept8  # partition-independent keep decisions
+    # every smallest-count source keeps all members (rate == 1)
+    from collections import Counter
+
+    c = Counter(s for _, s in rows)
+    cmin = min(c.values())
+    smallest = {s for s, n in c.items() if n == cmin}
+    kept_set = set(kept1)
+    for d, s in rows:
+        if s in smallest:
+            assert d in kept_set
