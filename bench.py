@@ -81,6 +81,9 @@ EXTENDED = (
     # (the partitioned-window timeseries family)
     "gapfill_15min",
     "anomaly_slots",
+    # the end-to-end curation DAG (dedup -> quality -> decontaminate
+    # -> temperature mix) — the composite headline
+    "pretrain_pipeline",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

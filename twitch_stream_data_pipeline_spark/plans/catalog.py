@@ -3855,6 +3855,98 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+
+@_register(
+    "pretrain_pipeline",
+    rf"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(replace(lower(text), ' ', ''))
+    ),
+    quality AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d
+      JOIN keepers USING (doc_id)
+      WHERE d.n_chars BETWEEN 100 AND 2000
+    ),
+    base AS (
+      SELECT doc_id, text,
+             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    train AS (
+      SELECT q.doc_id, q.text, q.lang FROM quality q
+      JOIN base b USING (doc_id) WHERE b.split = 'train'
+    ),
+    split_docs AS (
+      SELECT doc_id, 'train' AS split, text FROM train
+      UNION ALL
+      SELECT doc_id, 'test' AS split, text FROM base WHERE split = 'test'
+    ),
+    sh AS ({_ngram_expr_sql(8)}),
+    held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (shingle)
+      WHERE s.split = 'train'
+    ),
+    clean AS (
+      SELECT t.doc_id, t.lang FROM train t
+      LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    cnt AS (SELECT lang, COUNT(*) AS c FROM clean GROUP BY 1),
+    mn AS (SELECT MIN(c) AS c_min FROM cnt),
+    rt AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c AS DOUBLE))
+                        * 1000000) AS BIGINT) AS keep_ppm
+      FROM cnt CROSS JOIN mn
+    )
+    SELECT cl.doc_id, cl.lang,
+           {_MD5INT.format(x="'epoch0:' || CAST(cl.doc_id AS VARCHAR)")}
+             AS shuffle_key
+    FROM clean cl JOIN rt USING (lang)
+    WHERE {_MD5INT.format(x="'temp:' || CAST(cl.doc_id AS VARCHAR)")}
+            % 1000000 < keep_ppm
+    """,
+    ("pipeline", "dedup", "sampling", "ext", "llm"),
+    "End-to-end pretraining-data curation DAG, one declarative plan: "
+    "exact dedup (min-id survivor per md5 fingerprint) -> quality gate "
+    "(n_chars range) -> train/test split -> benchmark decontamination "
+    "(drop train docs sharing any 8-gram with the held-out split; "
+    "held shingles broadcast) -> sqrt-temperature language rebalance "
+    "-> epoch-0 shuffle key. Every stage is a previously-graded "
+    "operator; composing them keeps the whole pipeline inside ONE "
+    "Catalyst plan, so column pruning and filter pushdown cross stage "
+    "boundaries (bodies are read once for fingerprint+shingles, never "
+    "re-scanned per stage) — the argument for an engine over a script "
+    "chain. Deterministic end to end: md5 split/thinning/shuffle keys.",
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import decontaminate, exact_dedup_groups
+    from ..extensions.sampling import (
+        shuffle_key,
+        split_assign,
+        temperature_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    quality = kept.filter(F.col("n_chars").between(100, 2000))
+    split = split_assign(F.col("doc_id"))
+    train = quality.filter(split == "train")
+    held = docs.filter(split == "test")
+    contaminated = decontaminate(train, held, n=8).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    mixed = temperature_sample(clean, source_col="lang")
+    return mixed.select(
+        "doc_id",
+        "lang",
+        shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4004,6 +4096,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "dq_expectations",
     "anomaly_slots",
     "vector_norm_udf",
+    "pretrain_pipeline",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
