@@ -3917,10 +3917,14 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "held shingles broadcast) -> sqrt-temperature language rebalance "
     "-> epoch-0 shuffle key. Every stage is a previously-graded "
     "operator; composing them keeps the whole pipeline inside ONE "
-    "Catalyst plan, so column pruning and filter pushdown cross stage "
-    "boundaries (bodies are read once for fingerprint+shingles, never "
-    "re-scanned per stage) — the argument for an engine over a script "
-    "chain. Deterministic end to end: md5 split/thinning/shuffle keys.",
+    "Catalyst plan, so column pruning crosses stage boundaries: each "
+    "of the plan's scans reads ONLY its stage's columns (ReadSchema "
+    "shows doc_id+text for fingerprint/shingle stages, "
+    "doc_id+lang+n_chars where bodies are not needed) and no "
+    "intermediate layer is materialized to disk between stages — the "
+    "argument for an engine over a script chain that writes and "
+    "re-reads each hop. Deterministic end to end: md5 "
+    "split/thinning/shuffle keys.",
 )
 def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup_text import decontaminate, exact_dedup_groups
