@@ -247,3 +247,37 @@ def test_dq_check_single_aggregation_plan(spark):
         .toString()
     )
     assert plan.lower().count("range (0, 100") == 1
+
+
+# ---------------------------------------------------------------------------
+# hll_mergeable_rollup
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_equals_direct_and_tracks_exact(spark):
+    """Union of per-day sketches == one direct sketch of all data
+    (mergeability is exact, not approximate), and the estimate tracks
+    the true distinct count within HLL tolerance."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    from .conftest import SF_SMOKE
+
+    out = {
+        r["event_type"]: r
+        for r in CATALOG["hll_mergeable_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(out) == set(direct)
+    for t, r in out.items():
+        assert r["est_users"] == direct[t]["est"], t  # merge == direct
+        exact = direct[t]["exact"]
+        assert abs(r["est_users"] - exact) <= max(2, 0.05 * exact), t

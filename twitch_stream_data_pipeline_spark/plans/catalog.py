@@ -3951,6 +3951,41 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "hll_mergeable_rollup",
+    None,  # sketch estimates are engine-specific; estimate-vs-exact
+    # tolerance and the merge==direct property asserted in tests
+    ("aggregate", "sketch", "approx", "ext"),
+    "MERGEABLE distinct-count sketches (Datasketches HLL via "
+    "hll_sketch_agg / hll_union_agg): per-day per-type user sketches "
+    "built once, then rolled up to per-type totals by UNIONING THE "
+    "SKETCHES — no re-scan of the events, no re-shuffle of the user "
+    "universe. This is the real 100 TB sketch story approx_count_"
+    "distinct alone doesn't show: daily sketch rows are the stored "
+    "partial state (kilobytes per group), and any coarser rollup "
+    "(weekly, all-time, cross-region) is an aggregation over sketches "
+    "alone. Merge-then-estimate equals a direct one-pass sketch of "
+    "the same data — pinned in tests.",
+)
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day")
+    daily = ev.groupBy("event_type", day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_days"),
+        )
+        .select("event_type", "est_users", "n_events", "n_days")
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4107,6 +4142,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "ivf_knn",
     "pq_knn",
     "ivfpq_knn",
+    "hll_mergeable_rollup",
     "multimodal_features",
     "approx_distinct_users",
     "pack_groups",
