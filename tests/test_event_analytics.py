@@ -281,3 +281,40 @@ def test_hll_merge_equals_direct_and_tracks_exact(spark):
         assert r["est_users"] == direct[t]["est"], t  # merge == direct
         exact = direct[t]["exact"]
         assert abs(r["est_users"] - exact) <= max(2, 0.05 * exact), t
+
+
+# ---------------------------------------------------------------------------
+# ts_pattern_search
+# ---------------------------------------------------------------------------
+
+
+def test_ts_pattern_search_finds_planted_spike(spark):
+    """A two-slot spike planted at slot 20 on a flat-noise series must
+    rank first for the [0,0,0,1,1,0,0,0] template, window aligned so
+    the spike sits at offsets 3-4 (start slot 17); scale invariance:
+    a 10x larger spike in another group scores the same shape."""
+    import random
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        ts_pattern_search,
+    )
+
+    random.seed(3)
+    rows = []
+    for g, amp in (("A", 5.0), ("B", 50.0)):
+        for slot in range(40):
+            v = 100.0 + random.uniform(-0.5, 0.5)
+            if slot in (20, 21):
+                v += amp
+            rows.append((g, slot, v))
+    slots = spark.createDataFrame(
+        rows, "event_type string, slot long, sum_value double"
+    )
+    out = ts_pattern_search(
+        slots, pattern=[0, 0, 0, 1, 1, 0, 0, 0], k=4
+    ).collect()
+    top2 = {(r["event_type"], r["slot"]) for r in out[:2]}
+    assert top2 == {("A", 17), ("B", 17)}
+    # correlation is scale-free: both spikes score essentially equally
+    assert abs(out[0]["similarity"] - out[1]["similarity"]) < 0.02
+    assert out[0]["similarity"] > 0.9

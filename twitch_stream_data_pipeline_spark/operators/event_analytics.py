@@ -37,6 +37,7 @@ __all__ = [
     "funnel_stages",
     "gapfill_forward",
     "retention_cohorts",
+    "ts_pattern_search",
 ]
 
 
@@ -240,4 +241,77 @@ def anomaly_scores(
             & (F.abs(F.col("zscore")) > z_threshold)
         )
         .select(group_col, slot_col, value_col, "zscore")
+    )
+
+
+def ts_pattern_search(
+    slots: DataFrame,
+    pattern: Sequence[float],
+    group_col: str = "event_type",
+    slot_col: str = "slot",
+    value_col: str = "sum_value",
+    k: int = 10,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Distributed time-series similarity search (the EDBT'19
+    streaming-subsequence-search problem shape): slide a length-``L``
+    window over each group's dense slot series and rank windows by
+    z-normalized similarity to a query ``pattern`` — i.e. Pearson
+    correlation, so a spike is found whatever its absolute scale or
+    baseline. Emits the global top-``k``:
+    ``(group, slot, similarity)`` with ``slot`` the window start.
+
+    Exact-arithmetic trick (the quantized-cosine rule): quantize
+    values to bigints, mean-center WITHOUT division —
+    ``c_i = L * q_i - sum(q)`` — and score
+    ``corr = dot(c, p_c) / (||c|| * ||p_c||)`` where ``p_c`` is the
+    pattern centered the same way at plan-build time. Everything
+    until the final double divide is int64 (products stay far under
+    2^62 for slot sums up to ~1e15/L at scale 1000), so the score is
+    bit-identical in any engine.
+
+    Plan shape: windows materialize as ``L`` ``lead()`` columns over a
+    window PARTITIONED by group and ordered by the dense grid (feed
+    :func:`gapfill_forward` output; tail rows with incomplete windows
+    drop via the last lead's NULL). Zero-variance windows are
+    filtered (flat series match nothing). The global top-k is
+    ``orderBy().limit(k)`` — TakeOrdered, per-partition heaps + a
+    k-row merge, never a full sort.
+    """
+    L = len(pattern)
+    if L < 2:
+        raise ValueError("pattern needs at least 2 points")
+    pq = [round(p * quant_scale) for p in pattern]
+    ps = sum(pq)
+    pc = [L * x - ps for x in pq]
+    p_norm2 = sum(x * x for x in pc)
+    if p_norm2 == 0:
+        raise ValueError("pattern is constant — correlation undefined")
+    q = F.round(F.col(value_col) * quant_scale).cast("long")
+    w = Window.partitionBy(group_col).orderBy(slot_col)
+    leads = [F.lead(q, i).over(w).alias(f"__l{i}") for i in range(L)]
+    arr = slots.select(group_col, slot_col, *leads).filter(
+        F.col(f"__l{L - 1}").isNotNull()
+    )
+    s = sum(F.col(f"__l{i}") for i in range(L))  # window sum, int64
+    cent = [
+        (F.lit(L) * F.col(f"__l{i}") - s).alias(f"__c{i}") for i in range(L)
+    ]
+    c = arr.select(group_col, slot_col, *cent)
+    dot = sum(F.col(f"__c{i}") * F.lit(pc[i]) for i in range(L))
+    n2 = sum(F.col(f"__c{i}") * F.col(f"__c{i}") for i in range(L))
+    return (
+        c.select(
+            group_col,
+            slot_col,
+            n2.alias("__n2"),
+            (
+                dot.cast("double")
+                / F.sqrt(n2.cast("double") * F.lit(float(p_norm2)))
+            ).alias("similarity"),
+        )
+        .filter(F.col("__n2") > 0)
+        .orderBy(F.desc("similarity"), group_col, slot_col)
+        .limit(k)
+        .select(group_col, slot_col, "similarity")
     )

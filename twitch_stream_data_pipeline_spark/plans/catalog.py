@@ -3986,6 +3986,68 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "ts_pattern_search",
+    """
+    WITH o AS (SELECT event_type AS g,
+                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                        AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
+    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r),
+    filled AS (
+      SELECT grid.g, grid.slot,
+             last_value(o.sum_value IGNORE NULLS) OVER (
+               PARTITION BY grid.g ORDER BY grid.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
+    ),
+    qd AS (SELECT g, slot, CAST(round(v * 1000) AS BIGINT) AS q FROM filled),
+    ld AS (SELECT g, slot, [lead(q, 0) OVER w, lead(q, 1) OVER w, lead(q, 2) OVER w, lead(q, 3) OVER w, lead(q, 4) OVER w, lead(q, 5) OVER w, lead(q, 6) OVER w, lead(q, 7) OVER w] AS wv
+           FROM qd WINDOW w AS (PARTITION BY g ORDER BY slot)),
+    ok AS (SELECT g, slot, wv,
+                  CAST(list_sum(wv) AS BIGINT) AS s
+           FROM ld WHERE wv[8] IS NOT NULL),
+    cc AS (SELECT g, slot,
+                  list_transform(wv, x -> 8 * x - s) AS c
+           FROM ok),
+    sc AS (
+      SELECT g AS event_type, slot,
+             CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2,
+             CAST(CAST(list_sum(list_transform(
+                    list_zip(c, [CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(6000 AS BIGINT), CAST(6000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT)]), p -> p[1] * p[2]))
+                  AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(list_sum(list_transform(c, x -> x * x))
+                           AS BIGINT) * 96000000.0) AS similarity
+      FROM cc
+    )
+    SELECT event_type, slot, similarity
+    FROM sc WHERE n2 > 0
+    ORDER BY similarity DESC, event_type, slot
+    LIMIT 10
+    """,
+    ("events", "timeseries", "similarity", "window", "ext"),
+    "Distributed time-series pattern search (the EDBT'19 streaming "
+    "subsequence-similarity problem shape): z-normalized correlation "
+    "of every sliding 8-slot window of the gap-filled 15-min series "
+    "against a spike template, global top-10 by TakeOrdered. The "
+    "quantized-cosine rule extends to correlation: mean-centering as "
+    "c_i = L*q_i - sum(q) keeps everything int64 until one final "
+    "double divide, so Spark and DuckDB agree bit-for-bit. Windows "
+    "materialize as L lead() columns over a group-partitioned window; "
+    "flat (zero-variance) windows are filtered.",
+)
+def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import gapfill_forward, ts_pattern_search
+
+    filled = gapfill_forward(_events(spark, sf_dir))
+    return ts_pattern_search(
+        filled, pattern=[0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0], k=10
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4136,6 +4198,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "anomaly_slots",
     "vector_norm_udf",
     "pretrain_pipeline",
+    "ts_pattern_search",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
