@@ -29,6 +29,7 @@ from .event_analytics import (
     funnel_stages,
     gapfill_forward,
     retention_cohorts,
+    ts_pattern_search,
 )
 from .joins import salted_join
 from .upsert import upsert_state
@@ -41,6 +42,7 @@ __all__ = [
     "gapfill_forward",
     "retention_cohorts",
     "salted_join",
+    "ts_pattern_search",
     "empty_to_sentinel",
     "sentinel_to_null",
     "valid_integer_ids",

@@ -4048,6 +4048,65 @@ def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "seasonal_residuals",
+    """
+    WITH s AS (SELECT event_type,
+                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                        AS sum_value
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, slot % 96 AS slot_of_day,
+                 CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) AS DOUBLE)
+                   / COUNT(*) AS baseline
+          FROM s GROUP BY 1, 2)
+    SELECT s.event_type, s.slot, s.sum_value, b.baseline,
+           s.sum_value - b.baseline AS residual
+    FROM s JOIN b ON s.event_type = b.event_type
+               AND s.slot % 96 = b.slot_of_day
+    """,
+    ("events", "timeseries", "ext"),
+    "Seasonal-naive decomposition: the time-of-day baseline (mean of "
+    "each 15-min slot-of-day across days, per type — the 96-slot "
+    "grid of SURVEY S9 used as a seasonality index) subtracted from "
+    "every observed slot. Two decimal-routed aggregations + one "
+    "broadcast join of the 96 x |types| baseline relation back onto "
+    "the slot series — the deseasonalized residual is what the "
+    "trailing-window anomaly detector should consume on strongly "
+    "periodic traffic (raw z-scores flag every rush hour). slot mod "
+    "96 is integer arithmetic; the subtraction one portable double "
+    "op.",
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = ev.groupBy(
+        "event_type",
+        F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
+    ).agg(dsum("value").alias("sum_value"))
+    b = s.groupBy(
+        "event_type", F.pmod(F.col("slot"), F.lit(96)).alias("slot_of_day")
+    ).agg(
+        (
+            F.sum(F.col("sum_value").cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("baseline")
+    )
+    sl = s.alias("sl")
+    bl = F.broadcast(b).alias("bl")
+    return sl.join(
+        bl,
+        (F.col("sl.event_type") == F.col("bl.event_type"))
+        & (F.pmod(F.col("sl.slot"), F.lit(96)) == F.col("bl.slot_of_day")),
+    ).select(
+        F.col("sl.event_type").alias("event_type"),
+        F.col("sl.slot").alias("slot"),
+        F.col("sl.sum_value").alias("sum_value"),
+        F.col("bl.baseline").alias("baseline"),
+        (F.col("sl.sum_value") - F.col("bl.baseline")).alias("residual"),
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4199,6 +4258,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "vector_norm_udf",
     "pretrain_pipeline",
     "ts_pattern_search",
+    "seasonal_residuals",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
