@@ -4107,6 +4107,62 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "copresence_pairs",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
+           least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_secs
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+    WHERE least(a.hi, b.hi) - greatest(a.lo, b.lo) > 0
+    """,
+    ("events", "join", "interval", "ext"),
+    "Interval-overlap self-join (co-presence: user pairs whose daily "
+    "activity spans overlap) via the equi-bucket reduction: intervals "
+    "are keyed by their containing day, the join is a plain EQUI join "
+    "on the bucket plus a residual overlap predicate — never a "
+    "cartesian theta-join. The generalizable trick for inequality "
+    "joins at 100 TB: any bounded-span interval set buckets by a "
+    "coarse grid (spans crossing bucket edges replicate into each "
+    "touched bucket; daily activity here cannot cross days by "
+    "construction), turning O(n^2) into per-bucket work. Intervals "
+    "are one aggregation; all arithmetic integer.",
+)
+def q_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    iv = ev.groupBy(
+        "user_id",
+        F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day"),
+    ).agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
+    a = iv.alias("a")
+    b = iv.alias("b")
+    overlap = F.least(F.col("a.hi"), F.col("b.hi")) - F.greatest(
+        F.col("a.lo"), F.col("b.lo")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            overlap.alias("overlap_secs"),
+        )
+        .filter(F.col("overlap_secs") > 0)
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4259,6 +4315,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "pretrain_pipeline",
     "ts_pattern_search",
     "seasonal_residuals",
+    "copresence_pairs",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
