@@ -60,6 +60,7 @@ from .similarity import (
     ivf_knn,
     ivfpq_knn,
     lsh_bucketed_knn,
+    norms_map_in_arrow,
     pq_knn,
     quantized_embedding,
     semantic_dedup,
@@ -96,6 +97,7 @@ __all__ = [
     "minhash_signatures",
     "mixture_sample",
     "near_dup_verify",
+    "norms_map_in_arrow",
     "nb_evaluate",
     "nb_predict",
     "nb_train",

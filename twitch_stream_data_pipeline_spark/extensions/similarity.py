@@ -1068,3 +1068,42 @@ def ivfpq_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )
+
+
+def norms_map_in_arrow(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact quantized squared norms via ``mapInArrow`` — the
+    Arrow-NATIVE member of the UDF surface (SURVEY.md §2.8), one rung
+    below the pandas tier: batches arrive as ``pyarrow.RecordBatch``
+    and never pay the Arrow->pandas conversion that ``mapInPandas`` /
+    ``pandas_udf`` add on both edges. The right tier when the Python
+    work is itself array arithmetic (here: one int64 square-sum per
+    fixed-dim row via numpy views over the Arrow buffers).
+
+    Integer end to end, so the catalog grades this execution path
+    against the same SQL oracle as the pandas_udf twin
+    (``vector_norm_udf``) — three code paths (JVM expression, pandas
+    UDF, Arrow-native), one bit-identical result.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def qnorms(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            ids = tbl.column("__id").to_numpy(zero_copy_only=False)
+            qv = tbl.column("__qv")
+            mat = np.array(qv.to_pylist(), dtype=np.int64)
+            if mat.size == 0:
+                norms = np.array([], dtype=np.int64)
+            else:
+                norms = (mat * mat).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(norms, type=pa.int64())],
+                names=["vec_id", "qnorm"],
+            )
+
+    src = emb.select(
+        F.col(id_col).alias("__id"),
+        quantized_embedding(F.col(vec_col)).alias("__qv"),
+    )
+    return src.mapInArrow(qnorms, "vec_id long, qnorm long")

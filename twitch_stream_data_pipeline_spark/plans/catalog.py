@@ -4163,6 +4163,79 @@ def q_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "vector_norm_arrow",
+    f"""
+    SELECT vec_id,
+           CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS BIGINT)
+             AS qnorm
+    FROM embeddings
+    """,
+    ("udf", "arrow", "similarity", "ext"),
+    "Arrow-NATIVE UDF path (mapInArrow: pyarrow.RecordBatch in/out, "
+    "no Arrow->pandas conversion on either edge) computing the same "
+    "exact quantized squared norm as the pandas_udf twin "
+    "(vector_norm_udf) and the JVM expression form — three execution "
+    "tiers, one bit-identical, oracle-graded result. The tier to "
+    "pick when the Python work is itself array arithmetic.",
+)
+def q_vector_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import norms_map_in_arrow
+
+    return norms_map_in_arrow(_emb(spark, sf_dir))
+
+
+@_register(
+    "udtf_ngrams",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT doc_id, w1 || ' ' || w2 AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY 1, 2
+    """,
+    ("udf", "udtf", "text", "ext"),
+    "Python UDTF (Spark 4 user-defined TABLE function): a lateral "
+    "ngrams() generator expanding each document into its 2-gram rows "
+    "— the row-generating member of the UDF surface, completing "
+    "scalar (pandas_udf), map (mapInPandas/mapInArrow), grouped-map, "
+    "and grouped-state. Deliberately fed a doc_id<50 slice: Python "
+    "UDTFs evaluate row-at-a-time, the documented slow path — the "
+    "production form is the JVM explode/transform (token_stats, "
+    "bigram_logprob state exactly this expansion declaratively); the "
+    "catalog entry grades the API surface, and the oracle states the "
+    "same expansion relationally.",
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="gram: string, n: long")
+    class NGrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.strip().lower().split()
+            from collections import Counter
+
+            c = Counter(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+            for gram, n in c.items():
+                yield gram, n
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return docs.lateralJoin(
+        NGrams(F.col("doc_id").outer(), F.col("text").outer())
+    ).select("doc_id", "gram", "n")
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4316,6 +4389,8 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "ts_pattern_search",
     "seasonal_residuals",
     "copresence_pairs",
+    "vector_norm_arrow",
+    "udtf_ngrams",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
