@@ -4236,6 +4236,75 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "gram", "n")
 
 
+
+@_register(
+    "triangle_count",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+      FROM events GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND a.user_id < b.user_id
+      WHERE least(a.hi, b.hi) - greatest(a.lo, b.lo) > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT 1
+              FROM e ab JOIN e bc ON ab.b = bc.a
+                        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+           )) AS BIGINT) AS n_triangles
+    """,
+    ("graph", "join", "ext"),
+    "Distributed triangle counting over the co-presence graph: edges "
+    "ordered a < b, wedges joined on the middle vertex, closed by a "
+    "third edge lookup — each triangle counted exactly once as "
+    "a < b < c. Two equi-join shuffles over the edge relation, no "
+    "matrix, no driver state. At 100 TB scale the refinement is "
+    "degree-ordered orientation (point each edge from lower- to "
+    "higher-degree endpoint) so wedge fan-out is bounded by sqrt(m) "
+    "per task instead of the max degree — the standard skew answer, "
+    "same plan shape (one extra degree aggregation + broadcast). "
+    "Companion structural metric to dedup_clusters' components.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    iv = ev.groupBy(
+        "user_id",
+        F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day"),
+    ).agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
+    a = iv.alias("a")
+    b = iv.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(
+            F.least(F.col("a.hi"), F.col("b.hi"))
+            - F.greatest(F.col("a.lo"), F.col("b.lo"))
+            > 0
+        )
+        .select(
+            F.col("a.user_id").alias("ea"), F.col("b.user_id").alias("eb")
+        )
+        .distinct()
+    )
+    ab = e.select(F.col("ea").alias("x"), F.col("eb").alias("y"))
+    bc = e.select(F.col("ea").alias("y"), F.col("eb").alias("z"))
+    ac = e.select(F.col("ea").alias("x"), F.col("eb").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4391,6 +4460,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "copresence_pairs",
     "vector_norm_arrow",
     "udtf_ngrams",
+    "triangle_count",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
