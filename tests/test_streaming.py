@@ -946,3 +946,72 @@ def test_streaming_anomaly_parity_with_batch(spark, tmp_path):
         map(tuple, anomaly_scores(slots_stream, trailing=8).collect())
     )
     assert stream_out == batch
+
+
+def test_streaming_funnel_parity_with_batch(spark, tmp_path):
+    """The stateful streaming funnel automaton reaches exactly the
+    batch operator's per-stage populations when batches replay in
+    time order — the CEP member of the streaming tier."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        funnel_stages,
+    )
+    from twitch_stream_data_pipeline_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+
+    random.seed(11)
+    steps = ("signup", "click", "purchase")
+    types = ["signup", "click", "purchase", "view", "error"]
+    rows = []
+    eid = 0
+    for secs in range(0, 3000, 7):
+        rows.append(
+            (eid, random.randint(1, 25), random.choice(types), secs)
+        )
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, secs long"
+    )
+
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(ev, steps).collect()
+    }
+
+    # replay as three time-ordered files (the in-order contract)
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    for i, bound in enumerate(((0, 1000), (1000, 2000), (2000, 3001))):
+        ev.filter(
+            (F.col("secs") >= bound[0]) & (F.col("secs") < bound[1])
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    state: dict = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            state[r["user_id"]] = r["stage_reached"]
+
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stream_counts = {
+        k: sum(1 for s in state.values() if s >= k) for k in (1, 2, 3)
+    }
+    assert stream_counts == {k: batch.get(k, 0) for k in (1, 2, 3)}
+    assert batch.get(1, 0) > 0  # fixture actually exercises the funnel
