@@ -318,3 +318,52 @@ def test_ts_pattern_search_finds_planted_spike(spark):
     # correlation is scale-free: both spikes score essentially equally
     assert abs(out[0]["similarity"] - out[1]["similarity"]) < 0.02
     assert out[0]["similarity"] > 0.9
+
+
+# ---------------------------------------------------------------------------
+# motif_discovery
+# ---------------------------------------------------------------------------
+
+
+def test_motif_discovery_finds_planted_repeat(spark):
+    """A distinctive 8-slot shape planted twice (slots 10 and 40) on a
+    flat-noise series must be the best non-overlapping window pair."""
+    import random
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        motif_discovery,
+    )
+
+    random.seed(5)
+    shape = [3.0, 9.0, 1.0, 7.0, 2.0, 8.0, 4.0, 6.0]
+    rows = []
+    for slot in range(60):
+        v = 50.0 + random.uniform(-0.3, 0.3)
+        for start in (10, 40):
+            if start <= slot < start + 8:
+                v += 10 * shape[slot - start]
+        rows.append(("A", slot, v))
+    slots = spark.createDataFrame(
+        rows, "event_type string, slot long, sum_value double"
+    )
+    out = motif_discovery(slots, window_len=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the two plants sit 30 slots apart; any same-offset window pair
+    # overlapping them correlates ~1, so assert the alignment and that
+    # the windows actually cover the planted shape
+    assert r["slot_b"] - r["slot_a"] == 30
+    assert 3 <= r["slot_a"] <= 17
+    assert r["similarity"] > 0.99
+
+
+def test_motif_discovery_too_short_group_emits_nothing(spark):
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        motif_discovery,
+    )
+
+    rows = [("A", s, float(s)) for s in range(12)]  # < 2 windows of 8
+    slots = spark.createDataFrame(
+        rows, "event_type string, slot long, sum_value double"
+    )
+    assert motif_discovery(slots, window_len=8).count() == 0

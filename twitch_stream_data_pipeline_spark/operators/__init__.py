@@ -28,6 +28,7 @@ from .event_analytics import (
     anomaly_scores,
     funnel_stages,
     gapfill_forward,
+    motif_discovery,
     retention_cohorts,
     ts_pattern_search,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "dq_check",
     "funnel_stages",
     "gapfill_forward",
+    "motif_discovery",
     "retention_cohorts",
     "salted_join",
     "ts_pattern_search",

@@ -36,6 +36,7 @@ __all__ = [
     "anomaly_scores",
     "funnel_stages",
     "gapfill_forward",
+    "motif_discovery",
     "retention_cohorts",
     "ts_pattern_search",
 ]
@@ -314,4 +315,96 @@ def ts_pattern_search(
         .orderBy(F.desc("similarity"), group_col, slot_col)
         .limit(k)
         .select(group_col, slot_col, "similarity")
+    )
+
+
+def motif_discovery(
+    slots: DataFrame,
+    window_len: int = 8,
+    group_col: str = "event_type",
+    slot_col: str = "slot",
+    value_col: str = "sum_value",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Motif discovery, matrix-profile-lite: for each group's dense
+    slot series, find the best NON-OVERLAPPING pair of length-``L``
+    windows by z-normalized correlation — "which shape does this
+    series keep repeating?", the unsupervised twin of
+    :func:`ts_pattern_search`'s known-template search. Emits one row
+    per group: ``(group, slot_a, slot_b, similarity)``.
+
+    Same exact-arithmetic contract as the pattern search: quantize to
+    int64, mean-center as ``c_i = L*q_i - sum(q)``, all pair dot
+    products exact int64, one double divide at the end — so the SQL
+    oracle reproduces the choice bit-for-bit. Ties (exactly equal
+    correlation) break on the smallest ``(slot_a, slot_b)``.
+
+    Plan shape: one grouped Arrow pass (``applyInPandas``) holding one
+    group's window matrix — ``n x L`` ints with ``n`` calendar-bounded
+    (slots per group), the Gram matrix one numpy matmul; compare the
+    true matrix profile's O(n^2) with FFT refinements the same way
+    FAISS refines brute-force ANN. Feed :func:`gapfill_forward`
+    output; zero-variance (flat) windows are excluded from pairing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    L = window_len
+
+    def find_motif(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("slot")
+        slots_arr = pdf[slot_col].to_numpy(dtype=np.int64)
+        q = np.round(pdf[value_col].to_numpy(dtype=np.float64) * quant_scale).astype(
+            np.int64
+        )
+        n = len(q) - L + 1
+        if n < L + 1:  # no room for two non-overlapping windows
+            return pd.DataFrame(
+                columns=["g", "slot_a", "slot_b", "similarity"]
+            ).astype(
+                {"g": object, "slot_a": "int64", "slot_b": "int64",
+                 "similarity": "float64"}
+            )
+        W = np.lib.stride_tricks.sliding_window_view(q, L)  # n x L
+        S = W.sum(axis=1)
+        C = L * W - S[:, None]  # centered, int64
+        G = C @ C.T  # exact int64 Gram
+        n2 = np.diag(G).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = G.astype(np.float64) / np.sqrt(n2[:, None] * n2[None, :])
+        ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        valid = (jj >= ii + L) & (n2[ii] > 0) & (n2[jj] > 0)
+        if not valid.any():
+            return pd.DataFrame(
+                columns=["g", "slot_a", "slot_b", "similarity"]
+            ).astype(
+                {"g": object, "slot_a": "int64", "slot_b": "int64",
+                 "similarity": "float64"}
+            )
+        cv = np.where(valid, corr, -np.inf)
+        best = cv.max()
+        cand = np.argwhere(cv == best)  # ties: exact double equality
+        i, j = min(map(tuple, cand))
+        return pd.DataFrame(
+            [
+                {
+                    "g": pdf[group_col].iloc[0],
+                    "slot_a": int(slots_arr[i]),
+                    "slot_b": int(slots_arr[j]),
+                    "similarity": float(best),
+                }
+            ]
+        )
+
+    out_schema = (
+        f"g {slots.schema[group_col].dataType.simpleString()}, "
+        "slot_a long, slot_b long, similarity double"
+    )
+    return (
+        slots.select(group_col, slot_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(find_motif, out_schema)
+        .select(
+            F.col("g").alias(group_col), "slot_a", "slot_b", "similarity"
+        )
     )

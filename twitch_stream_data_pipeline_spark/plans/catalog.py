@@ -4305,6 +4305,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "motif_discovery",
+    """
+    WITH o AS (SELECT event_type AS g,
+                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                        AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
+    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r),
+    filled AS (
+      SELECT grid.g, grid.slot,
+             last_value(o.sum_value IGNORE NULLS) OVER (
+               PARTITION BY grid.g ORDER BY grid.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
+    ),
+    rstr AS (
+      SELECT g, slot, v FROM (
+        SELECT g, slot, v, MIN(slot) OVER (PARTITION BY g) AS lo
+        FROM filled
+      ) WHERE slot < lo + 500
+    ),
+    qd AS (SELECT g, slot, CAST(round(v * 1000) AS BIGINT) AS q FROM rstr),
+    ld AS (SELECT g, slot, [lead(q, 0) OVER w, lead(q, 1) OVER w, lead(q, 2) OVER w, lead(q, 3) OVER w, lead(q, 4) OVER w, lead(q, 5) OVER w, lead(q, 6) OVER w, lead(q, 7) OVER w] AS wv
+           FROM qd WINDOW w AS (PARTITION BY g ORDER BY slot)),
+    ok AS (SELECT g, slot, wv, CAST(list_sum(wv) AS BIGINT) AS s
+           FROM ld WHERE wv[8] IS NOT NULL),
+    cc AS (SELECT g, slot,
+                  list_transform(wv, x -> 8 * x - s) AS c
+           FROM ok),
+    nn AS (SELECT g, slot, c,
+                  CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)
+                    AS n2
+           FROM cc),
+    pairs AS (
+      SELECT a.g, a.slot AS slot_a, b.slot AS slot_b,
+             CAST(CAST(list_sum(list_transform(list_zip(a.c, b.c),
+                    p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+               AS similarity
+      FROM nn a JOIN nn b
+        ON a.g = b.g AND b.slot >= a.slot + 8
+      WHERE a.n2 > 0 AND b.n2 > 0
+    )
+    SELECT g AS event_type, slot_a, slot_b, similarity FROM (
+      SELECT *, row_number() OVER (PARTITION BY g
+                 ORDER BY similarity DESC, slot_a, slot_b) AS rnk
+      FROM pairs
+    ) WHERE rnk = 1
+    """,
+    ("events", "timeseries", "similarity", "ext"),
+    "Motif discovery (matrix-profile-lite): the best non-overlapping "
+    "pair of 8-slot windows per series by z-normalized correlation — "
+    "the unsupervised twin of ts_pattern_search. One grouped Arrow "
+    "pass holds a group's window matrix (calendar-bounded n x 8 "
+    "ints); the Gram matrix is one exact int64 matmul, ties break on "
+    "the smallest (slot_a, slot_b) at exact-double equality, and the "
+    "oracle re-derives the same choice from a pair join. The series "
+    "is capped to the first 500 slots per group — harness sizing for "
+    "the oracle's O(n^2) pair relation; the Spark path has no such "
+    "need (the true matrix profile's FFT refinement drops in the "
+    "same way FAISS refines brute-force ANN).",
+)
+def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import gapfill_forward, motif_discovery
+
+    filled = gapfill_forward(_events(spark, sf_dir))
+    w = Window.partitionBy("event_type")
+    capped = filled.withColumn("__lo", F.min("slot").over(w)).filter(
+        F.col("slot") < F.col("__lo") + 500
+    )
+    return motif_discovery(capped, window_len=8)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4461,6 +4537,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "vector_norm_arrow",
     "udtf_ngrams",
     "triangle_count",
+    "motif_discovery",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
