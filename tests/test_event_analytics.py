@@ -367,3 +367,45 @@ def test_motif_discovery_too_short_group_emits_nothing(spark):
         rows, "event_type string, slot long, sum_value double"
     )
     assert motif_discovery(slots, window_len=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input contract
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_runs_on_empty_tables(spark, tmp_path):
+    """Representative queries from every family must run (not crash)
+    on schema-only tables — the degenerate-partition contract. The
+    full-catalog sweep lives in tests/empty_sweep.py; this pins the
+    members that historically crashed (the ANN family's empty query
+    collect, the ORC empty-write read-back) plus one head per family."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    from .conftest import SF_SMOKE
+
+    out = tmp_path / "empty_sf"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0).write.parquet(
+            str(out / f"{t}.parquet")
+        )
+    names = [
+        # historically crashing
+        "cosine_knn", "ivf_knn", "ivf_knn_exact", "pq_knn", "ivfpq_knn",
+        "orc_roundtrip",
+        # one representative per family
+        "pricing_summary", "exact_dedup", "minhash_lsh_pairs",
+        "dedup_clusters", "bm25_topk", "nb_lang_classifier",
+        "semantic_dedup", "pretrain_pipeline", "global_row_index",
+        "funnel_conversion", "gapfill_15min", "anomaly_slots",
+        "ts_pattern_search", "motif_discovery", "triangle_count",
+        "dq_expectations", "grouping_sets_revenue", "hll_mergeable_rollup",
+        "vector_norm_arrow", "udtf_ngrams",
+    ]
+    for name in names:
+        rows = CATALOG[name].fn(spark, str(out)).collect()  # must not raise
+        if name in ("dq_expectations",):  # rule rows survive empty input
+            assert len(rows) == 5

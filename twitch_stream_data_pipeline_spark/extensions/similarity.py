@@ -93,6 +93,10 @@ def cosine_knn(
             quantized_embedding(F.col(vec_col)).alias("q_vec"),
         ).collect()  # intentionally driver-side: ANN query sets are small
     )
+    if not q_rows:  # empty query set: empty result, correct schema
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.int64)  # Q x D
     q_norm = (q_mat * q_mat).sum(axis=1)  # exact int64
@@ -336,6 +340,10 @@ def ivf_knn(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
     ).collect()  # ANN contract: Q << N
+    if not q_rows or cent.size == 0:  # no queries or no trained cells
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.int64)
     q_norm = (q_mat * q_mat).sum(axis=1)
@@ -898,6 +906,10 @@ def pq_knn(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
     ).collect()  # ANN contract: Q << N
+    if not q_rows or n_cent == 0:  # no queries or no trained codebook
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cosine double, rank int"
+        )
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1028,6 +1040,10 @@ def ivfpq_knn(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
     ).collect()  # ANN contract: Q << N
+    if not q_rows or cent.size == 0 or n_cent == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cosine double, rank int"
+        )
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

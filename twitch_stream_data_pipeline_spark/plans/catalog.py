@@ -3272,7 +3272,10 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique scratch dir per invocation (same contract as csv_roundtrip)
     out = tempfile.mkdtemp(prefix="orc_roundtrip_")
     docs.write.mode("overwrite").partitionBy("lang").orc(out)
-    back = spark.read.orc(out)
+    # explicit schema: an all-empty write leaves only _SUCCESS and
+    # schema inference would fail; the partition column is declared
+    # string (its directory-encoded form) either way
+    back = spark.read.schema("doc_id long, n_chars long, lang string").orc(out)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
