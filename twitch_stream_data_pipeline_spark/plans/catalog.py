@@ -4384,6 +4384,56 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_discovery(capped, window_len=8)
 
 
+
+@_register(
+    "session_window_native",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, secs,
+             CASE WHEN lag(secs) OVER w IS NULL
+                       OR secs - lag(secs) OVER w >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs)
+    ),
+    s AS (
+      SELECT user_id, secs,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY secs
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1
+    """,
+    ("events", "window", "session", "ext"),
+    "Native session_window sessionization (the engine operator the "
+    "hand-rolled lag/cumsum sessionize re-implements): one "
+    "groupBy(session_window(ts, '30 minutes'), user) aggregate — "
+    "merging session state map-side — then a per-user rollup. "
+    "Boundary semantics differ from the lag formulation by design "
+    "and the oracle states THEM: a session's window is "
+    "[first, last + gap), so an event exactly gap seconds after the "
+    "previous STARTS A NEW SESSION (>= in the oracle's gap test, "
+    "vs the > of sessionize) — the documented reason both queries "
+    "stay in the catalog.",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_session = ev.groupBy(
+        F.session_window(F.timestamp_seconds("secs"), "30 minutes"),
+        "user_id",
+    ).agg(F.count("*").alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4541,6 +4591,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "udtf_ngrams",
     "triangle_count",
     "motif_discovery",
+    "session_window_native",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
