@@ -23,6 +23,7 @@ from .aggregates import (
     min_by_group,
     profile_columns,
     salted_count_distinct,
+    skew_report,
 )
 from .event_analytics import (
     anomaly_scores,
@@ -44,6 +45,7 @@ __all__ = [
     "motif_discovery",
     "retention_cohorts",
     "salted_join",
+    "skew_report",
     "ts_pattern_search",
     "empty_to_sentinel",
     "sentinel_to_null",

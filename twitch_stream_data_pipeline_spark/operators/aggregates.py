@@ -208,3 +208,43 @@ def dq_check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             "violation_frac"
         ),
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic: the top-``top_k`` hottest key groups with
+    row counts, share of the relation, and cumulative share — the
+    numbers that decide a physical strategy BEFORE a 100 TB job runs
+    (broadcast vs shuffle join, whether `salted_join` /
+    `salted_count_distinct` is needed, AQE skew thresholds). A key
+    holding >1% of a 100 TB fact table is a 1 TB reducer; this report
+    is how that is caught at planning time.
+
+    One map-side-combined aggregation (the shuffle carries one partial
+    row per task per key), a 1-row total broadcast onto the
+    aggregate, and a top-k TakeOrdered + a top_k-sized ranking window
+    — nothing full-relation past the first groupBy.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total")).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_rows"), *key_cols)
+    return top.select(
+        *key_cols,
+        "n_rows",
+        "share",
+        F.sum("share")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_share"),
+        F.row_number().over(w).alias("rank"),
+    )

@@ -4434,6 +4434,40 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "skew_report_lang",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
+    top AS (
+      SELECT lang, n_rows,
+             CAST(n_rows AS DOUBLE) / total AS share
+      FROM c CROSS JOIN t
+      ORDER BY n_rows DESC, lang LIMIT 10
+    )
+    SELECT lang, n_rows, share,
+           SUM(share) OVER (ORDER BY n_rows DESC, lang
+                            ROWS UNBOUNDED PRECEDING) AS cum_share,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, lang)
+                AS INT) AS rank
+    FROM top
+    """,
+    ("aggregate", "skew", "diagnostics", "ext"),
+    "Key-skew diagnostic (operators.aggregates.skew_report): hottest "
+    "language groups with share and cumulative share of the corpus — "
+    "the planning-time numbers that pick broadcast vs shuffle vs "
+    "salted strategies and AQE skew thresholds. One map-side-combined "
+    "aggregation + a 1-row total broadcast + TakeOrdered; the only "
+    "unpartitioned window ranks the top_k rows, never the relation.",
+)
+def q_skew_report_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import skew_report
+
+    return skew_report(_t(spark, sf_dir, "documents"), ["lang"], top_k=10)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4592,6 +4626,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "triangle_count",
     "motif_discovery",
     "session_window_native",
+    "skew_report_lang",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
