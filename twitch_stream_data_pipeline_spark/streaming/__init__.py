@@ -10,11 +10,14 @@ from .pipeline import (
     windowed_popularity_stream,
 )
 from .dim_maintenance import AggMaintainer, DimUpserter
+from .funnel import make_funnel_updater, streaming_funnel
 from .stateful import stateful_popularity
 from .feedback import FanoutPlanner
 
 __all__ = [
+    "make_funnel_updater",
     "stateful_popularity",
+    "streaming_funnel",
     "FanoutPlanner",
     "batch_event_time",
     "curated_streams_stream",
