@@ -4468,6 +4468,152 @@ def q_skew_report_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(_t(spark, sf_dir, "documents"), ["lang"], top_k=10)
 
 
+
+@_register(
+    "chi_square_lang_source",
+    """
+    WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+               FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.lang, o.source, obs,
+             CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT CAST(SUM(CAST((obs - e) * (obs - e) / e
+                         AS DECIMAL(25,6))) AS DOUBLE) AS chi2,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+    ("statistics", "aggregate", "ext"),
+    "Chi-square independence test between two categorical columns "
+    "(lang x source): observed cell counts vs the "
+    "row_total*col_total/n expectation, one contingency aggregation + "
+    "two margin relations joined back (all map-side combinable, cell "
+    "count bounded by the category product). Each cell's (o-e)^2/e "
+    "is a fixed-order double expression and the cell SUM is "
+    "decimal-routed, so the statistic is bit-portable. The "
+    "distribution-drift / feature-dependence check a curation "
+    "pipeline runs between corpus snapshots.",
+)
+def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "obs",
+            (
+                F.col("r").cast("double")
+                * F.col("c").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    dof = (
+        rt.agg((F.count("*") - 1).alias("dr"))
+        .crossJoin(ct.agg((F.count("*") - 1).alias("dc")))
+        .select((F.col("dr") * F.col("dc")).alias("dof"))
+    )
+    chi = cells.agg(
+        F.sum(
+            ((F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")) / F.col("e"))
+            .cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("chi2"),
+        F.count("*").alias("n_cells"),
+    )
+    return chi.crossJoin(F.broadcast(dof)).select("chi2", "dof", "n_cells")
+
+
+@_register(
+    "column_correlations",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(25,6))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+                  AS DOUBLE) AS spd
+      FROM lineitem
+    )
+    SELECT 'quantity_price' AS pair,
+           (n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'quantity_discount',
+           (n * sqd - sq * sd)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd))
+    FROM s
+    UNION ALL
+    SELECT 'price_discount',
+           (n * spd - sp * sd)
+             / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd))
+    FROM s
+    """,
+    ("statistics", "aggregate", "ext"),
+    "Pairwise Pearson correlations of three measures in ONE "
+    "aggregation pass (nine decimal-routed moment sums, map-side "
+    "combined to a single row) — never one pass per pair. The final "
+    "correlation formula is a fixed-order double expression over the "
+    "exact moments, so both engines agree bit-for-bit; the ANALYZE "
+    "step a feature pipeline runs before dropping redundant columns.",
+)
+def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dm(c):
+        return F.sum(c.cast("decimal(25,6)")).cast("double")
+
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count("*").alias("n"),
+        dm(q).alias("sq"), dm(p).alias("sp"), dm(d).alias("sd"),
+        dm(q * q).alias("sqq"), dm(p * p).alias("spp"), dm(d * d).alias("sdd"),
+        dm(q * p).alias("sqp"), dm(q * d).alias("sqd"), dm(p * d).alias("spd"),
+    )
+
+    def corr_expr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / (
+            F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+            * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
+        )
+
+    pairs = [
+        ("quantity_price", corr_expr("sqp", "sq", "sp", "sqq", "spp")),
+        ("quantity_discount", corr_expr("sqd", "sq", "sd", "sqq", "sdd")),
+        ("price_discount", corr_expr("spd", "sp", "sd", "spp", "sdd")),
+    ]
+    out = None
+    for name, expr in pairs:
+        row = s.select(F.lit(name).alias("pair"), expr.alias("corr"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4627,6 +4773,8 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "motif_discovery",
     "session_window_native",
     "skew_report_lang",
+    "chi_square_lang_source",
+    "column_correlations",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
