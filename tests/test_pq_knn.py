@@ -167,3 +167,65 @@ def test_ivfpq_catalog_smoke(spark):
     assert len(per_q) == 10
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance / pca_project
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        embedding_covariance,
+    )
+
+    random.seed(21)
+    dim, n = 6, 40
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(n)
+    ]
+    df = _vec_df(spark, rows, dim)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df).collect()
+    }
+    Q = np.round(np.array([v for _, v in rows]) * 1000)
+    ref = np.cov(Q, rowvar=False, bias=True)  # population covariance
+    assert len(got) == dim * dim
+    for (i, j), c in got.items():
+        assert abs(c - ref[i][j]) < 1e-6, (i, j)
+
+
+def test_pca_project_properties(spark):
+    """Anisotropic cloud: projected per-component variances are
+    non-increasing and match the covariance eigenvalues; projection
+    preserves total variance when k == d."""
+    import numpy as np
+
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        pca_project,
+    )
+
+    random.seed(9)
+    dim, n = 6, 60
+    scales = [8.0, 4.0, 2.0, 1.0, 0.5, 0.25]
+    rows = [
+        (
+            i,
+            [round(random.gauss(0, s) / 10, 3) for s in scales],
+        )
+        for i in range(n)
+    ]
+    df = _vec_df(spark, rows, dim)
+    out = {r["vec_id"]: r["proj"] for r in pca_project(df, k=dim).collect()}
+    P = np.array([out[i] for i in range(n)])
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(dim - 1))
+    # total variance preserved by a full rotation
+    Q = np.round(np.array([v for _, v in rows]) * 1000)
+    assert abs(P.var(axis=0).sum() - Q.var(axis=0).sum()) < 1e-6
+    # projections are centered
+    assert np.abs(P.mean(axis=0)).max() < 1e-9

@@ -54,6 +54,7 @@ from .similarity import (
     append_to_ivf_index,
     build_ivf_index,
     cosine_knn,
+    embedding_covariance,
     ivf_index_knn,
     group_outlier_scores,
     group_outlier_scores_scalable,
@@ -61,6 +62,7 @@ from .similarity import (
     ivfpq_knn,
     lsh_bucketed_knn,
     norms_map_in_arrow,
+    pca_project,
     pq_knn,
     quantized_embedding,
     semantic_dedup,
@@ -83,6 +85,7 @@ __all__ = [
     "chunk_documents",
     "connected_components",
     "cosine_knn",
+    "embedding_covariance",
     "decontaminate",
     "duplicate_span_stats",
     "exact_dedup_groups",
@@ -103,6 +106,7 @@ __all__ = [
     "nb_train",
     "ngram_jaccard_pairs",
     "pack_sequences",
+    "pca_project",
     "pii_scrub",
     "pq_knn",
     "quantized_embedding",

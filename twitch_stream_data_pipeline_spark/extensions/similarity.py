@@ -1141,3 +1141,148 @@ def norms_map_in_arrow(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "e
         quantized_embedding(F.col(vec_col)).alias("__qv"),
     )
     return src.mapInArrow(qnorms, "vec_id long, qnorm long")
+
+
+def embedding_covariance(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact covariance matrix of the quantized embedding columns as a
+    long-format relation ``(i, j, cov)`` — the sufficient statistic
+    for PCA/whitening (:func:`pca_project`) computed the mergeable
+    way: each Arrow batch reduces to one d x d partial outer-product
+    matrix (int64, exact), partials groupBy-sum on the tiny ``(i, j)``
+    key, and the covariance formula runs once per cell on the exact
+    global moments. At 100 TB the shuffle carries d^2 rows PER TASK
+    (kilobytes), never vectors; the same partial-state economics as
+    the HLL sketch rollup, but exact.
+
+    ``cov_ij = (n * S_ij - S_i * S_j) / (n * n)`` (population
+    covariance) over the int64 moments — one fixed-order double
+    expression per cell, bit-portable, which is what lets the DuckDB
+    oracle grade a covariance matrix exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial_outer(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["__qv"].tolist(), dtype=np.int64)
+            S = Q.T @ Q  # d x d exact int64
+            d = S.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int64),
+                    "j": jj.ravel().astype(np.int64),
+                    "s": S.ravel(),
+                }
+            )
+
+    qv = emb.select(quantized_embedding(F.col(vec_col)).alias("__qv"))
+    second = (
+        qv.mapInPandas(partial_outer, "i long, j long, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s_ij"))
+    )
+    first = (
+        emb.select(
+            F.posexplode(quantized_embedding(F.col(vec_col))).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.sum("v").alias("s_i"))
+    )
+    n = emb.agg(F.count("*").alias("n"))
+    return (
+        second.join(F.broadcast(first), "i")
+        .join(
+            F.broadcast(first.select(F.col("i").alias("j"), F.col("s_i").alias("s_j"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("n").cast("double") * F.col("s_ij").cast("double")
+                    - F.col("s_i").cast("double") * F.col("s_j").cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection of the embedding column onto its top-``k``
+    principal components — the dimensionality-reduction / whitening
+    step LLM curation runs before clustering and dedup (SemDeDup
+    clusters PCA-reduced embeddings; retrieval indexes shrink the
+    same way). Emits ``(vec_id, proj array<double>)``.
+
+    Split driver/executor exactly like the IVF quantizer: the
+    covariance SUFFICIENT STATISTICS aggregate distributed (exact
+    int64 moments via :func:`embedding_covariance`'s machinery),
+    only the d x d matrix eigendecomposes on the driver (model-state
+    sized, deterministic ``numpy.linalg.eigh`` with a sign
+    convention), and the projection is one Arrow matmul per batch —
+    vectors never shuffle. Rows-only by design (eigenvector sign and
+    near-degenerate ordering are not engine-portable); variance
+    ordering, orthonormality, and reconstruction improvement are
+    pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov_rows = embedding_covariance(emb, id_col, vec_col).collect()
+    if not cov_rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, proj array<double>"
+        )
+    d = max(r["i"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    comp = vecs[:, ::-1][:, :k]  # top-k by variance
+    # sign convention: largest-|coordinate| entry positive
+    for c in range(comp.shape[1]):
+        pivot = np.argmax(np.abs(comp[:, c]))
+        if comp[pivot, c] < 0:
+            comp[:, c] = -comp[:, c]
+    mean = None  # projection of centered data: derive mean from moments
+    first = (
+        emb.select(
+            F.posexplode(quantized_embedding(F.col(vec_col))).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.sum("v").alias("s_i"), F.count("*").alias("n"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in first:
+        mu[r["i"]] = r["s_i"] / r["n"]
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            Q = np.array(pdf["__qv"].tolist(), dtype=np.float64) - mu
+            P = Q @ comp
+            yield pd.DataFrame({"__id": ids, "proj": list(P)})
+
+    src = emb.select(
+        F.col(id_col).alias("__id"),
+        quantized_embedding(F.col(vec_col)).alias("__qv"),
+    )
+    return src.mapInPandas(project, "__id long, proj array<double>").select(
+        F.col("__id").alias(id_col), "proj"
+    )

@@ -4614,6 +4614,63 @@ def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+@_register(
+    "embedding_covariance",
+    f"""
+    WITH qv AS (SELECT {_QVEC} AS q FROM embeddings),
+    pos AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS i),
+    f AS (SELECT i, CAST(SUM(q[i + 1]) AS BIGINT) AS s_i
+          FROM qv CROSS JOIN pos GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qv),
+    s2 AS (SELECT a.i AS i, b.i AS j,
+                  CAST(SUM(q[a.i + 1] * q[b.i + 1]) AS BIGINT) AS s_ij
+           FROM qv CROSS JOIN pos a CROSS JOIN pos b GROUP BY 1, 2)
+    SELECT s2.i, s2.j,
+           (CAST(n AS DOUBLE) * CAST(s_ij AS DOUBLE)
+              - CAST(fa.s_i AS DOUBLE) * CAST(fb.s_i AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
+    FROM s2
+    JOIN f fa ON fa.i = s2.i
+    JOIN f fb ON fb.i = s2.j
+    CROSS JOIN nn
+    """,
+    ("similarity", "statistics", "ext", "llm"),
+    "Exact embedding covariance matrix in long format (4096 cells): "
+    "each Arrow batch reduces to one d x d int64 partial outer "
+    "product, partials sum on the tiny (i, j) key — the HLL-rollup "
+    "partial-state economics, but exact; vectors never shuffle. The "
+    "cov formula runs once per cell on exact global moments "
+    "(fixed-order doubles), so a covariance MATRIX grades against a "
+    "SQL oracle bit-for-bit. The sufficient statistic pca_project "
+    "eigendecomposes driver-side.",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import embedding_covariance
+
+    return embedding_covariance(_emb(spark, sf_dir))
+
+
+@_register(
+    "pca_project",
+    None,  # eigenvector sign / near-degenerate order are not engine-
+    # portable; variance ordering, orthonormality, and reconstruction
+    # pinned in tests/test_pq_knn.py
+    ("similarity", "ext", "llm", "pca"),
+    "PCA projection onto the top-8 principal components — the "
+    "dimensionality-reduction / whitening step before clustering and "
+    "semantic dedup (SemDeDup clusters PCA-reduced embeddings). "
+    "Distributed sufficient statistics (exact int64 moments), "
+    "driver-side d x d eigh with a sign convention (the IVF-quantizer "
+    "model-state contract), one Arrow matmul per batch to project — "
+    "vectors never shuffle.",
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import pca_project
+
+    return pca_project(_emb(spark, sf_dir), k=8)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4775,6 +4832,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "skew_report_lang",
     "chi_square_lang_source",
     "column_correlations",
+    "embedding_covariance",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
@@ -4784,6 +4842,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "hll_mergeable_rollup",
     "multimodal_features",
     "approx_distinct_users",
+    "pca_project",
     "pack_groups",
 )
 
