@@ -220,3 +220,15 @@ def test_bigram_orders_scrambled_below_natural(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["bigram_logprob"] for r in bigram_logprob(df).collect()}
     assert out[9] < out[1]
+
+
+def test_global_row_index_string_keys(spark):
+    """Non-numeric keys route through the sampled-boundary path and
+    still produce the exact sorted-order permutation."""
+    keys = [f"doc-{c}{i:03d}" for i, c in enumerate("zyxwvutsrqponml")]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["row_index"]
+        for r in global_row_index(df, "k", buckets=4).collect()
+    }
+    assert got == {k: i + 1 for i, k in enumerate(sorted(keys))}

@@ -359,19 +359,44 @@ def global_row_index(
     metadata-sized. Output is deterministic and independent of the
     probe's sampling error: boundaries only balance work, every
     assignment of rows to order-respecting buckets yields the same
-    global index. ``key_col`` must be numeric and UNIQUE (ties across
-    a bucket boundary always co-locate, but ties within a bucket would
-    make ``row_number`` order-dependent — the same uniqueness contract
-    as any reproducible data ordering).
+    global index. ``key_col`` must be UNIQUE (ties across a bucket
+    boundary always co-locate, but ties within a bucket would make
+    ``row_number`` order-dependent — the same uniqueness contract as
+    any reproducible data ordering). Numeric keys probe boundaries
+    via ``approxQuantile``; any other orderable type (strings, dates)
+    uses a bounded md5-thinned sample (the rate derives from a
+    ``count()`` — parquet-footer metadata, no data scan) sorted on
+    the driver.
     """
     spark = df.sparkSession
     n = buckets or spark.sparkContext.defaultParallelism
     key = F.col(key_col)
-    if n > 1:
+    dtype = df.schema[key_col].dataType.typeName()
+    if n <= 1:
+        bounds = []
+    elif dtype in ("byte", "short", "integer", "long", "float", "double"):
         qs = [i / n for i in range(1, n)]
         bounds = sorted(set(df.stat.approxQuantile(key_col, qs, 0.001)))
     else:
-        bounds = []
+        # non-numeric keys: bounded deterministic sample (md5 thinning,
+        # ~50 candidates per bucket), sorted, every 50th value as a
+        # boundary. Any boundary set is CORRECT — bucket id is the
+        # count of exceeded boundaries, monotone in the engine's own
+        # ordering regardless of the sample — boundaries only balance
+        # work, exactly like the numeric probe's sampling error.
+        cap = n * 50
+        sample = (
+            df.select(key.alias("k"))
+            .filter(
+                md5_int(F.concat(F.lit("gri:"), key.cast("string"))) % 1000
+                < max(1, min(1000, (cap * 1000) // max(df.count(), 1)))
+            )
+            .limit(cap)
+            .collect()
+        )
+        vals = sorted({r["k"] for r in sample if r["k"] is not None})
+        step = max(1, len(vals) // n)
+        bounds = vals[step::step][: n - 1]
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(key > F.lit(b), 1).otherwise(0)
