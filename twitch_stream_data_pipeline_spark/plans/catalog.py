@@ -4802,6 +4802,16 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     #    window was frozen for this round's run — deliberately placed
     #    past position 50 (window stability rule, VERDICT r3 #5);
     #    pytest-oracle-green now, rotation candidates for round 6.
+    #    ROUND-6 ROTATION PLAN: every name in this block has zero
+    #    driver CORRECTNESS rows; swap ~25 of them into window slots
+    #    currently held by long-stable trivial greens (section 4a has
+    #    3+ rounds of green evidence each), update
+    #    tests/test_catalog_order.py to pin the NEW order, and note
+    #    the swap here. Priority: pretrain_pipeline, nb_lang_classifier,
+    #    semantic_dedup, duplicate_spans, bigram_logprob,
+    #    global_row_index, funnel_conversion, gapfill_15min,
+    #    anomaly_slots, ts_pattern_search, motif_discovery,
+    #    embedding_covariance (the flagship new tiers), then the rest.
     "nb_lang_classifier",
     "semantic_dedup",
     "temperature_mixture",
