@@ -4671,6 +4671,236 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(_emb(spark, sf_dir), k=8)
 
 
+
+@_register(
+    "pareto_abc",
+    f"""
+    WITH r AS (
+      SELECT p.p_brand, {_osum('l.l_extendedprice * (1 - l.l_discount)')}
+               AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS DOUBLE)
+            AS total FROM r),
+    c AS (
+      SELECT p_brand, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER (
+               ORDER BY revenue DESC, p_brand
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+      FROM r CROSS JOIN t
+    )
+    SELECT p_brand, revenue, cum_share,
+           CASE WHEN cum_share <= 0.4 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    ("analytics", "window", "ext"),
+    "Pareto / ABC classification: brands ranked by revenue, running "
+    "cumulative share (decimal-routed in-frame sum), bucketed "
+    "A (top 40% of revenue) / B (next 40%) / C (tail) — the BI "
+    "classic behind inventory and catalog triage. The unpartitioned "
+    "window runs over the BRAND aggregate (category-bounded, the "
+    "skew_report economics), never the fact table; at higher "
+    "cardinality the key becomes a partition dimension or the "
+    "global_row_index two-phase rank.",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    r = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    t = r.agg(dsum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = r.crossJoin(F.broadcast(t)).select(
+        "p_brand",
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(25,6)")).over(w).cast("double")
+            / F.col("total")
+        ).alias("cum_share"),
+    )
+    return c.select(
+        "p_brand",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.4, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@_register(
+    "rfm_segments",
+    f"""
+    WITH mx AS (SELECT MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS now
+                FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST((now - MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT)))
+                  // 86400 AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {_osum('o_totalprice')} AS monetary
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, now
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                  AS BIGINT) AS m_score
+      FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal_lapsing'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    ("analytics", "window", "ext"),
+    "RFM customer segmentation: per-customer recency (days since last "
+    "order, epoch arithmetic), frequency, and decimal-routed monetary "
+    "value, quintile-scored by ntile windows (full key tiebreak makes "
+    "bucket assignment deterministic and identical in both engines) "
+    "and bucketed into the classic segments. The windows rank the "
+    "customer AGGREGATE; at 100-TB customer cardinality each ntile "
+    "becomes the global_row_index two-phase rank against the "
+    "5-quantile boundaries — same output, no single-partition sort.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        ).cast("long").alias("secs"),
+        "o_totalprice",
+    )
+    mx = o.agg(F.max("secs").alias("now"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "now")
+        .agg(
+            F.max("secs").alias("last"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.floor((F.col("now") - F.col("last")) / F.lit(86400))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_s = (F.lit(6) - F.ntile(5).over(
+        Window.orderBy("recency_days", "o_custkey")
+    )).cast("long")
+    f_s = F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long")
+    m_s = F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("long")
+    scored = rfm.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        r_s.alias("r_score"), f_s.alias("f_score"), m_s.alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
+@_register(
+    "basket_affinity",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM b),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM b
+             GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab AS DOUBLE) * n_orders
+             / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    """,
+    ("analytics", "join", "ext"),
+    "Market-basket affinity: part pairs co-occurring in an order with "
+    "support >= 2 and their lift (observed co-rate over the "
+    "independence expectation). Pair generation self-joins ON the "
+    "basket key, so work is the sum of squared basket sizes — "
+    "baskets are order-line-bounded (~7), never corpus-quadratic "
+    "(the SemDeDup cell economics in relational form); item "
+    "frequencies aggregate before the lift join.",
+)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -4843,6 +5073,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "chi_square_lang_source",
     "column_correlations",
     "embedding_covariance",
+    "pareto_abc",
+    "rfm_segments",
+    "basket_affinity",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
