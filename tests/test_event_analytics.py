@@ -409,3 +409,40 @@ def test_catalog_runs_on_empty_tables(spark, tmp_path):
         rows = CATALOG[name].fn(spark, str(out)).collect()  # must not raise
         if name in ("dq_expectations",):  # rule rows survive empty input
             assert len(rows) == 5
+
+
+def test_funnel_within_window_constraint(spark):
+    """Window constraint: a click 2h after signup converts under a 1h
+    window only via a LATER signup... no — greedy first-touch takes
+    the EARLIEST signup, so the late click is out of window and the
+    user stalls (the documented product-analytics convention)."""
+    rows = [
+        # u1: click within the hour -> converts
+        (1, "signup", 100, 0.0),
+        (1, "click", 1500, 0.0),
+        # u2: click 2h after the FIRST signup; a second signup 30 min
+        # before the click exists, but first-touch ignores it
+        (2, "signup", 100, 0.0),
+        (2, "signup", 5500, 0.0),
+        (2, "click", 7300, 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, secs long, value double"
+    )
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        funnel_stages,
+    )
+
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(
+            ev, ("signup", "click"), within_secs=3600
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
+    # without the window both convert
+    out2 = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(ev, ("signup", "click")).collect()
+    }
+    assert out2 == {1: 2, 2: 2}

@@ -48,6 +48,7 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "secs",
+    within_secs: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion counts: how many users performed
     ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, then
@@ -59,6 +60,15 @@ def funnel_stages(
     Greedy-earliest is the standard funnel definition and is complete:
     if any increasing chain of timestamps exists, the greedy one does
     (each greedy prefix ends no later than any other chain's prefix).
+
+    ``within_secs`` adds the conversion-window constraint of product
+    funnels ("purchased within 24h of clicking"): stage k accepts only
+    ``t_prev < ts <= t_prev + within_secs``. Under a window the metric
+    is DEFINED by the greedy-earliest (first-touch) chain — the
+    product-analytics convention — because completeness no longer
+    holds in general (an earlier stage-k choice can close a later
+    stage's window that a later choice would have kept open); the
+    oracle states the same greedy recursion.
 
     Plan shape: stage k is one filter on the event type + an equi-join
     against the (user, t_{k-1}) relation + a per-user MIN — the join
@@ -87,10 +97,13 @@ def funnel_stages(
         )
     ]
     for k, step in enumerate(steps[1:], start=2):
+        cond = F.col("s") > F.col("ts_prev")
+        if within_secs is not None:
+            cond = cond & (F.col("s") <= F.col("ts_prev") + within_secs)
         reached = (
             base.filter(F.col("t") == step)
             .join(reached, "u")
-            .filter(F.col("s") > F.col("ts_prev"))
+            .filter(cond)
             .groupBy("u")
             .agg(F.min("s").alias("ts_prev"))
         )

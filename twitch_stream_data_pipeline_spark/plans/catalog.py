@@ -4901,6 +4901,48 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "funnel_within_window",
+    f"""
+    WITH e AS (SELECT user_id AS u, event_type AS t,
+                      {_OSECS.format(ts='ts')} AS s FROM events),
+    s1 AS (SELECT u, MIN(s) AS ts_prev FROM e WHERE t = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, MIN(e.s) AS ts_prev
+           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.ts_prev
+                        AND e.s <= s1.ts_prev + 86400
+           WHERE e.t = 'click' GROUP BY 1),
+    s3 AS (SELECT e.u, MIN(e.s) AS ts_prev
+           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.ts_prev
+                        AND e.s <= s2.ts_prev + 86400
+           WHERE e.t = 'purchase' GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+    ("events", "analytics", "ext"),
+    "Windowed funnel: each step must land within 24h of the previous "
+    "one (the product-analytics conversion-window convention; under a "
+    "window the metric is DEFINED by the greedy first-touch chain and "
+    "the oracle states the same recursion). Same per-stage "
+    "filter + user-keyed join + MIN shape as funnel_conversion.",
+)
+def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import funnel_stages
+
+    out = funnel_stages(
+        _events(spark, sf_dir),
+        steps=("signup", "click", "purchase"),
+        within_secs=86400,
+    )
+    return out.select(
+        F.col("stage").cast("long").alias("stage"), "step", "n_users"
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -5076,6 +5118,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "pareto_abc",
     "rfm_segments",
     "basket_affinity",
+    "funnel_within_window",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
