@@ -4943,6 +4943,112 @@ def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "funnel_stage_latency",
+    f"""
+    WITH e AS (SELECT user_id AS u, event_type AS t,
+                      {_OSECS.format(ts='ts')} AS s FROM events),
+    s1 AS (SELECT u, MIN(s) AS t1 FROM e WHERE t = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, MIN(e.s) AS t2
+           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.t1
+           WHERE e.t = 'click' GROUP BY 1),
+    s3 AS (SELECT e.u, MIN(e.s) AS t3
+           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.t2
+           WHERE e.t = 'purchase' GROUP BY 1),
+    d AS (
+      SELECT 'signup_to_click' AS stage_pair, s2.u,
+             s2.t2 - s1.t1 AS diff
+      FROM s2 JOIN s1 USING (u)
+      UNION ALL
+      SELECT 'click_to_purchase', s3.u, s3.t3 - s2.t2
+      FROM s3 JOIN s2 USING (u)
+    ),
+    r AS (
+      SELECT stage_pair, diff,
+             row_number() OVER (PARTITION BY stage_pair
+                                ORDER BY diff, u) AS rn,
+             COUNT(*) OVER (PARTITION BY stage_pair) AS n
+      FROM d
+    )
+    SELECT stage_pair, CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1)
+                         THEN diff ELSE 0 END) AS DOUBLE)
+             / COUNT(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1)
+                          THEN 1 END) AS median_secs
+    FROM r GROUP BY 1
+    """,
+    ("events", "analytics", "window", "ext"),
+    "Median time between funnel stages (the 'how long does conversion "
+    "take' companion to the stage counts): per-converting-user "
+    "greedy-chain timestamps differenced, exact median by "
+    "rank-selection — the middle rank(s) picked inside a window "
+    "PARTITIONED by stage pair, averaged (integer diffs: the even-n "
+    "half is exactly representable), no quantile-function semantics "
+    "to reconcile across engines. Windows run over the converting "
+    "population, bounded by the funnel's own output.",
+)
+def q_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("secs").alias("s"),
+    )
+    s1 = base.filter(F.col("t") == "signup").groupBy("u").agg(
+        F.min("s").alias("t1")
+    )
+    s2 = (
+        base.filter(F.col("t") == "click")
+        .join(s1, "u")
+        .filter(F.col("s") > F.col("t1"))
+        .groupBy("u")
+        .agg(F.min("s").alias("t2"))
+    )
+    s3 = (
+        base.filter(F.col("t") == "purchase")
+        .join(s2, "u")
+        .filter(F.col("s") > F.col("t2"))
+        .groupBy("u")
+        .agg(F.min("s").alias("t3"))
+    )
+    d12 = (
+        s2.join(s1, "u")
+        .select(
+            F.lit("signup_to_click").alias("stage_pair"),
+            "u",
+            (F.col("t2") - F.col("t1")).alias("diff"),
+        )
+    )
+    d23 = (
+        s3.join(s2, "u")
+        .select(
+            F.lit("click_to_purchase").alias("stage_pair"),
+            "u",
+            (F.col("t3") - F.col("t2")).alias("diff"),
+        )
+    )
+    d = d12.unionByName(d23)
+    w = Window.partitionBy("stage_pair").orderBy("diff", "u")
+    wn = Window.partitionBy("stage_pair")
+    r = d.select(
+        "stage_pair",
+        "diff",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = ((F.col("n") + 1) / 2).cast("long")
+    hi = (F.col("n") / 2 + 1).cast("long")
+    is_mid = (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.floor(hi))
+    return r.groupBy("stage_pair").agg(
+        F.max("n").alias("n_users"),
+        (
+            F.sum(F.when(is_mid, F.col("diff")).otherwise(0)).cast("double")
+            / F.sum(F.when(is_mid, 1))
+        ).alias("median_secs"),
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -5119,6 +5225,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "rfm_segments",
     "basket_affinity",
     "funnel_within_window",
+    "funnel_stage_latency",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
