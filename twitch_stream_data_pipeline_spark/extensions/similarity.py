@@ -1257,7 +1257,7 @@ def pca_project(
         pivot = np.argmax(np.abs(comp[:, c]))
         if comp[pivot, c] < 0:
             comp[:, c] = -comp[:, c]
-    mean = None  # projection of centered data: derive mean from moments
+    # projection centers the data: derive the mean from exact moments
     first = (
         emb.select(
             F.posexplode(quantized_embedding(F.col(vec_col))).alias("i", "v")
