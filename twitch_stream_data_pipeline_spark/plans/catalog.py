@@ -5049,6 +5049,92 @@ def q_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "curation_report",
+    rf"""
+    WITH exact AS (
+      SELECT CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n
+      FROM (SELECT COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(replace(lower(text), ' ', '')))
+    ),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_minhash_pairs_oracle()})
+    ),
+    sd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        WITH v AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
+        drops AS (
+          SELECT DISTINCT b.vec_id AS dropped
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {_DOT.format(a='a.qv', b='b.qv')}
+                  / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')})
+                >= 0.3
+        )
+        SELECT dropped FROM drops
+      )
+    ),
+    dx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        WITH split_docs AS (
+          SELECT doc_id, text,
+                 CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                      THEN 'train' ELSE 'test' END AS split
+          FROM documents
+        ),
+        sh AS ({_ngram_expr_sql(8)}),
+        held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN held USING (shingle) WHERE s.split = 'train'
+      )
+    )
+    SELECT 'exact_dup_docs_removed' AS tier, n AS n_affected FROM exact
+    UNION ALL SELECT 'minhash_candidate_pairs', n FROM nd
+    UNION ALL SELECT 'semantic_dups_dropped', n FROM sd
+    UNION ALL SELECT 'contaminated_train_docs', n FROM dx
+    """,
+    ("pipeline", "dedup", "diagnostics", "ext", "llm"),
+    "Curation survivorship report: what each dedup/contamination tier "
+    "would remove, in one relation — exact-duplicate docs beyond the "
+    "kept survivor, MinHash-LSH candidate pairs, SemDeDup drops, and "
+    "held-out-contaminated training docs. Every leg is a "
+    "previously-graded query reduced to its count; the report is the "
+    "observability artifact a curation run logs next to its output "
+    "manifest (and the oracle recomputes all four legs wholesale).",
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import decontaminate, exact_dedup_groups
+    from ..extensions.sampling import split_assign
+    from ..extensions.similarity import semantic_dedup
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    exact = exact_dedup_groups(docs).agg(
+        F.lit("exact_dup_docs_removed").alias("tier"),
+        (F.sum("n_copies") - F.count("*")).alias("n_affected"),
+    )
+    nd = lsh_candidate_pairs(minhash_signatures(docs)).agg(
+        F.lit("minhash_candidate_pairs").alias("tier"),
+        F.count("*").alias("n_affected"),
+    )
+    sd = (
+        semantic_dedup(emb, threshold=0.3)
+        .filter(F.col("keep") == 0)
+        .agg(
+            F.lit("semantic_dups_dropped").alias("tier"),
+            F.count("*").alias("n_affected"),
+        )
+    )
+    split = split_assign(F.col("doc_id"))
+    dx = decontaminate(
+        docs.filter(split == "train"), docs.filter(split == "test"), n=8
+    ).agg(
+        F.lit("contaminated_train_docs").alias("tier"),
+        F.count("*").alias("n_affected"),
+    )
+    return exact.unionByName(nd).unionByName(sd).unionByName(dx)
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -5226,6 +5312,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "basket_affinity",
     "funnel_within_window",
     "funnel_stage_latency",
+    "curation_report",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
