@@ -5135,6 +5135,42 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(nd).unionByName(sd).unionByName(dx)
 
 
+
+@_register(
+    "null_safe_join",
+    f"""
+    WITH a AS (
+      SELECT NULLIF(l_returnflag, 'N') AS k, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(l_returnflag, 'N') AS k,
+             {_osum('l_quantity')} AS qty_b
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.qty_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    ("join", "null", "ext"),
+    "Null-safe equality join (Spark's <=> / eqNullSafe, SQL's IS NOT "
+    "DISTINCT FROM): the NULL group — here the sentinel-nulled 'N' "
+    "flag, the engine's representation of 'unknown' keys after "
+    "sentinel_to_null cleaning (P8) — joins to itself instead of "
+    "silently dropping, the semantics a dim lookup on a nullable key "
+    "actually needs. Plans as an ordinary hash join (null-safe "
+    "equality is still an equi-key); without it the NULL rows vanish "
+    "from an inner join and no error tells you.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    a = li.groupBy(k.alias("k")).agg(F.count("*").alias("n_a"))
+    b = li.groupBy(k.alias("k")).agg(dsum("l_quantity").alias("qty_b"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "qty_b"
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -5313,6 +5349,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "funnel_within_window",
     "funnel_stage_latency",
     "curation_report",
+    "null_safe_join",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
