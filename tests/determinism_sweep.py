@@ -4,7 +4,7 @@ different ``spark.sql.shuffle.partitions`` (7 vs 32) in separate
 sessions — and diff the sorted results. Partition-independence is the
 repo's core determinism claim (decimal-routed sums, md5 keys,
 explicit tiebreaks); this sweep checks the claim wholesale rather
-than per-operator. Round-5 run: 129/129 identical.
+than per-operator. Round-5 close: 130/130 identical.
 
 Usage: python tests/determinism_sweep.py [--sf DIR]
 """
