@@ -437,3 +437,86 @@ def test_temperature_sample_partition_independent_and_keeps_min(spark, rows):
     for d, s in rows:
         if s in smallest:
             assert d in kept_set
+
+
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),      # user
+        st.integers(min_value=0, max_value=3_000_000),  # secs (~5 weeks)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_ev_rows)
+@_SETTINGS
+def test_retention_matches_brute_force(spark, rows):
+    from collections import Counter
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        retention_cohorts,
+    )
+
+    df = spark.createDataFrame(
+        [(u, "view", s, 0.0) for u, s in rows],
+        "user_id long, event_type string, secs long, value double",
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    # python reference
+    wk = 604_800
+    weeks = {}
+    for u, s in rows:
+        weeks.setdefault(u, set()).add(s // wk)
+    want = Counter()
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            want[(c, w - c)] += 1
+    assert got == dict(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=20_000),  # secs, ~22 slots
+            st.integers(min_value=-50, max_value=50),    # value as int
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_gapfill_matches_brute_force(spark, rows):
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        gapfill_forward,
+    )
+
+    df = spark.createDataFrame(
+        [(1, g, s, float(v)) for g, s, v in rows],
+        "event_id long, event_type string, secs long, value double",
+    )
+    got = {
+        (r["event_type"], r["slot"]): (r["sum_value"], r["is_observed"])
+        for r in gapfill_forward(df).collect()
+    }
+    # python reference (integer values keep sums exact)
+    obs = {}
+    for g, s, v in rows:
+        obs.setdefault(g, {}).setdefault(s // 900, 0)
+        obs[g][s // 900] += v
+    want = {}
+    for g, slots in obs.items():
+        lo, hi = min(slots), max(slots)
+        lastv = None
+        for sl in range(lo, hi + 1):
+            if sl in slots:
+                lastv = float(slots[sl])
+                want[(g, sl)] = (lastv, 1)
+            else:
+                want[(g, sl)] = (lastv, 0)
+    assert got == want
