@@ -446,3 +446,109 @@ def test_funnel_within_window_constraint(spark):
         for r in funnel_stages(ev, ("signup", "click")).collect()
     }
     assert out2 == {1: 2, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 regression fixes
+# ---------------------------------------------------------------------------
+
+
+def test_dq_check_empty_relation_reports_zero(spark):
+    """ADVICE r5: SUM over zero rows is NULL; an empty relation must
+    report 0 violations and frac 0.0 (fail-closed COUNT semantics),
+    never NULL."""
+    from twitch_stream_data_pipeline_spark.operators.aggregates import dq_check
+
+    df = spark.createDataFrame([], "id long, qty double")
+    rows = dq_check(
+        df,
+        {"qty_in_range": F.col("qty").between(1, 50),
+         "id_positive": F.col("id") > 0},
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_violations"] == 0
+        assert r["n_rows"] == 0
+        assert r["violation_frac"] == 0.0
+
+
+def test_motif_discovery_honors_slot_col(spark):
+    """ADVICE r5: find_motif hardcoded sort_values("slot"); a renamed
+    slot column raised KeyError."""
+    import random
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        motif_discovery,
+    )
+
+    random.seed(5)
+    shape = [3.0, 9.0, 1.0, 7.0, 2.0, 8.0, 4.0, 6.0]
+    rows = []
+    for slot in range(60):
+        v = 50.0 + random.uniform(-0.3, 0.3)
+        for start in (10, 40):
+            if start <= slot < start + 8:
+                v += 10 * shape[slot - start]
+        rows.append(("A", slot, v))
+    slots = spark.createDataFrame(
+        rows, "event_type string, minute long, sum_value double"
+    )
+    out = motif_discovery(slots, window_len=8, slot_col="minute").collect()
+    assert len(out) == 1 and out[0]["slot_b"] - out[0]["slot_a"] == 30
+
+
+def test_motif_discovery_half_away_rounding(spark):
+    """ADVICE r5: quantization must round half-away-from-zero (the
+    Spark F.round / DuckDB convention), not numpy banker's rounding.
+    Two planted windows are bit-identical after quantization ONLY
+    under half-away ([0.5,1.5,2.5,...]*1 -> [1,2,3,...]); banker's
+    would give [0,2,2,4,...] and break the exact correlation."""
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        motif_discovery,
+    )
+
+    # mixed even/odd integer parts: banker's gives [10,22,30,42,...]
+    # (a NON-affine distortion of exact, so corr < 1), half-away gives
+    # [11,22,31,42,...] == exact bit-for-bit
+    half = [10.5, 21.5, 30.5, 41.5, 10.5, 21.5, 30.5, 41.5]
+    exact = [11.0, 22.0, 31.0, 42.0, 11.0, 22.0, 31.0, 42.0]
+    rows = []
+    for slot in range(40):
+        # deterministic pseudo-noise background (integer-valued, so it
+        # survives quant_scale=1): no two background windows are affine
+        # images of each other, so only the plants correlate exactly 1.0
+        v = float((slot * 7919) % 23)
+        if 8 <= slot < 16:
+            v = half[slot - 8]
+        elif 24 <= slot < 32:
+            v = exact[slot - 24]
+        rows.append(("A", slot, v))
+    slots = spark.createDataFrame(
+        rows, "event_type string, slot long, sum_value double"
+    )
+    out = motif_discovery(slots, window_len=8, quant_scale=1).collect()
+    assert len(out) == 1
+    assert (out[0]["slot_a"], out[0]["slot_b"]) == (8, 24)
+    assert out[0]["similarity"] == 1.0
+
+
+def test_temperature_sample_null_sources_excluded_from_census(spark):
+    """ADVICE r5: NULL-source rows used to be counted in the census
+    (capable of setting c_min) while the equi-join silently dropped
+    them. Now they are excluded up front: a tiny NULL group must not
+    inflate other sources' keep rates."""
+    from twitch_stream_data_pipeline_spark.extensions.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    with_null = rows + [(9999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    dfn = spark.createDataFrame(with_null, "doc_id long, source string")
+    kept = sorted(r["doc_id"] for r in temperature_sample(df).collect())
+    keptn = sorted(r["doc_id"] for r in temperature_sample(dfn).collect())
+    # identical decisions: the 1-row NULL group neither joins out nor
+    # perturbs the census (pre-fix it became c_min=1 and decimated both)
+    assert kept == keptn
+    # the smallest real source keeps 100%
+    assert all(1000 + i in kept for i in range(100))

@@ -163,7 +163,12 @@ def temperature_sample(
     exponent is fixed at the sqrt point of the temperature family.
     Keep decisions compare against an integer parts-per-million
     threshold: ``md5 % 1e6 < floor(rate * 1e6)``.
+
+    NULL-source rows are excluded up front: the census and the keep
+    decision see the same population (a NULL group may not set
+    ``c_min`` and then vanish from the equi-join output anyway).
     """
+    df = df.filter(F.col(source_col).isNotNull())
     cnts = df.groupBy(source_col).agg(F.count("*").alias("c"))
     cmin = cnts.agg(F.min("c").alias("c_min"))
     rates = cnts.crossJoin(F.broadcast(cmin)).select(

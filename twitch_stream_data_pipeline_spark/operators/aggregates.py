@@ -185,8 +185,10 @@ def dq_check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     1-row array, driver-free.
     """
     names = list(rules)
+    # coalesce: SUM over zero rows is NULL; an empty relation must report
+    # 0 violations / frac 0.0 (the documented fail-closed COUNT shape).
     aggs = [F.count("*").alias("__n")] + [
-        F.sum(F.when(cond, 0).otherwise(1)).alias(f"__v{i}")
+        F.coalesce(F.sum(F.when(cond, 0).otherwise(1)), F.lit(0)).alias(f"__v{i}")
         for i, cond in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
@@ -204,9 +206,9 @@ def dq_check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         "p.rule",
         "p.n_violations",
         "n_rows",
-        (F.col("p.n_violations").cast("double") / F.col("n_rows")).alias(
-            "violation_frac"
-        ),
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(F.col("p.n_violations").cast("double") / F.col("n_rows"))
+        .alias("violation_frac"),
     )
 
 

@@ -365,11 +365,12 @@ def motif_discovery(
     L = window_len
 
     def find_motif(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("slot")
+        pdf = pdf.sort_values(slot_col)
         slots_arr = pdf[slot_col].to_numpy(dtype=np.int64)
-        q = np.round(pdf[value_col].to_numpy(dtype=np.float64) * quant_scale).astype(
-            np.int64
-        )
+        # Half-away-from-zero rounding (matches Spark F.round / DuckDB
+        # round), NOT np.round's banker's rounding: 12.5 -> 13, -12.5 -> -13.
+        v = pdf[value_col].to_numpy(dtype=np.float64) * quant_scale
+        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         n = len(q) - L + 1
         if n < L + 1:  # no room for two non-overlapping windows
             return pd.DataFrame(

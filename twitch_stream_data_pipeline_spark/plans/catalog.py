@@ -3220,7 +3220,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "temperature_mixture",
     rf"""
-    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents
+               WHERE lang IS NOT NULL GROUP BY 1),
     m AS (SELECT MIN(c) AS c_min FROM c),
     r AS (
       SELECT lang,
