@@ -552,3 +552,116 @@ def test_temperature_sample_null_sources_excluded_from_census(spark):
     assert kept == keptn
     # the smallest real source keeps 100%
     assert all(1000 + i in kept for i in range(100))
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_pairs / count_triangles (VERDICT r5 #2 scale fix)
+# ---------------------------------------------------------------------------
+
+
+def _naive_pairs(iv_rows):
+    """Independent all-pairs reference for interval overlap."""
+    out = set()
+    for a in iv_rows:
+        for b in iv_rows:
+            if a["day"] == b["day"] and a["user_id"] < b["user_id"]:
+                ov = min(a["hi"], b["hi"]) - max(a["lo"], b["lo"])
+                if ov > 0:
+                    out.add((a["day"], a["user_id"], b["user_id"], ov))
+    return out
+
+
+def test_interval_overlap_pairs_matches_naive(spark):
+    """Slot-bucketed build == brute-force all-pairs on random
+    intervals, including cross-slot spans, touching intervals
+    (overlap 0, excluded), and identical-lo ties."""
+    import random
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        interval_overlap_pairs,
+    )
+
+    random.seed(11)
+    rows = []
+    for u in range(60):
+        day = random.randint(0, 2)
+        lo = day * 86400 + random.randint(0, 80000)
+        hi = lo + random.choice([0, 10, 900, 1800, 5000])
+        rows.append({"user_id": u, "day": day, "lo": lo, "hi": hi})
+    # planted edge cases: exact touch (overlap 0) and equal lo
+    rows += [
+        {"user_id": 100, "day": 0, "lo": 1000, "hi": 2000},
+        {"user_id": 101, "day": 0, "lo": 2000, "hi": 3000},  # touches 100
+        {"user_id": 102, "day": 0, "lo": 1000, "hi": 5000},  # equal lo as 100
+    ]
+    iv = spark.createDataFrame(rows)
+    got = {
+        (r["day"], r["user_a"], r["user_b"], r["overlap_secs"])
+        for r in interval_overlap_pairs(iv).collect()
+    }
+    assert got == _naive_pairs(rows)
+    # the touching pair is excluded, the equal-lo pair included
+    assert not any(p[1] == 100 and p[2] == 101 for p in got)
+    assert any(p[1] == 100 and p[2] == 102 for p in got)
+
+
+def test_interval_overlap_pairs_emits_each_pair_once(spark):
+    """A pair sharing MANY slots (two all-day envelopes) appears
+    exactly once — the later-starter predicate replaces distinct."""
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        {"user_id": 1, "day": 0, "lo": 0, "hi": 86000},
+        {"user_id": 2, "day": 0, "lo": 100, "hi": 85000},
+        {"user_id": 3, "day": 0, "lo": 100, "hi": 40000},  # lo tie with 2
+    ]
+    out = interval_overlap_pairs(spark.createDataFrame(rows)).collect()
+    pairs = [(r["user_a"], r["user_b"]) for r in out]
+    assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_interval_overlap_pairs_joins_on_slot_not_day(spark):
+    """Plan shape: the pair build equi-joins on the 15-min slot (the
+    concurrency key), NOT on the day bucket, and plans as a hash/SMJ
+    equi-join — never a nested-loop cartesian. Per-task fan-out is
+    therefore bounded by slot-cohort size, not day-cohort size."""
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        interval_overlap_pairs,
+    )
+
+    rows = [{"user_id": u, "day": 0, "lo": 900 * u, "hi": 900 * u + 500}
+            for u in range(20)]
+    df = interval_overlap_pairs(spark.createDataFrame(rows))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    assert re.search(r"slot#\d+L? = slot#\d+L?", plan), plan
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert "CartesianProduct" not in physical
+    # disjoint intervals: no output, and the only join key is the slot
+    assert df.count() == 0
+
+
+def test_count_triangles_known_graphs(spark):
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        count_triangles,
+    )
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "ea long, eb long")
+        return count_triangles(df).collect()[0]["n_triangles"]
+
+    # K4: 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert tri(k4) == 4
+    # star (hub 0, leaves 1..6): 0 triangles despite the degree-6 hub
+    assert tri([(0, i) for i in range(1, 7)]) == 0
+    # wheel W5: hub 0 + 5-cycle 1..5 -> 5 triangles
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    assert tri([(0, i) for i in range(1, 6)] + cycle) == 5
+    # two disjoint triangles
+    assert tri([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]) == 2

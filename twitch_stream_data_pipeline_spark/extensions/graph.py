@@ -78,3 +78,64 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def count_triangles(
+    edges: DataFrame,
+    src_col: str = "ea",
+    dst_col: str = "eb",
+) -> DataFrame:
+    """Distributed triangle count over an undirected simple edge list
+    (each edge once, ``src < dst``); returns a 1-row ``n_triangles``.
+
+    Degree-ordered orientation (Cohen, "Graph Twiddling in a MapReduce
+    World", CiSE'09; the standard skew answer): each edge points from
+    its lower-(degree, id) endpoint to the higher, wedges join on the
+    LOW vertex, and a wedge closes iff its outer pair is itself a
+    directed edge. Out-degree under this orientation is bounded by
+    O(sqrt(m)) for every vertex — a celebrity hub with degree d holds
+    d wedge-candidates in the naive middle-vertex join but only
+    O(sqrt(m)) here, so per-task fan-out survives power-law skew.
+    Three shuffles (degree agg joined twice, wedge equi-join, closing
+    equi-join); each triangle counted exactly once at its minimum-
+    order vertex.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient: lower (degree, id) -> higher (degree, id)
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("hi_d"),
+    )
+    # wedges at the minimum-order vertex: out-neighbors q1 < q2 in the
+    # same (degree, id) order the orientation used
+    a1 = arcs.select(
+        F.col("lo").alias("p"), F.col("hi").alias("q1"),
+        F.col("hi_d").alias("q1_d"),
+    )
+    a2 = arcs.select(
+        F.col("lo").alias("p"), F.col("hi").alias("q2"),
+        F.col("hi_d").alias("q2_d"),
+    )
+    wedges = a1.join(a2, "p").filter(
+        (F.col("q1_d") < F.col("q2_d"))
+        | ((F.col("q1_d") == F.col("q2_d")) & (F.col("q1") < F.col("q2")))
+    )
+    closing = arcs.select(F.col("lo").alias("q1"), F.col("hi").alias("q2"))
+    return (
+        wedges.select("q1", "q2")
+        .join(closing, ["q1", "q2"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

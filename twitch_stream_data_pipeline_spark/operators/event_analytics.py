@@ -36,6 +36,7 @@ __all__ = [
     "anomaly_scores",
     "funnel_stages",
     "gapfill_forward",
+    "interval_overlap_pairs",
     "motif_discovery",
     "retention_cohorts",
     "ts_pattern_search",
@@ -421,4 +422,75 @@ def motif_discovery(
         .select(
             F.col("g").alias(group_col), "slot_a", "slot_b", "similarity"
         )
+    )
+
+
+def interval_overlap_pairs(
+    iv: DataFrame,
+    id_col: str = "user_id",
+    day_col: str = "day",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_secs: int = SLOT_SECS,
+) -> DataFrame:
+    """All id pairs whose ``[lo, hi]`` intervals (same ``day``) overlap
+    strictly, as ``(day, user_a, user_b, overlap_secs)`` with
+    ``user_a < user_b`` — the co-presence pair build.
+
+    Scale shape (the 100 TB interval-join reduction, VERDICT r5 #2):
+    NOT a same-day all-pairs join — a day's cohort is O(active users)
+    and day-bucket candidates are O(cohort^2) even when almost no
+    intervals truly overlap. Instead the classic replicate-covers /
+    probe-by-start point-in-interval join on a fine grid:
+
+    * ``cov``: each interval replicated into every ``bucket_secs`` slot
+      it covers (``explode(sequence(...))`` — fan-out bounded by
+      slots-per-day, 96 at the 15-min default);
+    * ``st``: each interval keyed ONCE by its start slot;
+    * equi-join on the slot. Two intervals overlap (``>= 0``) iff the
+      later start falls inside the earlier interval, and the later
+      starter's start slot is then covered by the earlier interval —
+      so every qualifying pair is found at EXACTLY one (slot, roles)
+      combination once the join demands the ``st`` side start strictly
+      later (ties broken by id). No ``distinct`` needed; candidate
+      volume is proportional to genuinely-overlapping pairs (plus
+      same-slot near-misses), not to day-cohort^2.
+
+    All arithmetic integer; output order-normalized to id order, which
+    is independent of the cover/starter role split.
+    """
+    slot = lambda c: F.floor(c / F.lit(bucket_secs)).cast("long")  # noqa: E731
+    cov = iv.select(
+        F.col(id_col).alias("c_id"),
+        F.col(day_col).alias("c_day"),
+        F.col(lo_col).alias("c_lo"),
+        F.col(hi_col).alias("c_hi"),
+        F.explode(
+            F.sequence(slot(F.col(lo_col)), slot(F.col(hi_col)))
+        ).alias("slot"),
+    )
+    st = iv.select(
+        F.col(id_col).alias("s_id"),
+        F.col(lo_col).alias("s_lo"),
+        F.col(hi_col).alias("s_hi"),
+        slot(F.col(lo_col)).alias("slot"),
+    )
+    later_starter = (F.col("c_lo") < F.col("s_lo")) | (
+        (F.col("c_lo") == F.col("s_lo")) & (F.col("c_id") < F.col("s_id"))
+    )
+    return (
+        cov.join(
+            st,
+            ["slot"],
+        )
+        .filter(later_starter & (F.col("s_lo") <= F.col("c_hi")))
+        .select(
+            F.col("c_day").alias(day_col),
+            F.least("c_id", "s_id").alias("user_a"),
+            F.greatest("c_id", "s_id").alias("user_b"),
+            (
+                F.least("c_hi", "s_hi") - F.greatest("c_lo", "s_lo")
+            ).alias("overlap_secs"),
+        )
+        .filter(F.col("overlap_secs") > 0)
     )
