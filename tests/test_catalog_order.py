@@ -37,33 +37,28 @@ def test_no_oracle_queries_registered_last():
     assert set(no_oracle) <= set(tail)
 
 
-def test_never_verified_r2_queries_inside_window():
-    """Round-2 VERDICT task #1: every oracle-bearing query that had no
-    CORRECTNESS row after two rounds must now be graded."""
-    never_verified = {
-        "salted_distinct_users",
-        "csv_roundtrip",
-        "simhash_near_dup",
-        "tfidf_top_terms",
-        "corpus_curation",
-        "frame_sample",
-        "dedup_clusters",
-        "train_test_split",
-        "pack_sequences",
-        "mixture_sample",
-        "decontaminate",
-        "zscore_by_type",
-        "repetition_stats",
-        "pii_scrub",
-        "chunk_documents",
-        "above_avg_orders",
-        # intersect_users and scalar_subquery_filter left this set in
-        # round 5: graded green in r03 AND r04, they rotated out to
-        # free slots for the two new round-5 operators (see the
-        # rotation map in test_window_is_round4_order_with_...).
-    }
+def test_every_oracle_query_graded_or_in_window():
+    """Round-6 closes the evidence debt: every oracle-bearing query is
+    either inside the current 50-slot graded window or carries at
+    least one green driver CORRECTNESS row from rounds 1-5. No query
+    is ever two rounds old without driver evidence (VERDICT r5 #4's
+    invariant, satisfied without a wave 2)."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    graded = set()
+    for r in range(1, 6):
+        rows = json.load(open(repo / f"CORRECTNESS_r0{r}.json"))
+        graded |= {
+            n
+            for n, row in rows.items()
+            if row.get("hash_match") or row.get("rows_match")
+        }
     window = set(EXPOSURE_ORDER[:HARNESS_WINDOW])
-    assert never_verified <= window, never_verified - window
+    oracle_bearing = {n for n, q in CATALOG.items() if q.oracle}
+    uncovered = oracle_bearing - window - graded
+    assert not uncovered, uncovered
 
 
 def test_queries_and_oracles_follow_exposure_order():
@@ -101,33 +96,63 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_round4_order_with_documented_r5_rotation():
-    """VERDICT r4 #2: the round-5 window is the round-4 graded order
-    with EXACTLY six documented substitutions, each at the position of
-    the query it replaces — the never-driver-graded oracle-bearing
-    queries plus the two new round-5 operators rotate in, six
-    triple-green trivial queries rotate out, and every other position
-    is byte-identical to what the r4 harness graded."""
-    import json
-
-    from pathlib import Path
-
-    r4_path = Path(__file__).resolve().parents[1] / "CORRECTNESS_r04.json"
-    r4_graded = list(json.load(open(r4_path)).keys())
-    rotation = {
-        "pricing_summary": "variant_topk_props",
-        "rollup_lineitem": "stratified_sample",
-        "value_percentiles": "multimodal_decode",
-        "embedding_centroid": "ivf_knn_exact",
-        "intersect_users": "winnow_near_dup",
-        "scalar_subquery_filter": "bpe_token_stats",
-    }
-    expected = [rotation.get(n, n) for n in r4_graded]
+def test_window_is_documented_r6_rotation():
+    """VERDICT r5 #1: the round-6 window is the full rotation — all 38
+    never-driver-graded section-4b queries plus the new ivf_index_knn
+    rotate IN (39 first-time slots); the six round-5 swap-ins (one
+    green round each) plus five heavyweight greens are retained; the
+    39 rotated-OUT queries each carry >= 3 rounds of green driver
+    evidence and stay registered, oracle-bearing, right after the
+    window. This pins the exact graded order for the r06 run."""
+    expected = [
+        # 1a flagship round-5 tiers
+        "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
+        "duplicate_spans", "bigram_logprob", "global_row_index",
+        "funnel_conversion", "gapfill_15min", "anomaly_slots",
+        "ts_pattern_search", "motif_discovery", "embedding_covariance",
+        # 1b event analytics / graph
+        "retention_cohorts", "funnel_within_window",
+        "funnel_stage_latency", "seasonal_residuals",
+        "copresence_pairs", "triangle_count", "session_window_native",
+        # 1c sampling / join / SQL surface
+        "temperature_mixture", "orc_roundtrip",
+        "salted_join_brand_revenue", "near_dup_verified",
+        "grouping_sets_revenue", "unpivot_metrics", "wow_growth",
+        "dq_expectations", "null_safe_join",
+        # 1d UDF surface
+        "vector_norm_udf", "vector_norm_arrow", "udtf_ngrams",
+        # 1e statistics / BI
+        "skew_report_lang", "chi_square_lang_source",
+        "column_correlations", "pareto_abc", "rfm_segments",
+        "basket_affinity", "curation_report",
+        # 1f new round 6
+        "ivf_index_knn",
+        # 2 retained
+        "winnow_near_dup", "bpe_token_stats", "variant_topk_props",
+        "stratified_sample", "ivf_knn_exact", "multimodal_decode",
+        "bm25_topk", "dedup_clusters", "trailing_hour_sum",
+        "curate_events", "corpus_curation",
+    ]
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected
-    # the rotated-out queries stay registered and oracle-bearing, right
-    # after the window (rotated-green evidence remains reproducible)
-    tail = list(EXPOSURE_ORDER[HARNESS_WINDOW:])
-    for name in rotation:
+    # rotated-out queries stay registered and oracle-bearing in the tail
+    tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
+    rotated_out = {
+        "salted_distinct_users", "csv_roundtrip", "simhash_near_dup",
+        "tfidf_top_terms", "frame_sample", "train_test_split",
+        "pack_sequences", "mixture_sample", "decontaminate",
+        "zscore_by_type", "repetition_stats", "pii_scrub",
+        "chunk_documents", "above_avg_orders", "group_outliers_scalable",
+        "unigram_logprob", "boilerplate_ratio", "canonical_dedup",
+        "rank_with_ties", "budget_select", "profile_orders",
+        "binned_quantiles", "weighted_sample", "json_props_stats",
+        "scd2_intervals", "validity_filter", "dedup_keep_first",
+        "star_revenue_by_region", "nearest_slot", "exact_dedup",
+        "ngram_jaccard", "minhash_lsh_pairs", "simhash", "cosine_knn",
+        "embedding_near_dup", "topk_per_group", "cube_volume",
+        "asof_join_click_attribution", "range_join_quantity_buckets",
+    }
+    assert len(rotated_out) == 39
+    for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 
 

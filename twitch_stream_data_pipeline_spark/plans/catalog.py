@@ -1386,6 +1386,54 @@ def q_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ivf_index_knn",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    ("similarity", "ext", "ivf", "index"),
+    "The ON-DISK IVF index probed in exact mode (VERDICT r5 #3): "
+    "build_ivf_index materializes the corpus as cell-partitioned "
+    "parquet with the quantizer persisted beside it, then "
+    "ivf_index_knn probes with n_probe == n_cells so every cell is "
+    "read and the result equals brute-force cosine by construction — "
+    "the same differential oracle as ivf_knn_exact, now exercising "
+    "the materialized layout: persisted-quantizer reload, cell "
+    "PartitionFilters pruning (plan-pinned in tests), and the "
+    "probe-side broadcast join. The scale-relevant ANN artifact: at "
+    "100 TB the index IS the storage layout, a probe reads n_probe "
+    "directories and no serving process exists.",
+)
+def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..extensions.similarity import build_ivf_index, ivf_index_knn
+
+    emb = _emb(spark, sf_dir)
+    if emb.head(1) == []:  # empty-input contract: nothing to index
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    n_cells = 16
+    # unique scratch layout per invocation (orc_roundtrip contract)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, path, n_cells=n_cells)
+    return ivf_index_knn(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=n_cells
+    )
+
+
 # ===========================================================================
 # Extension operators: multimodal plumbing
 # ===========================================================================
@@ -5169,14 +5217,92 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``tests/test_catalog_order.py`` asserts this list is a permutation of
 #: ``CATALOG`` and that the first 50 are all oracle-bearing.
 EXPOSURE_ORDER: tuple[str, ...] = (
-    # -- 1. never-verified by the harness (r1+r2 positions 51-69)
+    # ======================================================================
+    # ROUND-6 ROTATION (VERDICT r5 #1, executing the plan written in the
+    # round-5 section-4b comment): the ENTIRE never-driver-graded block —
+    # all 38 oracle-bearing queries registered mid-round-5 after the
+    # graded window froze — rotates into the 50-slot window, plus the new
+    # on-disk-IVF-index entry (ivf_index_knn, VERDICT r5 #3): 39
+    # first-time slots. Rotated OUT to section 3: 39 long-stable greens,
+    # every one carrying >= 3 rounds of green driver evidence
+    # (r03+r04+r05 at minimum; several r01-r05). After this round's run
+    # NO oracle-bearing query in the catalog lacks driver CORRECTNESS
+    # evidence — the wave-2 plan VERDICT r5 #4 asked for is unnecessary
+    # because the full debt fits one window.
+    # ======================================================================
+    # -- 1a. flagship round-5 tiers, priority order per the r5 plan
+    "pretrain_pipeline",
+    "nb_lang_classifier",
+    "semantic_dedup",
+    "duplicate_spans",
+    "bigram_logprob",
+    "global_row_index",
+    "funnel_conversion",
+    "gapfill_15min",
+    "anomaly_slots",
+    "ts_pattern_search",
+    "motif_discovery",
+    "embedding_covariance",
+    # -- 1b. remaining event-analytics / graph tier (copresence_pairs and
+    #    triangle_count carry the round-6 slot-bucketed interval-join
+    #    rewrite — first grade lands on the NEW plan shape)
+    "retention_cohorts",
+    "funnel_within_window",
+    "funnel_stage_latency",
+    "seasonal_residuals",
+    "copresence_pairs",
+    "triangle_count",
+    "session_window_native",
+    # -- 1c. remaining sampling / join / SQL-surface tier
+    "temperature_mixture",
+    "orc_roundtrip",
+    "salted_join_brand_revenue",
+    "near_dup_verified",
+    "grouping_sets_revenue",
+    "unpivot_metrics",
+    "wow_growth",
+    "dq_expectations",
+    "null_safe_join",
+    # -- 1d. UDF-surface tier (three Python execution tiers + UDTF)
+    "vector_norm_udf",
+    "vector_norm_arrow",
+    "udtf_ngrams",
+    # -- 1e. statistics / BI tier
+    "skew_report_lang",
+    "chi_square_lang_source",
+    "column_correlations",
+    "pareto_abc",
+    "rfm_segments",
+    "basket_affinity",
+    "curation_report",
+    # -- 1f. new round 6: the materialized IVF layout in exact mode
+    "ivf_index_knn",
+    # -- 2. retained in-window (11): the six round-5 swap-ins hold only
+    #    ONE round of driver evidence each (r05) and stay for a second
+    #    grade; plus five heavyweight plans where a regression is most
+    #    likely — bm25_topk (r4 perf-regression history), dedup_clusters
+    #    (iterative CC), trailing_hour_sum (only two green rounds),
+    #    curate_events (the reference flagship), corpus_curation
+    #    (multi-stage curation DAG).
+    "winnow_near_dup",
+    "bpe_token_stats",
+    "variant_topk_props",
+    "stratified_sample",
+    "ivf_knn_exact",
+    "multimodal_decode",
+    "bm25_topk",
+    "dedup_clusters",
+    "trailing_hour_sum",
+    "curate_events",
+    "corpus_curation",
+    # ---------------- 50-query harness window ends here ----------------
+    # -- 3. rotated out in round 6 (each >= 3 green driver rounds; all
+    #    remain covered every session by tests/test_oracle_parity.py)
     "salted_distinct_users",
     "csv_roundtrip",
     "simhash_near_dup",
     "tfidf_top_terms",
-    "corpus_curation",
     "frame_sample",
-    "dedup_clusters",
     "train_test_split",
     "pack_sequences",
     "mixture_sample",
@@ -5185,62 +5311,34 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "repetition_stats",
     "pii_scrub",
     "chunk_documents",
-    "winnow_near_dup",
     "above_avg_orders",
-    "bpe_token_stats",
-    # -- 2. new this round
     "group_outliers_scalable",
     "unigram_logprob",
     "boilerplate_ratio",
     "canonical_dedup",
-    "trailing_hour_sum",
     "rank_with_ties",
     "budget_select",
     "profile_orders",
     "binned_quantiles",
-    "bm25_topk",
     "weighted_sample",
     "json_props_stats",
     "scd2_intervals",
-    # -- 3. previously-green core retained in the window.
-    #    ROUND-5 ROTATION (VERDICT r4 #2): six slots freed, swapped IN
-    #    at the exact positions of the queries swapped OUT so every
-    #    other graded position is unchanged from r4:
-    #      pricing_summary        -> variant_topk_props  (r4b, pytest-green)
-    #      rollup_lineitem        -> stratified_sample   (r4b, pytest-green)
-    #      value_percentiles      -> multimodal_decode   (new r5 strict decode)
-    #      embedding_centroid     -> ivf_knn_exact       (new r5 IVF oracle)
-    #      intersect_users        -> winnow_near_dup     (new r5 operator)
-    #      scalar_subquery_filter -> bpe_token_stats     (new r5 operator)
-    #    Each rotated-OUT query carries three rounds of green driver
-    #    evidence (r01/r02/r03/r04 subsets) + pytest, and each leaves
-    #    an in-window family representative (cube_volume for grouping
-    #    sets, binned_quantiles for quantiles, embedding_near_dup for
-    #    quantized cosine, the agg tier for pricing_summary,
-    #    above_avg_orders for subqueries, delta_except_all's family
-    #    tests for set ops).
-    "variant_topk_props",
-    "curate_events",
     "validity_filter",
     "dedup_keep_first",
     "star_revenue_by_region",
     "nearest_slot",
-    "stratified_sample",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash",
     "cosine_knn",
     "embedding_near_dup",
-    "ivf_knn_exact",
     "topk_per_group",
     "cube_volume",
     "asof_join_click_attribution",
     "range_join_quantity_buckets",
-    "multimodal_decode",
-    # ---------------- 50-query harness window ends here ----------------
-    # -- 4. long-stable trivial greens (r1+r2 green, pytest-covered)
-    # -- 4a. rotated out of the window in round 5 (see rotation note)
+    # -- 4. rotated out in earlier rounds (r1-r5 green evidence;
+    #    pytest-oracle coverage every session)
     "pricing_summary",
     "rollup_lineitem",
     "value_percentiles",
@@ -5273,58 +5371,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_fingerprint",
     "binary_meta",
-    # -- 4b. oracle-bearing queries added mid-round-5, AFTER the graded
-    #    window was frozen for this round's run — deliberately placed
-    #    past position 50 (window stability rule, VERDICT r3 #5);
-    #    pytest-oracle-green now, rotation candidates for round 6.
-    #    ROUND-6 ROTATION PLAN: every name in this block has zero
-    #    driver CORRECTNESS rows; swap ~25 of them into window slots
-    #    currently held by long-stable trivial greens (section 4a has
-    #    3+ rounds of green evidence each), update
-    #    tests/test_catalog_order.py to pin the NEW order, and note
-    #    the swap here. Priority: pretrain_pipeline, nb_lang_classifier,
-    #    semantic_dedup, duplicate_spans, bigram_logprob,
-    #    global_row_index, funnel_conversion, gapfill_15min,
-    #    anomaly_slots, ts_pattern_search, motif_discovery,
-    #    embedding_covariance (the flagship new tiers), then the rest.
-    "nb_lang_classifier",
-    "semantic_dedup",
-    "temperature_mixture",
-    "orc_roundtrip",
-    "global_row_index",
-    "salted_join_brand_revenue",
-    "duplicate_spans",
-    "bigram_logprob",
-    "funnel_conversion",
-    "retention_cohorts",
-    "gapfill_15min",
-    "near_dup_verified",
-    "grouping_sets_revenue",
-    "unpivot_metrics",
-    "wow_growth",
-    "dq_expectations",
-    "anomaly_slots",
-    "vector_norm_udf",
-    "pretrain_pipeline",
-    "ts_pattern_search",
-    "seasonal_residuals",
-    "copresence_pairs",
-    "vector_norm_arrow",
-    "udtf_ngrams",
-    "triangle_count",
-    "motif_discovery",
-    "session_window_native",
-    "skew_report_lang",
-    "chi_square_lang_source",
-    "column_correlations",
-    "embedding_covariance",
-    "pareto_abc",
-    "rfm_segments",
-    "basket_affinity",
-    "funnel_within_window",
-    "funnel_stage_latency",
-    "curation_report",
-    "null_safe_join",
     # -- 5. no oracle by design (harness records rows-only)
     "lsh_knn",
     "group_outliers",
