@@ -665,3 +665,74 @@ def test_count_triangles_known_graphs(spark):
     assert tri([(0, i) for i in range(1, 6)] + cycle) == 5
     # two disjoint triangles
     assert tri([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]) == 2
+
+
+# ---------------------------------------------------------------------------
+# ntile_scalable (the rfm_segments two-phase quantile rank)
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_scalable_matches_window_ntile(spark):
+    """Exact equivalence with F.ntile over the composite ordering, for
+    n % k == 0, n % k != 0, n < k, and heavy duplicates in the order
+    column (ties broken by id)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from twitch_stream_data_pipeline_spark.extensions.sampling import (
+        ntile_scalable,
+    )
+
+    random.seed(17)
+    for n, k in [(100, 5), (103, 5), (3, 5), (64, 4), (7, 7)]:
+        rows = [(i, random.randint(0, 9)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+        got = {
+            r["id"]: r["q"]
+            for r in ntile_scalable(df, k, "v", ("id",), out_col="q").collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["q"]
+            for r in df.select("id", F.ntile(k).over(w).alias("q")).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_ntile_scalable_no_global_data_window(spark):
+    """The data-sized relation is ranked inside range buckets (the
+    row_number window partitions by __b); only the buckets-sized count
+    relation sees an unpartitioned window."""
+    from twitch_stream_data_pipeline_spark.extensions.sampling import (
+        ntile_scalable,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    out = ntile_scalable(df, 5, "v", ("id",), out_col="q")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the row_number ranking the full data is bucket-partitioned
+    assert "row_number() windowspecdefinition(__b" in plan.replace(
+        "#", ""
+    ).replace("L", "").lower() or "partitionBy" not in plan, plan
+    # behavior: tiles are contiguous and sized per the SQL formula
+    sizes = sorted(
+        r["c"] for r in out.groupBy("q").agg(F.count("*").alias("c")).collect()
+    )
+    assert sizes == [200] * 5
+
+
+def test_ntile_scalable_empty_and_reserved(spark):
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.extensions.sampling import (
+        ntile_scalable,
+    )
+
+    empty = spark.createDataFrame([], "id long, v long")
+    assert ntile_scalable(empty, 5, "v", ("id",)).count() == 0
+    bad = spark.range(3).select(F.col("id"), F.lit(1).alias("__b"))
+    with _pytest.raises(ValueError, match="reserved"):
+        ntile_scalable(bad, 5, "id")

@@ -9,6 +9,8 @@ shard-partitioned windows so nothing funnels through one task.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -417,4 +419,84 @@ def global_row_index(
     )
     return local.join(F.broadcast(offsets), "__b").select(
         *df.columns, (F.col("__off") + F.col("__r")).alias(index_name)
+    )
+
+
+def ntile_scalable(
+    df: DataFrame,
+    k: int,
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "ntile",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_col, *tiebreak_cols)``
+    WITHOUT the single-partition global sort the window form plans
+    (WindowExec's "No Partition Defined" path — at 100 TB that one
+    task never finishes). The quantile-scoring primitive behind RFM
+    segmentation and any global decile/percentile bucketing.
+
+    Same two-phase rank as :func:`global_row_index`, generalized to a
+    composite ordering: range-bucket on ``order_col`` alone (ties
+    co-locate by construction, so any boundary set is CORRECT and the
+    probe's approximation only balances work), rank within buckets by
+    the full ordering, convert bucket counts to exclusive prefix
+    offsets (the only unpartitioned window runs over the buckets-sized
+    count relation), then map the exact global row number through the
+    SQL ntile formula — with ``n`` rows, the first ``n % k`` tiles
+    hold ``n // k + 1`` rows — reproducing ``F.ntile`` / DuckDB
+    ``ntile`` bit-for-bit. The composite ordering must be unique
+    (same contract as any deterministic ranking).
+
+    The boundary probe casts to double; a monotone (order-preserving)
+    coarsening can only merge neighbors into one bucket, never invert
+    them, so correctness is unaffected for decimal/long keys.
+    """
+    spark = df.sparkSession
+    nb = buckets or spark.sparkContext.defaultParallelism
+    reserved = {"__b", "__r", "__off", "__n"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"ntile_scalable: reserved column(s) {sorted(reserved)} present"
+        )
+    key = F.col(order_col).cast("double")
+    if nb <= 1:
+        bounds: list[float] = []
+    else:
+        qs = [i / nb for i in range(1, nb)]
+        bounds = sorted(
+            set(
+                df.select(key.alias("__k")).stat.approxQuantile(
+                    "__k", qs, 0.001
+                )
+            )
+        )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(key > F.lit(b), 1).otherwise(0)
+    wl = Window.partitionBy("__b").orderBy(order_col, *tiebreak_cols)
+    local = df.withColumn("__b", bucket).withColumn(
+        "__r", F.row_number().over(wl)
+    )
+    counts = local.groupBy("__b").agg(F.count("*").alias("__c"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    rn = F.col("__off") + F.col("__r")
+    q = F.floor(F.col("__n") / F.lit(k)).cast("long")
+    r = (F.col("__n") % F.lit(k)).cast("long")
+    thr = (q + F.lit(1)) * r  # rows in the (q+1)-sized leading tiles
+    tile = (
+        F.when(rn <= thr, F.floor((rn - F.lit(1)) / (q + F.lit(1))) + 1)
+        .otherwise(r + F.floor((rn - thr - F.lit(1)) / q) + 1)
+        .cast("long")
+    )
+    return local.join(F.broadcast(offsets), "__b").select(
+        *df.columns, tile.alias(out_col)
     )

@@ -4799,12 +4799,17 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("analytics", "window", "ext"),
     "RFM customer segmentation: per-customer recency (days since last "
     "order, epoch arithmetic), frequency, and decimal-routed monetary "
-    "value, quintile-scored by ntile windows (full key tiebreak makes "
-    "bucket assignment deterministic and identical in both engines) "
-    "and bucketed into the classic segments. The windows rank the "
-    "customer AGGREGATE; at 100-TB customer cardinality each ntile "
-    "becomes the global_row_index two-phase rank against the "
-    "5-quantile boundaries — same output, no single-partition sort.",
+    "value, quintile-scored and bucketed into the classic segments. "
+    "Each quintile runs as extensions.sampling.ntile_scalable — the "
+    "two-phase rank (range-bucket on the score column, partitioned "
+    "in-bucket window, buckets-sized prefix offsets, exact SQL ntile "
+    "formula on the global row number) — NOT an unpartitioned ntile "
+    "window, because the ranked relation is the customer aggregate "
+    "and customer cardinality is unbounded at 100 TB (the "
+    "single-partition WindowExec path never finishes there). Full "
+    "key tiebreak keeps bucket assignment deterministic and "
+    "identical in both engines; the oracle states the same quintiles "
+    "as plain ntile windows — semantics, not plan.",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
@@ -4832,14 +4837,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_s = (F.lit(6) - F.ntile(5).over(
-        Window.orderBy("recency_days", "o_custkey")
-    )).cast("long")
-    f_s = F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long")
-    m_s = F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("long")
-    scored = rfm.select(
+    from ..extensions.sampling import ntile_scalable
+
+    scored = ntile_scalable(
+        rfm, 5, "recency_days", ("o_custkey",), out_col="r_raw"
+    )
+    scored = ntile_scalable(
+        scored, 5, "frequency", ("o_custkey",), out_col="f_score"
+    )
+    scored = ntile_scalable(
+        scored, 5, "monetary", ("o_custkey",), out_col="m_score"
+    )
+    scored = scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",
-        r_s.alias("r_score"), f_s.alias("f_score"), m_s.alias("m_score"),
+        (F.lit(6) - F.col("r_raw")).alias("r_score"),
+        "f_score", "m_score",
     )
     return scored.select(
         "*",
