@@ -84,6 +84,15 @@ EXTENDED = (
     # the end-to-end curation DAG (dedup -> quality -> decontaminate
     # -> temperature mix) — the composite headline
     "pretrain_pipeline",
+    # round 6: the re-planned scale shapes (slot-bucketed interval join,
+    # degree-oriented triangles, two-phase ntile) and the materialized
+    # IVF layout (build + exact probe per run). extended_total is NOT
+    # directly comparable with BENCH_r05 — subtract these four for an
+    # apples-to-apples read (see BENCHNOTES.md).
+    "copresence_pairs",
+    "triangle_count",
+    "rfm_segments",
+    "ivf_index_knn",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED
