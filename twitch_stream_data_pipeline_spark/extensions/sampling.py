@@ -429,6 +429,7 @@ def ntile_scalable(
     tiebreak_cols: Sequence[str] = (),
     out_col: str = "ntile",
     buckets: int | None = None,
+    bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY order_col, *tiebreak_cols)``
     WITHOUT the single-partition global sort the window form plans
@@ -451,6 +452,15 @@ def ntile_scalable(
     The boundary probe casts to double; a monotone (order-preserving)
     coarsening can only merge neighbors into one bucket, never invert
     them, so correctness is unaffected for decimal/long keys.
+
+    ``bounds`` skips the probe: callers scoring SEVERAL columns of the
+    same relation (the RFM pattern) should fetch every column's
+    boundaries in ONE ``approxQuantile([cols...])`` action and pass
+    them in — otherwise each call re-executes the input lineage for
+    its own probe (measured 5.1s -> ~1s on rfm_segments at sf0.1).
+    ANY numeric boundary list is correct (ties still co-locate; bounds
+    only balance work), so staleness or approximation cannot change
+    the output.
     """
     spark = df.sparkSession
     nb = buckets or spark.sparkContext.defaultParallelism
@@ -460,8 +470,10 @@ def ntile_scalable(
             f"ntile_scalable: reserved column(s) {sorted(reserved)} present"
         )
     key = F.col(order_col).cast("double")
-    if nb <= 1:
-        bounds: list[float] = []
+    if bounds is not None:
+        bounds = sorted(set(bounds))
+    elif nb <= 1:
+        bounds = []
     else:
         qs = [i / nb for i in range(1, nb)]
         bounds = sorted(

@@ -4839,14 +4839,30 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..extensions.sampling import ntile_scalable
 
+    # materialize the customer-sized RFM aggregate ONCE: every ntile
+    # stage branches its input (bucket counts + main relation), so an
+    # un-truncated lineage recomputes the orders scan 2^3 times; the
+    # checkpoint caps it at one scan + three small-window stages
+    # (connected_components' lazy-localCheckpoint rule)
+    rfm = rfm.localCheckpoint(eager=False)
+    # ONE boundary-probe action for all three score columns (each
+    # ntile_scalable probing separately would re-execute the rfm
+    # aggregate lineage per column)
+    nb = max(spark.sparkContext.defaultParallelism, 2)
+    qs = [i / nb for i in range(1, nb)]
+    b_r, b_f, b_m = rfm.select(
+        F.col("recency_days").cast("double").alias("r"),
+        F.col("frequency").cast("double").alias("f"),
+        F.col("monetary").cast("double").alias("m"),
+    ).stat.approxQuantile(["r", "f", "m"], qs, 0.001)
     scored = ntile_scalable(
-        rfm, 5, "recency_days", ("o_custkey",), out_col="r_raw"
+        rfm, 5, "recency_days", ("o_custkey",), out_col="r_raw", bounds=b_r
     )
     scored = ntile_scalable(
-        scored, 5, "frequency", ("o_custkey",), out_col="f_score"
+        scored, 5, "frequency", ("o_custkey",), out_col="f_score", bounds=b_f
     )
     scored = ntile_scalable(
-        scored, 5, "monetary", ("o_custkey",), out_col="m_score"
+        scored, 5, "monetary", ("o_custkey",), out_col="m_score", bounds=b_m
     )
     scored = scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",
