@@ -96,6 +96,7 @@ EXTENDED = (
     # is honest but fixture-density-bound, ~60s; same note).
     "rfm_segments",
     "ivf_index_knn",
+    "lsh_index_probe",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

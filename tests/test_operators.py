@@ -850,3 +850,96 @@ def test_ivf_index_incremental_append(spark, tmp_path):
 
     with pytest.raises(ValueError, match="reserved"):
         append_to_ivf_index(spark.read.parquet(path), path)
+
+
+def test_lsh_index_build_probe_append(spark, tmp_path):
+    """The materialized MinHash-LSH index (near-dup twin of the IVF
+    layout): probe == in-corpus lsh_candidate_pairs restricted to
+    query-anchored pairs; append with persisted params == one-shot
+    rebuild; probing fewer bands prunes band partitions in the
+    physical plan."""
+    import os
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_candidate_pairs,
+        lsh_index_probe,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "lsh")
+    build_lsh_index(docs, path)
+
+    bands = [d for d in os.listdir(path) if d.startswith("band=")]
+    assert len(bands) == 8, bands
+    assert os.path.isdir(f"{path}/_params")
+
+    q = docs.filter(F.col("doc_id") < 50)
+    probe = {
+        (r["query_id"], r["match_id"])
+        for r in lsh_index_probe(spark, path, q).collect()
+    }
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    want = set()
+    for r in pairs.collect():
+        if r["doc_a"] < 50:
+            want.add((r["doc_a"], r["doc_b"]))
+        if r["doc_b"] < 50:
+            want.add((r["doc_b"], r["doc_a"]))
+    assert probe == want and probe
+
+    # incremental append == one-shot rebuild, byte-identical probes
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "lsh_inc")
+    build_lsh_index(half_a, inc)
+    append_to_lsh_index(half_b, inc)
+    probe_inc = {
+        (r["query_id"], r["match_id"])
+        for r in lsh_index_probe(spark, inc, q).collect()
+    }
+    assert probe_inc == probe
+
+    # probing 2 of 8 bands: PartitionFilters pruning + subset recall
+    pruned = lsh_index_probe(spark, path, q, probe_bands=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+    assert "band" in scan_line, scan_line
+    assert {
+        (r["query_id"], r["match_id"]) for r in pruned.collect()
+    } <= probe
+
+
+def test_lsh_index_probe_uses_persisted_params(spark, tmp_path):
+    """An index built with non-default banding probes with the
+    PERSISTED parameters — a caller cannot band queries differently
+    than the layout (the IVF persisted-quantizer rule)."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        lsh_index_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different words with no shared shingles here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_params")
+    build_lsh_index(docs, path, num_hashes=16, bands=4, rows_per_band=4)
+    import os
+
+    assert len([d for d in os.listdir(path) if d.startswith("band=")]) == 4
+    out = lsh_index_probe(spark, path, docs.filter(F.col("doc_id") == 1))
+    got = {(r["query_id"], r["match_id"]) for r in out.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        build_lsh_index(docs, path, num_hashes=8, bands=4, rows_per_band=4)

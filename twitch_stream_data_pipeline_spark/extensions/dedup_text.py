@@ -260,6 +260,28 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH band keys from MinHash signatures: ``doc_id, band,
+    band_hash`` — one row per (document, band), where ``band_hash`` is
+    the md5 of that band's signature slice. The shared primitive of
+    :func:`lsh_candidate_pairs` (in-corpus pairing) and the
+    materialized :func:`build_lsh_index` / :func:`lsh_index_probe`
+    (incremental probing), so the two paths can never band
+    differently."""
+    band_hashes = ",".join(
+        "md5(concat_ws(',',"
+        + ",".join(f"sig[{i * rows_per_band + r}]" for r in range(rows_per_band))
+        + "))"
+        for i in range(bands)
+    )
+    return signatures.select(
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_hashes})")).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -289,16 +311,7 @@ def lsh_candidate_pairs(
     instead of a window). ``array_sort`` on the collected members
     makes ``doc_a < doc_b`` deterministic regardless of shuffle order.
     """
-    band_hashes = ",".join(
-        "md5(concat_ws(',',"
-        + ",".join(f"sig[{i * rows_per_band + r}]" for r in range(rows_per_band))
-        + "))"
-        for i in range(bands)
-    )
-    banded = signatures.select(
-        "doc_id",
-        F.posexplode(F.expr(f"array({band_hashes})")).alias("band", "band_hash"),
-    )
+    banded = band_keys(signatures, bands, rows_per_band)
     buckets = banded.groupBy("band", "band_hash").agg(
         F.array_sort(F.collect_list("doc_id")).alias("members")
     )
@@ -696,4 +709,139 @@ def near_dup_verify(
             .alias("dist_frac"),
         )
         .filter(F.col("dist_frac") <= F.lit(max_dist_frac))
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> None:
+    """Materialize the MinHash-LSH posting lists as a ``band``-
+    partitioned parquet layout with the banding parameters persisted
+    beside it — the near-dup twin of :func:`~.similarity.build_ivf_index`
+    (reference precedent for layered persisted artifacts:
+    ``/root/reference/scripts/process_raw_data`` writes each processed
+    layer back to storage for downstream incremental reads).
+
+    A growing corpus cannot re-run all-pairs LSH per ingest: the index
+    holds ``(doc_id, band, band_hash)`` postings, so a NEW batch is
+    deduplicated against the entire history by probing (broadcast-join
+    economics, see :func:`lsh_index_probe`) and then appended with
+    :func:`append_to_lsh_index` — signatures computed with the
+    PERSISTED parameters (``{path}/_params``), never the caller's,
+    so an append can never band differently than the layout it
+    extends (the IVF persisted-quantizer rule).
+
+    Partitioning by ``band`` gives probes a recall/cost knob: reading
+    only ``probe_bands`` of the ``bands`` directories is graceful
+    recall degradation via PartitionFilters pruning — IVF's
+    ``n_probe``, re-expressed for LSH.
+    """
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"build_lsh_index: {bands} bands x {rows_per_band} rows "
+            f"need more lanes than num_hashes={num_hashes}"
+        )
+    import pandas as pd
+
+    from ..sinks import write_partitioned
+
+    sigs = minhash_signatures(df, text_col, num_hashes, n)
+    write_partitioned(
+        band_keys(sigs, bands, rows_per_band), path, ["band"],
+        mode="overwrite",
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "num_hashes": num_hashes,
+                    "n": n,
+                    "bands": bands,
+                    "rows_per_band": rows_per_band,
+                }
+            ]
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def _lsh_params(spark, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/_params").collect()[0]
+    return {k: int(row[k]) for k in ("num_hashes", "n", "bands", "rows_per_band")}
+
+
+def append_to_lsh_index(
+    new_df: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Incrementally extend a :func:`build_lsh_index` layout: band the
+    new documents with the PERSISTED parameters and append their
+    postings into the band partitions. Probes see old and new
+    documents identically; no rebuild, no re-banding of history."""
+    from ..sinks import write_partitioned
+
+    p = _lsh_params(new_df.sparkSession, path)
+    sigs = minhash_signatures(new_df, text_col, p["num_hashes"], p["n"])
+    write_partitioned(
+        band_keys(sigs, p["bands"], p["rows_per_band"]), path, ["band"],
+        mode="append",
+    )
+
+
+def lsh_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    text_col: str = "text",
+    max_bucket_size: int | None = 200,
+    probe_bands: int | None = None,
+) -> DataFrame:
+    """Probe a :func:`build_lsh_index` layout with a batch of query
+    documents: ``(query_id, match_id)`` distinct candidate pairs where
+    the query shares at least one band bucket with an indexed document
+    (``match_id != query_id``; both directions possible when several
+    queries match each other via the index).
+
+    Plan shape — the incremental-dedup economics (new batch << corpus):
+    the QUERY side's band keys broadcast; the index side is scanned
+    once and never shuffled — a broadcast hash join per the probe,
+    with ``probe_bands`` pruning whole band directories
+    (PartitionFilters) when approximate recall suffices. The
+    ``max_bucket_size`` cap counts INDEXED postings per (band,
+    band_hash) — the same degenerate-bucket guard as
+    :func:`lsh_candidate_pairs`, computed only over the keys the
+    probe touches (bucket sizes aggregate AFTER the key semi-join, so
+    the aggregation is touched-keys-sized, not index-sized).
+    Signatures use the persisted parameters; callers cannot band
+    queries differently than the layout.
+    """
+    p = _lsh_params(spark, path)
+    bands = p["bands"] if probe_bands is None else min(probe_bands, p["bands"])
+    qsig = minhash_signatures(queries, text_col, p["num_hashes"], p["n"])
+    qb = band_keys(qsig, p["bands"], p["rows_per_band"]).filter(
+        F.col("band") < bands
+    ).select(F.col("doc_id").alias("query_id"), "band", "band_hash")
+    postings = spark.read.parquet(path).filter(F.col("band") < bands)
+    touched = postings.join(
+        F.broadcast(qb.select("band", "band_hash").distinct()),
+        ["band", "band_hash"],
+    )
+    if max_bucket_size is not None:
+        sizes = touched.groupBy("band", "band_hash").agg(
+            F.count("*").alias("bkt_n")
+        )
+        ok = sizes.filter(F.col("bkt_n") <= max_bucket_size).select(
+            "band", "band_hash"
+        )
+        touched = touched.join(F.broadcast(ok), ["band", "band_hash"])
+    return (
+        touched.join(F.broadcast(qb), ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("match_id"))
+        .distinct()
     )
