@@ -1079,3 +1079,72 @@ def test_streaming_funnel_available_now_equals_graded_batch_query(
         for k in (1, 2, 3)
     }
     assert stream_counts == {k: batch.get(k, 0) for k in (1, 2, 3)}
+
+
+def test_streaming_incremental_dedup_ingest(spark, tmp_path):
+    """The LSH index as a STREAMING dedup gate: micro-batches of new
+    documents flow through foreachBatch -> dedup_ingest(append=True),
+    so each batch dedups against the full history INCLUDING earlier
+    batches' survivors, and only survivors extend the index. The final
+    survivor set must equal the sequential batch-by-batch reference."""
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+        lsh_index_probe,
+    )
+
+    base = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "completely unrelated corpus text about spark shuffles"),
+    ]
+    batches = [
+        # b0: one dup of 100, one novel
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "a genuinely novel document with fresh words entirely")],
+        # b1: dup of b0's SURVIVOR (2) -> must be caught by the append
+        [(3, "a genuinely novel document with fresh words entirely"),
+         (4, "another new and distinct piece of text altogether now")],
+    ]
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "ingest_idx")
+    build_lsh_index(spark.createDataFrame(base, schema), path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    survivors: list[int] = []
+
+    def sink(df, epoch_id):
+        kept = dedup_ingest(spark, path, df, append=True)
+        survivors.extend(r["doc_id"] for r in kept.collect())
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # doc 1 dups the base corpus; doc 3 dups doc 2, which only exists
+    # in the index because batch 0's survivors were appended
+    assert sorted(survivors) == [2, 4]
+    # the index now answers for the survivors too
+    probe = lsh_index_probe(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(9, "a genuinely novel document with fresh words entirely")],
+            schema,
+        ),
+    )
+    assert {r["match_id"] for r in probe.collect()} == {2}

@@ -845,3 +845,42 @@ def lsh_index_probe(
         .select("query_id", F.col("doc_id").alias("match_id"))
         .distinct()
     )
+
+
+def dedup_ingest(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 200,
+    append: bool = False,
+) -> DataFrame:
+    """Incremental near-dup ingest against a :func:`build_lsh_index`
+    layout: returns the new-batch documents with NO candidate match in
+    the indexed corpus — the survivors an incremental pipeline keeps.
+    With ``append=True`` the survivors' postings are appended to the
+    index in the same call (probe-then-extend, the K8-style
+    incremental contract: the next batch dedups against them too).
+
+    This is the OPERATIONAL form of the index: per-ingest all-pairs
+    LSH over (corpus + batch) would re-shuffle the whole history every
+    15 minutes; here history is touched only through the probe's
+    broadcast join (index side never shuffles) and the append writes
+    only the batch's postings. The anti-join keys on the probe's
+    query ids — candidate-level semantics (any shared band bucket
+    disqualifies), the standard conservative ingest gate; callers
+    wanting verified-distance semantics insert
+    :func:`near_dup_verify` between probe and anti-join.
+    """
+    cand = lsh_index_probe(
+        spark, path, new_df, text_col, max_bucket_size=max_bucket_size
+    )
+    survivors = new_df.join(
+        cand.select(F.col("query_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    if append:
+        append_to_lsh_index(survivors, path, text_col)
+    return survivors

@@ -1088,10 +1088,10 @@ def _minhash_sig_sql(num_hashes: int = 32) -> tuple[str, str]:
     )
 
 
-def _minhash_banded_cte(bands: int = 8, rows_per_band: int = 4) -> str:
-    """Shared WITH body: signatures -> band hashes -> cap-filtered
-    banded relation (used by the in-corpus pairing oracle AND the
-    index-probe oracle so they can never band differently)."""
+def _minhash_banded0_cte(bands: int = 8, rows_per_band: int = 4) -> str:
+    """Shared WITH body: signatures -> per-band hashes (``banded0``,
+    uncapped). Used by every LSH oracle so no two can band
+    differently."""
     sig_cte, _cols = _minhash_sig_sql(bands * rows_per_band)
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, md5("
@@ -1103,7 +1103,14 @@ def _minhash_banded_cte(bands: int = 8, rows_per_band: int = 4) -> str:
         for b in range(bands)
     )
     return rf"""{sig_cte},
-    banded0 AS ({band_selects}),
+    banded0 AS ({band_selects})"""
+
+
+def _minhash_banded_cte(bands: int = 8, rows_per_band: int = 4) -> str:
+    """``banded0`` plus the 200-doc bucket-size cap over the WHOLE
+    corpus (the in-corpus pairing semantics; the ingest oracle caps
+    over indexed postings only and composes banded0 directly)."""
+    return rf"""{_minhash_banded0_cte(bands, rows_per_band)},
     -- bucket-size cap (200): mirrors the Spark operator's degenerate-
     -- bucket guard before pairing
     banded AS (
@@ -1172,6 +1179,56 @@ def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="lsh_index_")
     build_lsh_index(docs, path)
     return lsh_index_probe(spark, path, docs.filter(F.col("doc_id") < 50))
+
+
+@_register(
+    "dedup_ingest",
+    rf"""
+    WITH {_minhash_banded0_cte()},
+    idx AS (SELECT * FROM banded0 WHERE doc_id >= 50),
+    ok AS (SELECT band, band_hash FROM idx
+           GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+    idxf AS (SELECT idx.* FROM idx JOIN ok USING (band, band_hash)),
+    q AS (SELECT * FROM banded0 WHERE doc_id < 50),
+    matched AS (
+      SELECT DISTINCT q.doc_id
+      FROM q JOIN idxf ON q.band = idxf.band AND q.band_hash = idxf.band_hash
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id < 50
+      AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+    """,
+    ("dedup", "ext", "lsh", "index", "pipeline"),
+    "Incremental near-dup INGEST — the operational form of the LSH "
+    "index: the corpus (doc_id >= 50) is materialized once with "
+    "build_lsh_index; the new batch (doc_id < 50) probes it and only "
+    "documents with NO candidate match survive (candidate-level "
+    "semantics: any shared band bucket disqualifies — the "
+    "conservative ingest gate; near_dup_verify slots between probe "
+    "and anti-join for distance-verified semantics). Per-ingest "
+    "all-pairs LSH over corpus+batch would re-shuffle all history "
+    "every 15 minutes (the reference's cadence); here history is "
+    "touched only via the probe's broadcast join and the bucket cap "
+    "counts INDEXED postings only — exactly what the oracle states "
+    "relationally. The survivors-append path (dedup_ingest "
+    "append=True) is pinned by the streaming ingest test.",
+)
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..extensions.dedup_text import build_lsh_index, dedup_ingest
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    if corpus.head(1) == []:  # empty-corpus contract: all survive
+        return batch.select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="lsh_ingest_")
+    build_lsh_index(corpus, path)
+    return dedup_ingest(spark, path, batch).select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -5356,6 +5413,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     #    the head of section 3)
     "ivf_index_knn",
     "lsh_index_probe",
+    "dedup_ingest",
     # -- 2. retained in-window (11): the six round-5 swap-ins hold only
     #    ONE round of driver evidence each (r05) and stay for a second
     #    grade; plus five heavyweight plans where a regression is most
@@ -5372,10 +5430,12 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "bm25_topk",
     "dedup_clusters",
     "trailing_hour_sum",
-    "curate_events",
     # ---------------- 50-query harness window ends here ----------------
     # -- 3. rotated out in round 6 (each >= 3 green driver rounds; all
-    #    remain covered every session by tests/test_oracle_parity.py)
+    #    remain covered every session by tests/test_oracle_parity.py;
+    #    curate_events (4 rounds) and corpus_curation (3 rounds) gave
+    #    their slots to the round-6 index/ingest queries)
+    "curate_events",
     "corpus_curation",
     "salted_distinct_users",
     "csv_roundtrip",
