@@ -84,9 +84,10 @@ EXTENDED = (
     # the end-to-end curation DAG (dedup -> quality -> decontaminate
     # -> temperature mix) — the composite headline
     "pretrain_pipeline",
-    # round 6: the two-phase-ntile RFM rewrite and the materialized
-    # IVF layout (build + exact probe per run). extended_total is NOT
-    # directly comparable with BENCH_r05 — subtract these two for an
+    # round 6: the two-phase-ntile RFM rewrite, the two materialized
+    # index layouts (build + exact probe per run), and the two
+    # incremental ingest gates over them. extended_total is NOT
+    # directly comparable with BENCH_r05 — subtract these five for an
     # apples-to-apples read (see BENCHNOTES.md). The other two round-6
     # re-planned queries are deliberately NOT timed here:
     # copresence_pairs emits 12.1M pairs at sf0.1 (collect()-bound —
@@ -97,6 +98,8 @@ EXTENDED = (
     "rfm_segments",
     "ivf_index_knn",
     "lsh_index_probe",
+    "dedup_ingest",
+    "embedding_ingest",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

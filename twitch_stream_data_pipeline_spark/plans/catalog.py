@@ -1536,6 +1536,59 @@ def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_ingest",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nearest_id, {_QVEC} AS cv FROM embeddings
+          WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.vec_id, c.nearest_id,
+             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+      FROM q, c
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nearest_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, nearest_id, cosine AS nearest_cosine,
+           cosine < 0.38 AS keep
+    FROM best WHERE rn = 1
+    """,
+    ("similarity", "ext", "ivf", "index", "pipeline"),
+    "Semantic ingest gate — the embedding twin of dedup_ingest: the "
+    "corpus (vec_id >= 10) is materialized once as the IVF layout; "
+    "the new batch (vec_id < 10) probes its exact nearest indexed "
+    "neighbor (n_probe == n_cells, so the cosine oracle states it "
+    "relationally) and keeps only vectors whose nearest cosine is "
+    "below the threshold — SemDeDup's keep rule applied at the "
+    "ingest boundary instead of corpus-wide. Emits the full decision "
+    "relation (vec_id, nearest_id, nearest_cosine, keep), auditable "
+    "downstream; at scale n_probe << n_cells trades recall for cost "
+    "(a missed near-dup costs one redundant document). History is "
+    "touched only via the pruned scan + batch broadcast.",
+)
+def q_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..extensions.similarity import build_ivf_index, embedding_ingest
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    batch = emb.filter(F.col("vec_id") < 10)
+    if corpus.head(1) == []:  # empty-corpus contract: all keep
+        return batch.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("nearest_id"),
+            F.lit(None).cast("double").alias("nearest_cosine"),
+            F.lit(True).alias("keep"),
+        )
+    path = tempfile.mkdtemp(prefix="ivf_ingest_")
+    build_ivf_index(corpus, path, n_cells=16)
+    return embedding_ingest(spark, path, batch, threshold=0.38)
+
+
 # ===========================================================================
 # Extension operators: multimodal plumbing
 # ===========================================================================
@@ -5414,6 +5467,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "ivf_index_knn",
     "lsh_index_probe",
     "dedup_ingest",
+    "embedding_ingest",
     # -- 2. retained in-window (11): the six round-5 swap-ins hold only
     #    ONE round of driver evidence each (r05) and stay for a second
     #    grade; plus five heavyweight plans where a regression is most
@@ -5428,15 +5482,16 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "ivf_knn_exact",
     "multimodal_decode",
     "bm25_topk",
-    "dedup_clusters",
     "trailing_hour_sum",
     # ---------------- 50-query harness window ends here ----------------
     # -- 3. rotated out in round 6 (each >= 3 green driver rounds; all
     #    remain covered every session by tests/test_oracle_parity.py;
-    #    curate_events (4 rounds) and corpus_curation (3 rounds) gave
-    #    their slots to the round-6 index/ingest queries)
+    #    curate_events (4 rounds), corpus_curation (3) and
+    #    dedup_clusters (3) gave their slots to the round-6
+    #    index/ingest queries)
     "curate_events",
     "corpus_curation",
+    "dedup_clusters",
     "salted_distinct_users",
     "csv_roundtrip",
     "simhash_near_dup",
