@@ -736,3 +736,31 @@ def test_ntile_scalable_empty_and_reserved(spark):
     bad = spark.range(3).select(F.col("id"), F.lit(1).alias("__b"))
     with _pytest.raises(ValueError, match="reserved"):
         ntile_scalable(bad, 5, "id")
+
+
+def test_count_triangles_random_graphs_match_bruteforce(spark):
+    """Degree-oriented distributed count == O(n^3) brute force on
+    random graphs across densities (including hubs and isolated
+    vertices)."""
+    import itertools
+    import random
+
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        count_triangles,
+    )
+
+    for seed, n, p in [(1, 12, 0.2), (2, 15, 0.5), (3, 10, 0.9)]:
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in set(edges) and (b, c) in set(edges) and (a, c) in set(edges)
+        )
+        df = spark.createDataFrame(edges, "ea long, eb long")
+        got = count_triangles(df).collect()[0]["n_triangles"]
+        assert got == want, (seed, got, want)
