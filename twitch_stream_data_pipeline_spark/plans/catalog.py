@@ -5413,6 +5413,16 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # NO oracle-bearing query in the catalog lacks driver CORRECTNESS
     # evidence — the wave-2 plan VERDICT r5 #4 asked for is unnecessary
     # because the full debt fits one window.
+    #
+    # ROUND-7 PLAN: keep this window STABLE so the 42 first-timers get
+    # a second consecutive grade (the window-stability rule); any new
+    # round-7 oracle-bearing query must take a slot from the section-2
+    # retained set (bm25_topk and trailing_hour_sum will then hold 4
+    # and 3 rounds) — never from the single-grade first-timers. The
+    # tests/test_catalog_order.py invariant (window + prior green
+    # rounds covers every oracle-bearing query) enforces this
+    # mechanically: a new oracle query registered past the window
+    # fails CI until it is swapped in.
     # ======================================================================
     # -- 1a. flagship round-5 tiers, priority order per the r5 plan
     "pretrain_pipeline",
