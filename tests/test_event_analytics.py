@@ -764,3 +764,20 @@ def test_count_triangles_random_graphs_match_bruteforce(spark):
         df = spark.createDataFrame(edges, "ea long, eb long")
         got = count_triangles(df).collect()[0]["n_triangles"]
         assert got == want, (seed, got, want)
+
+
+def test_interval_overlap_pairs_keys_on_day_not_just_slot(spark):
+    """Within-day OFFSET intervals (lo/hi in [0, 86400] under distinct
+    day labels) share slot numbers across days; the day column rides
+    the join key so such rows never pair (code-review r6 regression)."""
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        {"user_id": 1, "day": 0, "lo": 100, "hi": 200},
+        {"user_id": 2, "day": 1, "lo": 150, "hi": 250},  # same slot, other day
+        {"user_id": 3, "day": 1, "lo": 180, "hi": 300},  # overlaps user 2
+    ]
+    out = interval_overlap_pairs(spark.createDataFrame(rows)).collect()
+    assert [(r["day"], r["user_a"], r["user_b"]) for r in out] == [(1, 2, 3)]

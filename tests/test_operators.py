@@ -991,14 +991,115 @@ def test_embedding_ingest_gate_and_append(spark, tmp_path):
     assert d1["keep"] is False and d1["nearest_id"] == 2
 
     # approximate probing returns a decision for every vector and can
-    # only be MORE permissive (a missed neighbor flips drop -> keep)
+    # only be MORE permissive (a missed neighbor flips drop -> keep).
+    # drop_existing_ids off: the earlier append indexed vec 2, and the
+    # replay gate would otherwise force keep=False independent of the
+    # probe width being compared here.
     d_approx = {
         r["vec_id"]: r
         for r in embedding_ingest(
-            spark, path, b0, threshold=0.9, n_probe=1
+            spark, path, b0, threshold=0.9, n_probe=1,
+            drop_existing_ids=False,
         ).collect()
     }
     assert set(d_approx) == {1, 2}
     for vid, full in d0.items():
         if not d_approx[vid]["keep"]:
             assert not full["keep"]
+
+
+def test_dedup_ingest_in_batch_and_replay_gates(spark, tmp_path):
+    """Code-review r6: (a) two near-dup copies arriving in ONE batch
+    must not both survive (lower id wins); (b) an at-least-once replay
+    of an already-appended batch must emit zero survivors and append
+    nothing (the probe's self-id exclusion no longer slips it
+    through)."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(100, "established corpus document about streaming analytics")],
+        schema,
+    )
+    path = str(tmp_path / "gates")
+    build_lsh_index(corpus, path)
+
+    batch = spark.createDataFrame(
+        [
+            (1, "a shiny new document with entirely fresh content here"),
+            (2, "a shiny new document with entirely fresh content here"),
+            (3, "some other unrelated novel text nothing shares at all"),
+        ],
+        schema,
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_ingest(spark, path, batch, append=True).collect()
+    )
+    assert kept == [1, 3]  # 2 dropped by the in-batch lower-id rule
+
+    # replay the same batch: ids 1 and 3 are now indexed -> replay
+    # gate drops them; 2 matches indexed doc 1 -> corpus gate
+    replay = dedup_ingest(spark, path, batch, append=True).collect()
+    assert replay == []
+    # postings were not duplicated by the replay append
+    postings = spark.read.parquet(path)
+    assert postings.count() == postings.distinct().count()
+
+    # gates off reproduce the old probe-only behavior — and demonstrate
+    # the replay hole: docs 1 and 3 match ONLY their own indexed copies,
+    # which the probe's self-id exclusion skips, so they "survive" again
+    # (2 still matches indexed doc 1, a different id)
+    probe_only = sorted(
+        r["doc_id"]
+        for r in dedup_ingest(
+            spark, path, batch, within_batch=False, drop_existing_ids=False
+        ).collect()
+    )
+    assert probe_only == [1, 3]
+
+
+def test_embedding_ingest_in_batch_and_replay_gates(spark, tmp_path):
+    """Same two gates for the semantic twin: intra-batch near-identical
+    vectors keep only the lower id; a replayed (already-indexed) id is
+    forced to keep=False."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        embedding_ingest,
+    )
+
+    def vec(*vals):
+        return [float(v) for v in vals]
+
+    corpus = spark.createDataFrame(
+        [(100 + i, vec(*(1.0 if j == i else 0.05 for j in range(6))))
+         for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_gates")
+    build_ivf_index(corpus, path, n_cells=3)
+
+    batch = spark.createDataFrame(
+        [
+            (1, vec(-1.0, 1.0, -1.0, 1.0, -1.0, 1.0)),  # novel
+            (2, vec(-1.0, 1.0, -1.0, 1.0, -1.0, 0.98)),  # ~copy of 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    d = {
+        r["vec_id"]: r["keep"]
+        for r in embedding_ingest(
+            spark, path, batch, threshold=0.9, append=True
+        ).collect()
+    }
+    assert d == {1: True, 2: False}
+
+    # replay: vec 1 is now indexed under its own id -> replay gate
+    replay = {
+        r["vec_id"]: r["keep"]
+        for r in embedding_ingest(spark, path, batch, threshold=0.9).collect()
+    }
+    assert replay[1] is False and replay[2] is False

@@ -32,7 +32,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_WHITELIST = {
     "embedding_near_dup": "non-equi broadcast of the quantized centroid relation (label-bounded)",
     "ivf_index_knn": "array_contains(probe_cells) broadcast of the Q<<N query relation",
-    "embedding_ingest": "same IVF probe join (batch-bounded broadcast)",
+    "embedding_ingest": "IVF probe join + batch x batch in-batch pair join (both ingest-batch-bounded broadcasts)",
     "range_join_quantity_buckets": "non-equi residual over broadcast bucket bounds (bucket-bounded)",
     "tfidf_top_terms": "single-row corpus-size aggregate crossJoin",
     "bm25_topk": "single-row corpus stats (N, avgdl) crossJoin",

@@ -712,10 +712,17 @@ def near_dup_verify(
     )
 
 
+def _as_doc_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Internal: present ``id_col`` as the ``doc_id`` the signature /
+    banding primitives are written against (no-op for the default)."""
+    return df if id_col == "doc_id" else df.withColumnRenamed(id_col, "doc_id")
+
+
 def build_lsh_index(
     df: DataFrame,
     path: str,
     text_col: str = "text",
+    id_col: str = "doc_id",
     num_hashes: int = 32,
     n: int = 3,
     bands: int = 8,
@@ -751,7 +758,9 @@ def build_lsh_index(
 
     from ..sinks import write_partitioned
 
-    sigs = minhash_signatures(df, text_col, num_hashes, n)
+    sigs = minhash_signatures(
+        _as_doc_id(df, id_col), text_col, num_hashes, n
+    )
     write_partitioned(
         band_keys(sigs, bands, rows_per_band), path, ["band"],
         mode="overwrite",
@@ -777,7 +786,8 @@ def _lsh_params(spark, path: str) -> dict:
 
 
 def append_to_lsh_index(
-    new_df: DataFrame, path: str, text_col: str = "text"
+    new_df: DataFrame, path: str, text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> None:
     """Incrementally extend a :func:`build_lsh_index` layout: band the
     new documents with the PERSISTED parameters and append their
@@ -786,7 +796,9 @@ def append_to_lsh_index(
     from ..sinks import write_partitioned
 
     p = _lsh_params(new_df.sparkSession, path)
-    sigs = minhash_signatures(new_df, text_col, p["num_hashes"], p["n"])
+    sigs = minhash_signatures(
+        _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
+    )
     write_partitioned(
         band_keys(sigs, p["bands"], p["rows_per_band"]), path, ["band"],
         mode="append",
@@ -798,6 +810,7 @@ def lsh_index_probe(
     path: str,
     queries: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     max_bucket_size: int | None = 200,
     probe_bands: int | None = None,
 ) -> DataFrame:
@@ -808,9 +821,12 @@ def lsh_index_probe(
     queries match each other via the index).
 
     Plan shape — the incremental-dedup economics (new batch << corpus):
-    the QUERY side's band keys broadcast; the index side is scanned
-    once and never shuffled — a broadcast hash join per the probe,
-    with ``probe_bands`` pruning whole band directories
+    the QUERY side's band keys are materialized once (lazy
+    localCheckpoint — the MinHash lineage is shingle-explode-heavy
+    and would otherwise re-evaluate per plan branch) and broadcast;
+    the index side is never shuffled — two pruned scans of the
+    postings (bucket-size aggregate + the probe join, both key-semi-
+    joined) with ``probe_bands`` pruning whole band directories
     (PartitionFilters) when approximate recall suffices. The
     ``max_bucket_size`` cap counts INDEXED postings per (band,
     band_hash) — the same degenerate-bucket guard as
@@ -822,10 +838,14 @@ def lsh_index_probe(
     """
     p = _lsh_params(spark, path)
     bands = p["bands"] if probe_bands is None else min(probe_bands, p["bands"])
-    qsig = minhash_signatures(queries, text_col, p["num_hashes"], p["n"])
+    qsig = minhash_signatures(
+        _as_doc_id(queries, id_col), text_col, p["num_hashes"], p["n"]
+    )
     qb = band_keys(qsig, p["bands"], p["rows_per_band"]).filter(
         F.col("band") < bands
-    ).select(F.col("doc_id").alias("query_id"), "band", "band_hash")
+    ).select(
+        F.col("doc_id").alias("query_id"), "band", "band_hash"
+    ).localCheckpoint(eager=False)
     postings = spark.read.parquet(path).filter(F.col("band") < bands)
     touched = postings.join(
         F.broadcast(qb.select("band", "band_hash").distinct()),
@@ -855,32 +875,75 @@ def dedup_ingest(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 200,
     append: bool = False,
+    within_batch: bool = True,
+    drop_existing_ids: bool = True,
 ) -> DataFrame:
     """Incremental near-dup ingest against a :func:`build_lsh_index`
-    layout: returns the new-batch documents with NO candidate match in
-    the indexed corpus — the survivors an incremental pipeline keeps.
-    With ``append=True`` the survivors' postings are appended to the
-    index in the same call (probe-then-extend, the K8-style
-    incremental contract: the next batch dedups against them too).
+    layout: returns the new-batch documents that survive THREE
+    independent, order-free gates —
+
+    1. **corpus gate**: no candidate match in the indexed corpus
+       (the probe);
+    2. **in-batch gate** (``within_batch``): no capped band bucket
+       shared with a LOWER-id document of the same batch — without
+       this, two copies arriving in one micro-batch both probe clean
+       and (with append) both enter the corpus permanently;
+    3. **replay gate** (``drop_existing_ids``): the document's own id
+       is not already indexed — an at-least-once redelivery (standard
+       foreachBatch recovery) would otherwise slip past the probe's
+       self-exclusion, re-emit downstream, and append duplicate
+       postings. Checked against ONE band partition (an indexed doc
+       posts in every band, so ``band = 0`` is a complete id set —
+       a PartitionFilters-pruned scan).
+
+    Each gate is computed over the FULL batch independently (not
+    sequentially), so the result is deterministic under any
+    partitioning and statable relationally — the oracle's shape. The
+    in-batch gate may over-drop a chain (B dropped for matching A
+    even when A itself was dropped by the corpus gate): conservative
+    by design, like every candidate-level dedup gate; callers wanting
+    verified-distance semantics insert :func:`near_dup_verify`
+    between probe and anti-join. With ``append=True`` the survivors'
+    postings extend the index in the same call (probe-then-extend:
+    the next batch dedups against them too).
 
     This is the OPERATIONAL form of the index: per-ingest all-pairs
     LSH over (corpus + batch) would re-shuffle the whole history every
     15 minutes; here history is touched only through the probe's
-    broadcast join (index side never shuffles) and the append writes
-    only the batch's postings. The anti-join keys on the probe's
-    query ids — candidate-level semantics (any shared band bucket
-    disqualifies), the standard conservative ingest gate; callers
-    wanting verified-distance semantics insert
-    :func:`near_dup_verify` between probe and anti-join.
+    broadcast join and two pruned posting scans, and the append
+    writes only the batch's postings.
     """
     cand = lsh_index_probe(
-        spark, path, new_df, text_col, max_bucket_size=max_bucket_size
+        spark, path, new_df, text_col, id_col=id_col,
+        max_bucket_size=max_bucket_size,
     )
-    survivors = new_df.join(
-        cand.select(F.col("query_id").alias(id_col)).distinct(),
-        id_col,
-        "left_anti",
-    )
+    drop_ids = cand.select(F.col("query_id").alias(id_col))
+    if within_batch:
+        p = _lsh_params(spark, path)
+        qsig = minhash_signatures(
+            _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
+        )
+        in_batch = lsh_candidate_pairs(
+            qsig, p["bands"], p["rows_per_band"],
+            max_bucket_size=max_bucket_size,
+        )
+        drop_ids = drop_ids.unionByName(
+            in_batch.select(F.col("doc_b").alias(id_col))
+        )
+    if drop_existing_ids:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col("band") == 0)  # complete id set, one partition
+            .join(
+                F.broadcast(
+                    new_df.select(F.col(id_col).alias("doc_id")).distinct()
+                ),
+                "doc_id",
+            )
+            .select(F.col("doc_id").alias(id_col))
+        )
+        drop_ids = drop_ids.unionByName(existing)
+    survivors = new_df.join(drop_ids.distinct(), id_col, "left_anti")
     if append:
-        append_to_lsh_index(survivors, path, text_col)
+        append_to_lsh_index(survivors, path, text_col, id_col=id_col)
     return survivors

@@ -1297,6 +1297,8 @@ def embedding_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     append: bool = False,
+    within_batch: bool = True,
+    drop_existing_ids: bool = True,
 ) -> DataFrame:
     """Semantic ingest gate over a :func:`build_ivf_index` layout —
     the embedding twin of :func:`~.dedup_text.dedup_ingest`: each new
@@ -1316,6 +1318,20 @@ def embedding_ingest(
     persisted quantizer (never retrained), so later batches gate
     against them too. History is only touched via the probe's pruned
     scan + broadcast of the batch: no corpus shuffle per ingest.
+
+    Like :func:`~.dedup_text.dedup_ingest`, two more order-free gates
+    force ``keep = False`` (batch-wide, not sequential — the oracle's
+    relational shape):
+
+    - ``within_batch``: a LOWER-id batch vector within ``threshold``
+      exists (exact quantized cosine over the batch's own pairs —
+      batch x batch, bounded by the ingest batch contract); without
+      it two copies arriving together both probe clean and both
+      enter the corpus.
+    - ``drop_existing_ids``: the vector's id is already indexed (an
+      at-least-once redelivery would slip past the probe's self-id
+      exclusion and re-append). One column-pruned scan of the
+      layout's id column.
     """
     import numpy as np  # noqa: F401  (parity with sibling index fns)
 
@@ -1329,18 +1345,51 @@ def embedding_ingest(
         F.col("neighbor_id").alias("nearest_id"),
         F.col("cosine").alias("nearest_cosine"),
     )
-    decided = (
-        new_vecs.select(id_col)
-        .join(nearest, id_col, "left")
-        .select(
-            id_col,
-            "nearest_id",
-            "nearest_cosine",
-            # no neighbor at all (empty probe set) keeps trivially
-            F.coalesce(
-                F.col("nearest_cosine") < F.lit(threshold), F.lit(True)
-            ).alias("keep"),
+    # no neighbor at all (empty probe set) keeps trivially
+    index_ok = F.coalesce(
+        F.col("nearest_cosine") < F.lit(threshold), F.lit(True)
+    )
+    drop_ids = None
+    if within_batch:
+        a = new_vecs.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v")
         )
+        b = new_vecs.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v")
+        )
+        drop_ids = (
+            a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+            .filter(
+                quantized_cosine(F.col("a_v"), F.col("b_v"))
+                >= F.lit(threshold)
+            )
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
+    if drop_existing_ids:
+        existing = (
+            spark.read.parquet(path)
+            .select(F.col(id_col))  # column-pruned id scan
+            .join(
+                F.broadcast(new_vecs.select(id_col).distinct()), id_col
+            )
+        )
+        drop_ids = (
+            existing if drop_ids is None
+            else drop_ids.unionByName(existing).distinct()
+        )
+    base = new_vecs.select(id_col).join(nearest, id_col, "left")
+    if drop_ids is not None:
+        base = base.join(
+            F.broadcast(drop_ids.withColumn("__drop", F.lit(True))),
+            id_col,
+            "left",
+        )
+        keep = index_ok & F.col("__drop").isNull()
+    else:
+        keep = index_ok
+    decided = base.select(
+        id_col, "nearest_id", "nearest_cosine", keep.alias("keep")
     )
     if append:
         survivors = new_vecs.join(

@@ -29,6 +29,7 @@ from .event_analytics import (
     anomaly_scores,
     funnel_stages,
     gapfill_forward,
+    interval_overlap_pairs,
     motif_discovery,
     retention_cohorts,
     ts_pattern_search,
@@ -42,6 +43,7 @@ __all__ = [
     "dq_check",
     "funnel_stages",
     "gapfill_forward",
+    "interval_overlap_pairs",
     "motif_discovery",
     "retention_cohorts",
     "salted_join",

@@ -462,7 +462,7 @@ def interval_overlap_pairs(
     slot = lambda c: F.floor(c / F.lit(bucket_secs)).cast("long")  # noqa: E731
     cov = iv.select(
         F.col(id_col).alias("c_id"),
-        F.col(day_col).alias("c_day"),
+        F.col(day_col).alias("day"),
         F.col(lo_col).alias("c_lo"),
         F.col(hi_col).alias("c_hi"),
         F.explode(
@@ -471,6 +471,7 @@ def interval_overlap_pairs(
     )
     st = iv.select(
         F.col(id_col).alias("s_id"),
+        F.col(day_col).alias("day"),
         F.col(lo_col).alias("s_lo"),
         F.col(hi_col).alias("s_hi"),
         slot(F.col(lo_col)).alias("slot"),
@@ -479,13 +480,16 @@ def interval_overlap_pairs(
         (F.col("c_lo") == F.col("s_lo")) & (F.col("c_id") < F.col("s_id"))
     )
     return (
+        # day rides the join key explicitly: callers whose lo/hi are
+        # within-day OFFSETS (not absolute seconds) would otherwise
+        # pair rows from different days that share a slot number
         cov.join(
             st,
-            ["slot"],
+            ["slot", "day"],
         )
         .filter(later_starter & (F.col("s_lo") <= F.col("c_hi")))
         .select(
-            F.col("c_day").alias(day_col),
+            F.col("day").alias(day_col),
             F.least("c_id", "s_id").alias("user_a"),
             F.greatest("c_id", "s_id").alias("user_b"),
             (

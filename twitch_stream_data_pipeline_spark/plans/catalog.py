@@ -1193,11 +1193,21 @@ def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched AS (
       SELECT DISTINCT q.doc_id
       FROM q JOIN idxf ON q.band = idxf.band AND q.band_hash = idxf.band_hash
+    ),
+    -- in-batch gate: capped band buckets WITHIN the batch, lower-id rule
+    qok AS (SELECT band, band_hash FROM q
+            GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+    qf AS (SELECT q.* FROM q JOIN qok USING (band, band_hash)),
+    batch_dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM qf a JOIN qf b ON a.band = b.band AND a.band_hash = b.band_hash
+                         AND a.doc_id < b.doc_id
     )
     SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
     FROM documents d
     WHERE d.doc_id < 50
       AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+      AND d.doc_id NOT IN (SELECT doc_id FROM batch_dup)
     """,
     ("dedup", "ext", "lsh", "index", "pipeline"),
     "Incremental near-dup INGEST — the operational form of the LSH "
@@ -1222,8 +1232,20 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") >= 50)
     batch = docs.filter(F.col("doc_id") < 50)
-    if corpus.head(1) == []:  # empty-corpus contract: all survive
-        return batch.select("doc_id", "lang", "n_chars")
+    if corpus.head(1) == []:
+        # empty-corpus contract: no index to probe, but the IN-BATCH
+        # gate still applies (default params == the build defaults)
+        from ..extensions.dedup_text import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        dups = lsh_candidate_pairs(minhash_signatures(batch)).select(
+            F.col("doc_b").alias("doc_id")
+        )
+        return batch.join(dups.distinct(), "doc_id", "left_anti").select(
+            "doc_id", "lang", "n_chars"
+        )
     path = tempfile.mkdtemp(prefix="lsh_ingest_")
     build_lsh_index(corpus, path)
     return dedup_ingest(spark, path, batch).select(
@@ -1551,10 +1573,25 @@ def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cosine DESC, nearest_id) AS rn
       FROM scored
+    ),
+    -- in-batch gate: a LOWER-id batch vector within the threshold
+    batch_dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM q a JOIN q b ON a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.qv', b='b.qv')}
+              / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')})
+            >= 0.38
     )
     SELECT vec_id, nearest_id, cosine AS nearest_cosine,
-           cosine < 0.38 AS keep
+           cosine < 0.38
+             AND vec_id NOT IN (SELECT vec_id FROM batch_dup) AS keep
     FROM best WHERE rn = 1
+    UNION ALL
+    -- empty-corpus contract: nothing to probe; only the in-batch
+    -- gate decides (mirrors the Spark guard)
+    SELECT vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           vec_id NOT IN (SELECT vec_id FROM batch_dup)
+    FROM q WHERE (SELECT COUNT(*) FROM c) = 0
     """,
     ("similarity", "ext", "ivf", "index", "pipeline"),
     "Semantic ingest gate — the embedding twin of dedup_ingest: the "
@@ -1577,12 +1614,27 @@ def q_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     batch = emb.filter(F.col("vec_id") < 10)
-    if corpus.head(1) == []:  # empty-corpus contract: all keep
-        return batch.select(
+    if corpus.head(1) == []:
+        # empty-corpus contract: nothing to probe; the IN-BATCH gate
+        # (lower-id vector within threshold) still decides keep
+        from ..extensions.similarity import quantized_cosine
+
+        a = batch.select(F.col("vec_id").alias("a_id"),
+                         F.col("embedding").alias("a_v"))
+        b = batch.select(F.col("vec_id").alias("b_id"),
+                         F.col("embedding").alias("b_v"))
+        dup = (
+            a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+            .filter(quantized_cosine(F.col("a_v"), F.col("b_v")) >= 0.38)
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        return batch.join(F.broadcast(dup), "vec_id", "left").select(
             "vec_id",
             F.lit(None).cast("long").alias("nearest_id"),
             F.lit(None).cast("double").alias("nearest_cosine"),
-            F.lit(True).alias("keep"),
+            F.col("__dup").isNull().alias("keep"),
         )
     path = tempfile.mkdtemp(prefix="ivf_ingest_")
     build_ivf_index(corpus, path, n_cells=16)
@@ -4101,7 +4153,8 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN contaminated c ON t.doc_id = c.doc_id
       WHERE c.doc_id IS NULL
     ),
-    cnt AS (SELECT lang, COUNT(*) AS c FROM clean GROUP BY 1),
+    cnt AS (SELECT lang, COUNT(*) AS c FROM clean
+            WHERE lang IS NOT NULL GROUP BY 1),
     mn AS (SELECT MIN(c) AS c_min FROM cnt),
     rt AS (
       SELECT lang,
@@ -5406,8 +5459,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # all 38 oracle-bearing queries registered mid-round-5 after the
     # graded window froze — rotates into the 50-slot window, plus the two
     # new materialized-index entries (ivf_index_knn per VERDICT r5 #3,
-    # and its near-dup twin lsh_index_probe): 40 first-time slots.
-    # Rotated OUT to section 3: 40 long-stable greens,
+    # its near-dup twin lsh_index_probe, and the two incremental
+    # ingest gates dedup_ingest / embedding_ingest): 42 first-time
+    # slots. Rotated OUT to section 3: 42 long-stable greens,
     # every one carrying >= 3 rounds of green driver evidence
     # (r03+r04+r05 at minimum; several r01-r05). After this round's run
     # NO oracle-bearing query in the catalog lacks driver CORRECTNESS
