@@ -781,3 +781,58 @@ def test_interval_overlap_pairs_keys_on_day_not_just_slot(spark):
     ]
     out = interval_overlap_pairs(spark.createDataFrame(rows)).collect()
     assert [(r["day"], r["user_a"], r["user_b"]) for r in out] == [(1, 2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_reference_and_determinism(spark):
+    """Ranks match a pure-Python float power iteration within 1e-9 on
+    a mixed graph, a ring is exactly uniform, ranks sum to ~1, and the
+    decimal arithmetic is partition-count-independent (byte-identical
+    at 2 vs 8 shuffle partitions)."""
+    from twitch_stream_data_pipeline_spark.extensions.graph import pagerank
+
+    # mixed graph: hub 0 + ring 1-2-3-4-1 + pendant 5 on 1
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+
+    def py_pagerank(edges, iters=15, d=0.85):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        n = len(adj)
+        r = {v: 1 / n for v in adj}
+        for _ in range(iters):
+            nxt = {}
+            for v in adj:
+                s = sum(r[u] / len(adj[u]) for u in adj[v])
+                nxt[v] = (1 - d) / n + d * s
+            r = nxt
+        return r
+
+    want = py_pagerank(edges)
+    df = spark.createDataFrame(edges, "ea long, eb long")
+    got = {r["vertex"]: float(r["rank"]) for r in pagerank(df).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # hub 0 outranks the pendant leaf 5
+    assert got[0] > got[5]
+
+    # ring alone: exact uniformity (all ranks byte-identical decimals)
+    ring = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "ea long, eb long"
+    )
+    ranks = {r["vertex"]: r["rank"] for r in pagerank(ring, iters=5).collect()}
+    assert len(set(ranks.values())) == 1
+
+    # partition independence: the decimal contract, byte for byte
+    a = sorted(map(tuple, pagerank(df.repartition(2), iters=6).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(8), iters=6).collect()))
+    assert a == b

@@ -4246,6 +4246,48 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pagerank_copresence",
+    None,  # iterative fixed-point: 15 synchronous power iterations in
+    # int64 fixed-point (deterministic, partition-independent), but not
+    # a relational expression DuckDB can state without recursion over
+    # state; reference-equality vs a pure-Python power iteration,
+    # uniformity, and byte-identical partition independence pinned in
+    # tests/test_event_analytics.py::test_pagerank_reference_and_determinism
+    ("graph", "iterative", "ext"),
+    "PageRank over the co-presence graph (extensions.graph.pagerank): "
+    "which users sit at the center of the viewer-overlap network — "
+    "the influence generalization of the reference's popularity "
+    "feedback loop. Edges from the slot-bucketed "
+    "interval_overlap_pairs build; 15 synchronous power iterations in "
+    "int64 FIXED-POINT (scale 1e15): floor-division contributions, "
+    "exact integer sums, integer damping — byte-identical under any "
+    "partitioning where floating point would drift (and "
+    "DECIMAL(38,18) collapses to scale 6 under Spark's division "
+    "rules). Each round is one edge join + one sum aggregation with "
+    "lazy localCheckpoint — the connected_components economics. "
+    "Top-25 by (rank, vertex) for a stable, bounded result.",
+)
+def q_pagerank_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import pagerank
+    from ..operators.event_analytics import interval_overlap_pairs
+
+    ev = _events(spark, sf_dir)
+    iv = ev.groupBy(
+        "user_id",
+        F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day"),
+    ).agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
+    e = (
+        interval_overlap_pairs(iv)
+        .select(F.col("user_a").alias("ea"), F.col("user_b").alias("eb"))
+        .distinct()
+    )
+    return (
+        pagerank(e, iters=15)
+        .orderBy(F.desc("rank"), "vertex")
+        .limit(25)
+    )
+
 
 @_register(
     "ts_pattern_search",
@@ -5637,6 +5679,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "ivfpq_knn",
     "hll_mergeable_rollup",
     "multimodal_features",
+    "pagerank_copresence",
     "approx_distinct_users",
     "pca_project",
     "pack_groups",
