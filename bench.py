@@ -108,6 +108,11 @@ HEADLINE = BASELINE_HEADLINE + EXTENDED
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # captured BEFORE any Spark work: external host load at launch.
+    # (loadavg_before is read after warmup + the first timed pass, so
+    # it reflects the bench's OWN load — only loadavg_start can answer
+    # "was the host idle when this run began".)
+    load_start = os.getloadavg()
     spark = get_spark("bench")
 
     # warm the JVM, parquet reader, and codegen/JIT paths with a tiny
@@ -205,6 +210,7 @@ def main() -> None:
                     sum(steady_median[n] for n in EXTENDED), 4
                 ),
                 "steady_median_queries": steady_median,
+                "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,
