@@ -1,0 +1,104 @@
+"""Distributed BPE tokenizer training vs a pure-Python reference
+trainer (exact merge-sequence equality), plus the classic textbook
+example, determinism, and segmentation round-trip."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark.extensions.bpe import (
+    EOW,
+    bpe_segment,
+    bpe_train,
+)
+
+
+def py_bpe(corpus_words, n_merges, min_pair_freq=2):
+    """Independent reference trainer: same tie-break (freq DESC,
+    left ASC, right ASC), same greedy left-to-right merge."""
+    vocab = Counter(corpus_words)
+    seqs = {
+        w: [*w[:-1], w[-1] + EOW] for w in vocab
+    }
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, pf))
+        for w in seqs:
+            s, out = seqs[w], []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+        "the new new wide low style",
+    ]
+    words = " ".join(texts).split()
+    want = py_bpe(words, n_merges=12)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string").repartition(4)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_train(df, n_merges=12).orderBy("rank").collect()
+    ]
+    assert got == want
+    # the textbook outcome: frequent word 'newest' drives early merges
+    assert got, "fixture must produce merges"
+    first_syms = {got[0][1], got[0][2]}
+    assert first_syms <= set("abcdefghijklmnopqrstuvwxyz" + EOW + "estw")
+
+
+def test_bpe_train_partition_independent(spark):
+    texts = [("doc %d banana bandana ban banana" % i) for i in range(20)]
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m2 = bpe_train(a.repartition(2), n_merges=8).orderBy("rank").collect()
+    m8 = bpe_train(a.repartition(8), n_merges=8).orderBy("rank").collect()
+    assert [tuple(r) for r in m2] == [tuple(r) for r in m8]
+
+
+def test_bpe_segment_round_trip(spark):
+    """Segmenting with the learned merges reproduces each document's
+    text (concatenating tokens and stripping EOW), token order is
+    document order, and learned merges reduce token count vs
+    characters."""
+    df = spark.createDataFrame(
+        [(1, "lowest newest lowest"), (2, "new low")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(df, n_merges=10).orderBy("rank").collect()
+    ]
+    seg = {r["doc_id"]: r for r in bpe_segment(df, merges).collect()}
+    for doc_id, text in [(1, "lowest newest lowest"), (2, "new low")]:
+        toks = seg[doc_id]["tokens"]
+        rebuilt = "".join(toks).replace(EOW, " ").strip()
+        assert rebuilt == text
+        n_chars = sum(len(w) for w in text.split())
+        assert seg[doc_id]["n_bpe_tokens"] < n_chars  # merges fired

@@ -4290,6 +4290,32 @@ def q_pagerank_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_train_merges",
+    None,  # iterative, data-dependent merge loop — not relationally
+    # statable without recursion; the merge SEQUENCE is fully
+    # deterministic (integer counts, lexicographic tie-break) and is
+    # pinned exactly against an independent pure-Python BPE trainer in
+    # tests/test_bpe.py (plus partition-independence and the
+    # segmentation round-trip)
+    ("text", "tokenizer", "iterative", "ext", "llm"),
+    "Distributed BPE tokenizer training (Sennrich arXiv:1508.07909): "
+    "learn 20 merges from the documents corpus. The scale shape that "
+    "makes tokenizer training cluster-cheap: the corpus is scanned "
+    "ONCE (word-frequency aggregation — 100 TB of text collapses to "
+    "a vocabulary-sized table), and every merge round runs over that "
+    "distinct-word relation — one freq-weighted adjacent-pair count "
+    "(map-side combined) and a 1-row driver argmax; merge application "
+    "is a greedy left-to-right fold as a pure column expression, "
+    "lineage truncated per round. Ties break lexicographically, so "
+    "the merge table is byte-identical on any cluster.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=20).orderBy("rank")
+
+
+@_register(
     "ts_pattern_search",
     """
     WITH o AS (SELECT event_type AS g,
@@ -5680,6 +5706,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "hll_mergeable_rollup",
     "multimodal_features",
     "pagerank_copresence",
+    "bpe_train_merges",
     "approx_distinct_users",
     "pca_project",
     "pack_groups",
