@@ -102,3 +102,21 @@ def test_bpe_segment_round_trip(spark):
         assert rebuilt == text
         n_chars = sum(len(w) for w in text.split())
         assert seg[doc_id]["n_bpe_tokens"] < n_chars  # merges fired
+
+
+def test_bpe_segment_keeps_wordless_docs_and_threads_id_col(spark):
+    """Code-review r6b: documents with no words must surface with an
+    empty token array (not vanish), and the id column is
+    parameterized. Also pins the vocabulary-sized inference shape:
+    duplicate words across docs segment identically."""
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, "   "), (3, ""), (4, "low")],
+        "uid long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w</w>")]
+    out = {r["uid"]: r for r in bpe_segment(df, merges, id_col="uid").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["tokens"] == ["low</w>", "low</w>"]
+    assert out[2]["tokens"] == [] and out[2]["n_bpe_tokens"] == 0
+    assert out[3]["tokens"] == [] and out[3]["n_bpe_tokens"] == 0
+    assert out[4]["tokens"] == ["low</w>"]

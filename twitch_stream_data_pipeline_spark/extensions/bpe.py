@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text_analysis import tokenize
+
 #: end-of-word marker appended to each word's last character (the
 #: Sennrich convention: merges crossing word boundaries are impossible,
 #: and a token knows whether it ends a word)
@@ -34,12 +36,13 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One corpus pass: lowercase whitespace words -> ``(word, freq)``.
 
     The ONLY corpus-sized operation in BPE training; everything after
-    runs on this vocabulary-sized relation."""
+    runs on this vocabulary-sized relation. Word splitting is the
+    house :func:`~.text_analysis.tokenize` rule, shared with
+    token_count and the dedup shingles, so BPE can never tokenize
+    differently than the rest of the engine."""
     return (
         df.select(
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("word")
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -139,37 +142,53 @@ def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply a learned merge list to a corpus: per document, the BPE
-    token array (merges replayed in learned order — inference is a
-    fixed pipeline of fold expressions, fully JVM-side). Returns
-    ``doc_id, tokens array<string>, n_bpe_tokens``.
+    """Apply a learned merge list to a corpus: one row per input
+    document with the BPE token array (merges replayed in learned
+    order — inference is a fixed pipeline of fold expressions, fully
+    JVM-side). Returns ``id_col, tokens array<string>,
+    n_bpe_tokens``; documents with no words keep an empty array and
+    count 0 (never dropped).
 
-    Token order is document order: the gather keys on (word position,
-    symbol position) and sorts the collected structs, so the result is
-    byte-identical under any partitioning — a bare ``collect_list``
-    after a shuffle would not be."""
+    Scale shape, matching the module thesis: the merge folds run ONCE
+    PER DISTINCT WORD (vocabulary-sized), and the per-occurrence work
+    is only the join of the ``word -> tokens`` table back onto the
+    (doc, position, word) rows — a corpus with N occurrences over a
+    vocabulary V pays V fold pipelines, not N. Token order is
+    document order: the gather keys on (word position, symbol
+    position) and sorts the collected structs, so the result is
+    byte-identical under any partitioning."""
     words = df.select(
-        "doc_id",
+        F.col(id_col).alias("__id"),
         F.posexplode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            tokenize(F.lower(F.col(text_col)))
         ).alias("wpos", "word"),
     ).filter(F.col("word") != "")
-    out = words.select("doc_id", "wpos", _initial_symbols().alias("symbols"))
-    for left, right in merges:
-        out = out.select(
-            "doc_id", "wpos", _merge_fold(left, right).alias("symbols")
-        )
-    toks = out.select(
-        "doc_id", "wpos", F.posexplode("symbols").alias("spos", "tok")
+    seg = words.select("word").distinct().select(
+        "word", _initial_symbols().alias("symbols")
     )
-    gathered = toks.groupBy("doc_id").agg(
+    for left, right in merges:
+        seg = seg.select("word", _merge_fold(left, right).alias("symbols"))
+    toks = words.join(seg, "word").select(
+        "__id", "wpos", F.posexplode("symbols").alias("spos", "tok")
+    )
+    gathered = toks.groupBy("__id").agg(
         F.sort_array(
             F.collect_list(F.struct("wpos", "spos", "tok"))
         ).alias("g")
     )
-    return gathered.select(
-        "doc_id",
-        F.transform("g", lambda s: s["tok"]).alias("tokens"),
-        F.size("g").cast("long").alias("n_bpe_tokens"),
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(gathered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(
+                F.transform("g", lambda s: s["tok"]),
+                F.array().cast("array<string>"),
+            ).alias("tokens"),
+            F.coalesce(F.size("g").cast("long"), F.lit(0)).alias(
+                "n_bpe_tokens"
+            ),
+        )
     )

@@ -191,7 +191,14 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # checkpointed: every round's ranks plan embeds deg (join + the
+    # teleport left join), and plans do not share exchanges across the
+    # per-round checkpoint boundaries — without this the O(E) degree
+    # shuffle would re-run once per iteration. The count() below
+    # materializes it.
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )
     n = deg.count()
     if n == 0:
         return spark.createDataFrame([], "vertex long, rank double")
