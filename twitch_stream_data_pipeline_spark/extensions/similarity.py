@@ -1397,3 +1397,225 @@ def embedding_ingest(
         )
         append_to_ivf_index(survivors, path, vec_col)
     return decided
+
+
+def build_ivfpq_index(
+    candidates: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_size: int = 256,
+    iters: int = 5,
+) -> None:
+    """Materialize the IVF+PQ layout — the billion-scale FAISS
+    deployment shape as STORAGE: vectors live on disk as ``m``
+    one-byte PQ codes inside cell-partitioned parquet, with the
+    coarse quantizer (``{path}/_quantizer``) and the PQ codebooks
+    (``{path}/_codebooks``) persisted beside them. A probe reads
+    ``n_probe`` cell directories (PartitionFilters pruning — the
+    candidate axis) and streams codes, not vectors (the memory axis:
+    64-dim floats become 8 bytes, so the scored working set shrinks
+    ~32x and scanning is bandwidth-bound). Both models train
+    driver-side on the same bounded sample contract as
+    :func:`build_ivf_index` / :func:`pq_knn`, and probes reload them
+    from disk — an append or probe can never quantize differently
+    than the layout (the persisted-model rule).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..sinks import write_partitioned
+
+    reserved = {"cell", "codes", "q_vec"} & set(candidates.columns)
+    if reserved:
+        raise ValueError(
+            f"build_ivfpq_index: reserved column(s) {sorted(reserved)}"
+        )
+    cent = _train_coarse_quantizer(
+        candidates, n_cells, train_size, iters, id_col, vec_col
+    )
+    if len(cent) == 0:
+        raise ValueError("build_ivfpq_index: candidates are empty")
+    books = _train_pq_codebooks(
+        candidates, m, n_codes, train_size, iters, id_col, vec_col
+    )
+    write_partitioned(
+        _assign_encode(candidates, cent, books, id_col, vec_col),
+        path, ["cell"], mode="overwrite",
+    )
+    spark = candidates.sparkSession
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"cell": range(len(cent)), "centroid": [r.tolist() for r in cent]}
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_quantizer")
+    n_books, n_cent, dsub = books.shape
+    rows = [
+        {"book": j, "code": c, "centroid": books[j, c].tolist()}
+        for j in range(n_books)
+        for c in range(n_cent)
+    ]
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_codebooks")
+
+
+def _assign_encode(candidates, cent, books, id_col, vec_col):
+    """One Arrow pass: coarse-cell assignment + PQ encoding. Shared by
+    build and append so an incremental load can never use different
+    quantization math than the layout it extends."""
+    import numpy as np
+
+    n_books, n_cent, dsub = books.shape
+    cent_sq = (books**2).sum(axis=2)  # [m, n_codes]
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            cells = (C @ cent.T).argmax(axis=1).astype("int32")
+            S = C.reshape(len(C), n_books, dsub)
+            dots = np.einsum("bjd,jcd->bjc", S, books)
+            codes = (cent_sq[None, :, :] - 2.0 * dots).argmin(axis=2)
+            out = pdf.drop(columns=["q_vec"]).copy()
+            out["codes"] = [row.astype("int32").tolist() for row in codes]
+            out["cell"] = cells
+            yield out
+
+    return (
+        candidates.select(
+            F.col(id_col).alias("vec_id"),
+            quantized_embedding(F.col(vec_col)).alias("q_vec"),
+        ).mapInPandas(enc, "vec_id long, codes array<int>, cell int")
+    )
+
+
+def append_to_ivfpq_index(
+    new_candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend an IVF+PQ layout with the PERSISTED models (never
+    retrained — the cells and codes already on disk must stay
+    comparable)."""
+    import numpy as np
+
+    from ..sinks import write_partitioned
+
+    spark = new_candidates.sparkSession
+    cent, books = _load_ivfpq_models(spark, path)
+    write_partitioned(
+        _assign_encode(new_candidates, cent, books, id_col, vec_col),
+        path, ["cell"], mode="append",
+    )
+
+
+def _load_ivfpq_models(spark, path: str):
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+    cent = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    book_rows = spark.read.parquet(f"{path}/_codebooks").collect()
+    n_books = 1 + max(r["book"] for r in book_rows)
+    n_cent = 1 + max(r["code"] for r in book_rows)
+    dsub = len(book_rows[0]["centroid"])
+    books = np.zeros((n_books, n_cent, dsub))
+    for r in book_rows:
+        books[r["book"], r["code"]] = r["centroid"]
+    return cent, books
+
+
+def ivfpq_index_knn(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`build_ivfpq_index` layout: per-query ADC top-k
+    reading ONLY the probed cell partitions and ONLY code columns —
+    both FAISS axes straight off storage. The query side computes its
+    ``m x n_codes`` LUTs against the persisted codebooks; scoring is
+    one Arrow gather+sum over the code matrix per batch; candidates
+    never shuffle. At ``n_probe == n_cells`` with a covering codebook
+    the result equals brute-force cosine exactly (pinned in tests,
+    along with equality to the in-memory :func:`ivfpq_knn` under the
+    same parameters — same sample, same models, same scores).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent, books = _load_ivfpq_models(spark, path)
+    n_books, n_cent, dsub = books.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_embedding(F.col(vec_col)).alias("q_vec"),
+    ).collect()  # ANN contract: Q << N
+    if not q_rows or cent.size == 0 or n_cent == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cosine double, rank int"
+        )
+    q_ids = [int(r["query_id"]) for r in q_rows]
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    lut = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_ids), n_books, dsub), books
+    )
+    n_probe = min(n_probe, len(cent))
+    probe_order = np.argsort(-(q_mat @ cent.T), axis=1, kind="stable")
+    probed = {
+        qid: set(int(c) for c in probe_order[i, :n_probe])
+        for i, qid in enumerate(q_ids)
+    }
+    all_cells = sorted({c for cells in probed.values() for c in cells})
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            adc = lut[:, np.arange(n_books)[None, :], codes].sum(axis=2)
+            frames = []
+            for i, qid in enumerate(q_ids):
+                mask = np.isin(cells, list(probed[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask],
+                            "adc_cosine": adc[i, mask],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    cand = spark.read.parquet(path).filter(
+        F.col("cell").isin(all_cells)  # -> PartitionFilters
+    ).select("vec_id", "cell", "codes")
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )

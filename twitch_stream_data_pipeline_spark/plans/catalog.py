@@ -4290,6 +4290,41 @@ def q_pagerank_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivfpq_index_knn",
+    None,  # approximate by construction (PQ quantization), like
+    # pq_knn/ivfpq_knn; disk==memory equality, covering-codebook
+    # exactness vs cosine, PartitionFilters pruning, and
+    # append==rebuild pinned in tests/test_pq_knn.py
+    ("similarity", "ext", "ivf", "pq", "index"),
+    "The ON-DISK IVF+PQ layout probed end to end — the billion-scale "
+    "FAISS deployment shape as storage: build_ivfpq_index persists "
+    "vectors as m one-byte PQ codes inside cell-partitioned parquet "
+    "with both models (coarse quantizer + codebooks) beside them; "
+    "the probe reads n_probe cell DIRECTORIES (PartitionFilters — "
+    "the candidate axis) and streams CODES, not vectors (the memory "
+    "axis: the scored working set shrinks ~32x), scoring by LUT "
+    "gather in one Arrow pass. Completes the materialized-index "
+    "family: full-vector IVF (ivf_index_knn), LSH postings "
+    "(lsh_index_probe), compressed IVF+PQ (this).",
+)
+def q_ivfpq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..extensions.similarity import build_ivfpq_index, ivfpq_index_knn
+
+    emb = _emb(spark, sf_dir)
+    if emb.head(1) == []:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cosine double, rank int"
+        )
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    build_ivfpq_index(emb, path, n_cells=16, m=8, n_codes=16)
+    return ivfpq_index_knn(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
+    )
+
+
+@_register(
     "bpe_train_merges",
     None,  # iterative, data-dependent merge loop — not relationally
     # statable without recursion; the merge SEQUENCE is fully
@@ -5707,6 +5742,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "multimodal_features",
     "pagerank_copresence",
     "bpe_train_merges",
+    "ivfpq_index_knn",
     "approx_distinct_users",
     "pca_project",
     "pack_groups",
