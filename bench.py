@@ -84,11 +84,11 @@ EXTENDED = (
     # the end-to-end curation DAG (dedup -> quality -> decontaminate
     # -> temperature mix) — the composite headline
     "pretrain_pipeline",
-    # round 6: the two-phase-ntile RFM rewrite, the two materialized
-    # index layouts (build + exact probe per run), and the two
-    # incremental ingest gates over them. extended_total is NOT
-    # directly comparable with BENCH_r05 — subtract these five for an
-    # apples-to-apples read (see BENCHNOTES.md). The other two round-6
+    # round 6: the two-phase-ntile RFM rewrite, the three materialized
+    # index layouts (build + probe per run), and the two incremental
+    # ingest gates. extended_total is NOT directly comparable with
+    # BENCH_r05 — subtract these six for an apples-to-apples read
+    # (see BENCHNOTES.md). The other two round-6
     # re-planned queries are deliberately NOT timed here:
     # copresence_pairs emits 12.1M pairs at sf0.1 (collect()-bound —
     # the timing would measure Py4J transfer, not the operator; its
@@ -100,6 +100,7 @@ EXTENDED = (
     "lsh_index_probe",
     "dedup_ingest",
     "embedding_ingest",
+    "ivfpq_index_knn",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED
