@@ -237,7 +237,9 @@ def test_ivfpq_index_layout_and_equivalences(spark, tmp_path):
     -> same models -> same ADC scores); (b) at n_probe == n_cells with
     a covering codebook the result equals brute-force cosine exactly;
     (c) probing fewer cells prunes partitions (PartitionFilters); (d)
-    append with persisted models == one-shot rebuild."""
+    the append contract: the persisted models stay BYTE-IDENTICAL (an
+    append never retrains) and a full probe sees vectors from both
+    generations."""
     import os
 
     from pyspark.sql import functions as F
@@ -272,12 +274,12 @@ def test_ivfpq_index_layout_and_equivalences(spark, tmp_path):
             for r in rows
         )
 
-    disk = ivfpq_index_knn(spark, path, q, k=5, n_probe=4)
+    disk_rows = ivfpq_index_knn(spark, path, q, k=5, n_probe=4).collect()
     mem = ivfpq_knn(
         q, emb, k=5, n_cells=4, n_probe=4, m=8,
         n_codes=max(64, n_all), train_size=n_all,
     )
-    assert key(disk.collect()) == key(mem.collect())
+    assert key(disk_rows) == key(mem.collect())
 
     # covering codebook + all cells probed == exact cosine
     exact = {
@@ -286,7 +288,7 @@ def test_ivfpq_index_layout_and_equivalences(spark, tmp_path):
     }
     got = {
         (r["query_id"], r["neighbor_id"], r["rank"]): r["adc_cosine"]
-        for r in disk.collect()
+        for r in disk_rows
     }
     assert set(got) == set(exact)
     for kk, v in got.items():
@@ -301,17 +303,31 @@ def test_ivfpq_index_layout_and_equivalences(spark, tmp_path):
     assert "cell" in scan_line, scan_line
     assert pruned.count() > 0
 
-    # incremental append == one-shot rebuild (same persisted models)
+    # append contract: models byte-identical after append (an append
+    # NEVER retrains — retraining would silently desynchronize the
+    # pre-existing on-disk codes from every future probe's LUTs), and
+    # a full probe surfaces neighbors from BOTH generations
     half_a = emb.filter(F.col("vec_id") % 2 == 0)
     half_b = emb.filter(F.col("vec_id") % 2 == 1)
     inc = str(tmp_path / "ivfpq_inc")
     build_ivfpq_index(
         half_a, inc, n_cells=4, m=8, n_codes=64, train_size=n_all
     )
+
+    def model_snapshot():
+        cent = sorted(
+            map(tuple, spark.read.parquet(f"{inc}/_quantizer").collect())
+        )
+        books = sorted(
+            map(tuple, spark.read.parquet(f"{inc}/_codebooks").collect())
+        )
+        return cent, books
+
+    before = model_snapshot()
     append_to_ivfpq_index(half_b, inc)
-    got_inc = ivfpq_index_knn(spark, inc, q, k=5, n_probe=4).collect()
-    # models differ from `path` (trained on half_a), so compare against
-    # a fresh probe of the same layout semantics: counts + determinism
-    again = ivfpq_index_knn(spark, inc, q, k=5, n_probe=4).collect()
-    assert key(got_inc) == key(again) and got_inc
+    assert model_snapshot() == before
     assert spark.read.parquet(inc).count() == n_all
+    got_inc = ivfpq_index_knn(spark, inc, q, k=5, n_probe=4).collect()
+    probed_ids = {r["neighbor_id"] for r in got_inc}
+    assert any(i % 2 == 0 for i in probed_ids)  # original generation
+    assert any(i % 2 == 1 for i in probed_ids)  # appended generation

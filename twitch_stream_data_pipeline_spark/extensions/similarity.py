@@ -1424,16 +1424,10 @@ def build_ivfpq_index(
     from disk — an append or probe can never quantize differently
     than the layout (the persisted-model rule).
     """
-    import numpy as np
     import pandas as pd
 
     from ..sinks import write_partitioned
 
-    reserved = {"cell", "codes", "q_vec"} & set(candidates.columns)
-    if reserved:
-        raise ValueError(
-            f"build_ivfpq_index: reserved column(s) {sorted(reserved)}"
-        )
     cent = _train_coarse_quantizer(
         candidates, n_cells, train_size, iters, id_col, vec_col
     )
@@ -1504,8 +1498,6 @@ def append_to_ivfpq_index(
     """Extend an IVF+PQ layout with the PERSISTED models (never
     retrained — the cells and codes already on disk must stay
     comparable)."""
-    import numpy as np
-
     from ..sinks import write_partitioned
 
     spark = new_candidates.sparkSession
@@ -1562,7 +1554,7 @@ def ivfpq_index_knn(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
     ).collect()  # ANN contract: Q << N
-    if not q_rows or cent.size == 0 or n_cent == 0:
+    if not q_rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, adc_cosine double, rank int"
         )

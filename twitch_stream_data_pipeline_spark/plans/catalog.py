@@ -4293,8 +4293,9 @@ def q_pagerank_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivfpq_index_knn",
     None,  # approximate by construction (PQ quantization), like
     # pq_knn/ivfpq_knn; disk==memory equality, covering-codebook
-    # exactness vs cosine, PartitionFilters pruning, and
-    # append==rebuild pinned in tests/test_pq_knn.py
+    # exactness vs cosine, PartitionFilters pruning, and the append
+    # contract (models byte-identical, both generations probed)
+    # pinned in tests/test_pq_knn.py
     ("similarity", "ext", "ivf", "pq", "index"),
     "The ON-DISK IVF+PQ layout probed end to end — the billion-scale "
     "FAISS deployment shape as storage: build_ivfpq_index persists "
