@@ -1062,6 +1062,45 @@ def test_dedup_ingest_in_batch_and_replay_gates(spark, tmp_path):
     assert probe_only == [1, 3]
 
 
+def test_dedup_ingest_replay_gate_covers_sub_n_word_docs(spark, tmp_path):
+    """ADVICE r6: a document with fewer than n (=3) words produces no
+    MinHash shingles, hence no posting in any band — the old band-0
+    replay gate never saw it, so an at-least-once redelivery re-emitted
+    it downstream forever. The persisted {path}/_ids relation records
+    every survivor regardless of shingle count, closing the hole for
+    the streaming foreachBatch path."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(100, "established corpus document about streaming analytics")],
+        schema,
+    )
+    path = str(tmp_path / "short")
+    build_lsh_index(corpus, path)
+
+    batch = spark.createDataFrame(
+        [(7, "hi there"), (8, "fresh full-length document with plenty of words")],
+        schema,
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_ingest(spark, path, batch, append=True).collect()
+    )
+    assert kept == [7, 8]  # the short doc has no postings but survives
+
+    # redelivery of the SAME batch: the replay gate must drop BOTH —
+    # including the sub-n-word doc that never produced a posting
+    replay = dedup_ingest(spark, path, batch, append=True).collect()
+    assert replay == []
+    # _ids never accumulates duplicates either
+    ids = spark.read.parquet(f"{path}/_ids")
+    assert ids.count() == ids.distinct().count()
+
+
 def test_embedding_ingest_in_batch_and_replay_gates(spark, tmp_path):
     """Same two gates for the semantic twin: intra-batch near-identical
     vectors keep only the lower id; a replayed (already-indexed) id is

