@@ -38,17 +38,18 @@ def test_no_oracle_queries_registered_last():
 
 
 def test_every_oracle_query_graded_or_in_window():
-    """Round-6 closes the evidence debt: every oracle-bearing query is
-    either inside the current 50-slot graded window or carries at
-    least one green driver CORRECTNESS row from rounds 1-5. No query
-    is ever two rounds old without driver evidence (VERDICT r5 #4's
-    invariant, satisfied without a wave 2)."""
+    """Round-6 closed the evidence debt and round-7 must keep it
+    closed: every oracle-bearing query is either inside the current
+    50-slot graded window or carries at least one green driver
+    CORRECTNESS row from rounds 1-6 (r06 evidence pinned per VERDICT
+    r6 #1). No query is ever two rounds old without driver
+    evidence."""
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parents[1]
     graded = set()
-    for r in range(1, 6):
+    for r in range(1, 7):
         rows = json.load(open(repo / f"CORRECTNESS_r0{r}.json"))
         graded |= {
             n
@@ -59,6 +60,28 @@ def test_every_oracle_query_graded_or_in_window():
     oracle_bearing = {n for n, q in CATALOG.items() if q.oracle}
     uncovered = oracle_bearing - window - graded
     assert not uncovered, uncovered
+
+
+def test_r06_first_timers_hold_their_slots_for_a_second_grade():
+    """The round-7 window-stability rule (VERDICT r6 #1): the 42
+    queries first driver-graded in round 6 must keep their EXACT
+    round-6 window positions so the r07 run gives each a second
+    consecutive grade. Only the retained section (positions 44-49)
+    may rotate."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r06 = json.load(open(repo / "CORRECTNESS_r06.json"))
+    earlier = set()
+    for r in range(1, 6):
+        earlier |= set(json.load(open(repo / f"CORRECTNESS_r0{r}.json")))
+    first_timers = [n for n in r06 if n not in earlier]
+    assert len(first_timers) == 42, len(first_timers)
+    window = list(EXPOSURE_ORDER[:HARNESS_WINDOW])
+    r06_order = list(r06)
+    for name in first_timers:
+        assert window.index(name) == r06_order.index(name), name
 
 
 def test_queries_and_oracles_follow_exposure_order():
@@ -96,16 +119,14 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_documented_r6_rotation():
-    """VERDICT r5 #1: the round-6 window is the full rotation — all 38
-    never-driver-graded section-4b queries plus the four new
-    index/ingest queries (ivf_index_knn, lsh_index_probe, dedup_ingest,
-    embedding_ingest) rotate IN (42 first-time slots); the six round-5
-    swap-ins (one green round each) plus two heavyweight greens are
-    retained; the 42
-    rotated-OUT queries each carry >= 3 rounds of green driver
-    evidence and stay registered, oracle-bearing, right after the
-    window. This pins the exact graded order for the r06 run."""
+def test_window_is_documented_r7_rotation():
+    """VERDICT r6 #1: the round-7 window is the round-6 window held
+    STABLE — the 42 round-6 first-timers keep their exact slots for a
+    second consecutive grade — with exactly ONE permitted change: the
+    new exact-mode on-disk IVF+PQ query (ivfpq_index_exact, VERDICT
+    r6 #2) takes the slot of bm25_topk, the retained query with four
+    green rounds; bm25_topk joins the rotated-out tail. This pins the
+    exact graded order for the r07 run."""
     expected = [
         # 1a flagship round-5 tiers
         "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
@@ -131,15 +152,16 @@ def test_window_is_documented_r6_rotation():
         # incremental ingest gates over both
         "ivf_index_knn", "lsh_index_probe", "dedup_ingest",
         "embedding_ingest",
-        # 2 retained
+        # 2 retained (+ the one r7 swap-in, ivfpq_index_exact)
         "winnow_near_dup", "bpe_token_stats", "variant_topk_props",
         "stratified_sample", "ivf_knn_exact", "multimodal_decode",
-        "bm25_topk", "trailing_hour_sum",
+        "ivfpq_index_exact", "trailing_hour_sum",
     ]
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
+        "bm25_topk",
         "curate_events", "corpus_curation", "dedup_clusters",
         "salted_distinct_users", "csv_roundtrip", "simhash_near_dup",
         "tfidf_top_terms", "frame_sample", "train_test_split",
@@ -155,7 +177,7 @@ def test_window_is_documented_r6_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 42
+    assert len(rotated_out) == 43
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 
