@@ -106,6 +106,99 @@ EXTENDED = (
 HEADLINE = BASELINE_HEADLINE + EXTENDED
 
 
+def _index_splits(sf_dir: str):
+    """Build-once / probe-many splits for the index-backed queries
+    (VERDICT r6 #2 'what's wrong'): the catalog entries rebuild their
+    scratch layout per run by design (self-contained correctness
+    vehicles), which buries the number that matters at scale — probe
+    latency against a STANDING index. Parameters mirror
+    plans/catalog.py exactly; each entry is ``name -> (build, probe)``
+    where build(spark) returns a context and probe(spark, ctx) the
+    probe-only DataFrame, so the full-query timings above stay
+    round-comparable while ``probe_*`` fields isolate the steady
+    operational path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+        lsh_index_probe,
+    )
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        embedding_ingest,
+        ivf_index_knn,
+        ivfpq_index_knn,
+    )
+    from twitch_stream_data_pipeline_spark.plans.catalog import _docs, _emb
+
+    def b_ivf(spark):
+        path = tempfile.mkdtemp(prefix="bench_ivf_")
+        build_ivf_index(_emb(spark, sf_dir), path, n_cells=16)
+        return path
+
+    def p_ivf(spark, path):
+        emb = _emb(spark, sf_dir)
+        return ivf_index_knn(
+            spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=16
+        )
+
+    def b_lsh(spark):
+        path = tempfile.mkdtemp(prefix="bench_lsh_")
+        build_lsh_index(_docs(spark, sf_dir), path)
+        return path
+
+    def p_lsh(spark, path):
+        docs = _docs(spark, sf_dir)
+        return lsh_index_probe(spark, path, docs.filter(F.col("doc_id") < 50))
+
+    def b_dedup(spark):
+        path = tempfile.mkdtemp(prefix="bench_lshing_")
+        build_lsh_index(
+            _docs(spark, sf_dir).filter(F.col("doc_id") >= 50), path
+        )
+        return path
+
+    def p_dedup(spark, path):
+        batch = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+        return dedup_ingest(spark, path, batch)
+
+    def b_emb_ing(spark):
+        path = tempfile.mkdtemp(prefix="bench_ivfing_")
+        build_ivf_index(
+            _emb(spark, sf_dir).filter(F.col("vec_id") >= 10), path, n_cells=16
+        )
+        return path
+
+    def p_emb_ing(spark, path):
+        batch = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
+        return embedding_ingest(spark, path, batch, threshold=0.38)
+
+    def b_ivfpq(spark):
+        path = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        build_ivfpq_index(
+            _emb(spark, sf_dir), path, n_cells=16, m=8, n_codes=16
+        )
+        return path
+
+    def p_ivfpq(spark, path):
+        emb = _emb(spark, sf_dir)
+        return ivfpq_index_knn(
+            spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
+        )
+
+    return {
+        "ivf_index_knn": (b_ivf, p_ivf),
+        "lsh_index_probe": (b_lsh, p_lsh),
+        "dedup_ingest": (b_dedup, p_dedup),
+        "embedding_ingest": (b_emb_ing, p_emb_ing),
+        "ivfpq_index_knn": (b_ivfpq, p_ivfpq),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -189,6 +282,39 @@ def main() -> None:
     }
     load_after = os.getloadavg()
 
+    # Build-vs-probe split for the index-backed queries: build each
+    # standing layout ONCE (timed separately), then time the probe
+    # alone — one warm pass outside the window, then four timed reps
+    # (first + 3 steady, same estimators as above).
+    build_sec: dict[str, float] = {}
+    probe_first: dict[str, float] = {}
+    probe_reps: dict[str, list[float]] = {}
+    for name, (build, probe) in _index_splits(sf_dir).items():
+        t0 = time.perf_counter()
+        ctx = build(spark)
+        build_sec[name] = round(time.perf_counter() - t0, 4)
+        probe(spark, ctx).collect()  # warm the probe plan's codegen
+        spark._jvm.System.gc()
+        reps = []
+        for _rep in range(4):
+            t0 = time.perf_counter()
+            probe(spark, ctx).collect()
+            reps.append(time.perf_counter() - t0)
+            spark._jvm.System.gc()
+        probe_first[name] = round(reps[0], 4)
+        probe_reps[name] = reps[1:]
+        print(
+            f"# probe {name}: build {build_sec[name]:.2f}s, "
+            f"probe {min(reps):.3f}s min / {sorted(reps[1:])[1]:.3f}s med",
+            file=sys.stderr,
+        )
+    steady_probe = {
+        n: round(min([probe_first[n]] + r), 4) for n, r in probe_reps.items()
+    }
+    steady_median_probe = {
+        n: round(sorted(r)[len(r) // 2], 4) for n, r in probe_reps.items()
+    }
+
     total = round(sum(timings[n] for n in BASELINE_HEADLINE), 4)
     extended_total = round(sum(timings[n] for n in EXTENDED), 4)
     print(
@@ -211,6 +337,10 @@ def main() -> None:
                     sum(steady_median[n] for n in EXTENDED), 4
                 ),
                 "steady_median_queries": steady_median,
+                "index_build_sec": build_sec,
+                "probe_queries": probe_first,
+                "steady_probe_queries": steady_probe,
+                "steady_median_probe_queries": steady_median_probe,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],

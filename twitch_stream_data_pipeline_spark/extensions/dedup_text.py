@@ -832,6 +832,7 @@ def lsh_index_probe(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 200,
     probe_bands: int | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Probe a :func:`build_lsh_index` layout with a batch of query
     documents: ``(query_id, match_id)`` distinct candidate pairs where
@@ -855,7 +856,7 @@ def lsh_index_probe(
     Signatures use the persisted parameters; callers cannot band
     queries differently than the layout.
     """
-    p = _lsh_params(spark, path)
+    p = params if params is not None else _lsh_params(spark, path)
     bands = p["bands"] if probe_bands is None else min(probe_bands, p["bands"])
     qsig = minhash_signatures(
         _as_doc_id(queries, id_col), text_col, p["num_hashes"], p["n"]
@@ -935,13 +936,13 @@ def dedup_ingest(
     broadcast join and two pruned posting scans, and the append
     writes only the batch's postings.
     """
+    p = _lsh_params(spark, path)  # one params read per ingest call
     cand = lsh_index_probe(
         spark, path, new_df, text_col, id_col=id_col,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, params=p,
     )
     drop_ids = cand.select(F.col("query_id").alias(id_col))
     if within_batch:
-        p = _lsh_params(spark, path)
         qsig = minhash_signatures(
             _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
         )
