@@ -700,10 +700,17 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark-4 transformWithStateInPandas: typed ValueState carries
     per-category totals across micro-batches in the RocksDB state
     store (mandatory for this API) — the modern arbitrary-stateful
-    surface next to the applyInPandasWithState exemplar. The driver
-    worker needs google.protobuf, which this container does not ship
-    (no installs allowed), so the live run is gated; the processor
-    logic itself is covered unconditionally below."""
+    surface next to the applyInPandasWithState exemplar. The worker
+    needs google.protobuf: compat.ensure_protobuf() (run by conftest
+    before the session starts) wires the system's vendored protobuf
+    runtime onto sys.path/PYTHONPATH when no distribution is
+    installed, so this runs LIVE here; the skip remains only for
+    hosts with no protobuf anywhere (requirements.txt records the
+    dependency for installable environments)."""
+    from twitch_stream_data_pipeline_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available on this host")
     pytest.importorskip(
         "google.protobuf.descriptor",
         reason="transformWithState driver worker requires protobuf",
