@@ -209,10 +209,28 @@ def test_bpe_segment_arrow_replay_equals_jvm_folds(spark):
     }
     assert jvm == arrow
     # the full 300-merge list runs through the Arrow engine (the JVM
-    # fold engine would nest 300 lambdas deep here) and round-trips
+    # fold engine would nest 300 lambdas deep here), round-trips, and
+    # equals a NAIVE full sequential replay (one greedy pass per merge
+    # in rank order) — pinning the occurrence-indexed heap replay's
+    # exact equivalence to the reference semantics at a merge-list
+    # size the fold engine cannot reach
+    def naive_word(word, merge_list):
+        s = [*word[:-1], word[-1] + EOW]
+        for l, r in merge_list:
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            s = out
+        return s
+
     big = {
         r["doc_id"]: r["tokens"] for r in bpe_segment(df, merges).collect()
     }
     for i, text in enumerate(texts):
         rebuilt = "".join(big[i]).replace(EOW, " ").strip()
         assert rebuilt == text
+        want = [t for w in text.lower().split() for t in naive_word(w, merges)]
+        assert big[i] == want, (i, big[i][:8], want[:8])
