@@ -833,6 +833,7 @@ def lsh_index_probe(
     max_bucket_size: int | None = 200,
     probe_bands: int | None = None,
     params: dict | None = None,
+    query_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a :func:`build_lsh_index` layout with a batch of query
     documents: ``(query_id, match_id)`` distinct candidate pairs where
@@ -858,8 +859,16 @@ def lsh_index_probe(
     """
     p = params if params is not None else _lsh_params(spark, path)
     bands = p["bands"] if probe_bands is None else min(probe_bands, p["bands"])
-    qsig = minhash_signatures(
-        _as_doc_id(queries, id_col), text_col, p["num_hashes"], p["n"]
+    # query_sigs lets a caller that ALSO needs the batch signatures
+    # (dedup_ingest's in-batch gate) compute the shingle-explode
+    # lineage once; when provided they MUST have been computed with
+    # the persisted parameters (dedup_ingest does).
+    qsig = (
+        query_sigs
+        if query_sigs is not None
+        else minhash_signatures(
+            _as_doc_id(queries, id_col), text_col, p["num_hashes"], p["n"]
+        )
     )
     qb = band_keys(qsig, p["bands"], p["rows_per_band"]).filter(
         F.col("band") < bands
@@ -937,15 +946,16 @@ def dedup_ingest(
     writes only the batch's postings.
     """
     p = _lsh_params(spark, path)  # one params read per ingest call
+    qsig = minhash_signatures(
+        _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
+    ).localCheckpoint(eager=False)  # shingle-explode lineage computed
+    # once, shared by the corpus probe and the in-batch gate
     cand = lsh_index_probe(
         spark, path, new_df, text_col, id_col=id_col,
-        max_bucket_size=max_bucket_size, params=p,
+        max_bucket_size=max_bucket_size, params=p, query_sigs=qsig,
     )
     drop_ids = cand.select(F.col("query_id").alias(id_col))
     if within_batch:
-        qsig = minhash_signatures(
-            _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
-        )
         in_batch = lsh_candidate_pairs(
             qsig, p["bands"], p["rows_per_band"],
             max_bucket_size=max_bucket_size,

@@ -543,6 +543,7 @@ def ivf_index_knn(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer=None,
 ) -> DataFrame:
     """Probe a :func:`build_ivf_index` layout: top-k per query reading
     ONLY the probed cell partitions.
@@ -557,11 +558,16 @@ def ivf_index_knn(
     """
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
-    cent = np.array(
-        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
-        dtype=np.float64,
-    )
+    if quantizer is not None:
+        # caller already loaded the persisted model (embedding_ingest
+        # needs n_cells anyway) — one model read per ingest, not two
+        cent = quantizer
+    else:
+        cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+        cent = np.array(
+            [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+            dtype=np.float64,
+        )
     q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         quantized_embedding(F.col(vec_col)).alias("q_vec"),
@@ -1345,13 +1351,18 @@ def embedding_ingest(
       exclusion and re-append). One column-pruned scan of the
       layout's id column.
     """
-    import numpy as np  # noqa: F401  (parity with sibling index fns)
+    import numpy as np
 
-    n_cells = spark.read.parquet(f"{path}/_quantizer").count()
+    cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+    cent = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )  # one model read, shared with the probe below
+    n_cells = len(cent)
     k_probe = n_cells if n_probe is None else min(n_probe, n_cells)
     nearest = ivf_index_knn(
         spark, path, new_vecs, k=1, n_probe=k_probe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, quantizer=cent,
     ).select(
         F.col("query_id").alias(id_col),
         F.col("neighbor_id").alias("nearest_id"),
