@@ -520,3 +520,147 @@ def test_gapfill_matches_brute_force(spark, rows):
             else:
                 want[(g, sl)] = (lastv, 0)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the two new in-memory BPE engines, property-pinned against
+# their naive reference semantics (pure Python — no Spark needed, so
+# hypothesis can afford many examples)
+# ---------------------------------------------------------------------------
+
+_bpe_chars = st.sampled_from("abc")
+_bpe_word = st.text(alphabet="abc", min_size=1, max_size=7)
+
+
+def _naive_trainer(word_freqs, n_merges, min_pair_freq):
+    """Reference: full pair recount + linear argmax every round."""
+    from collections import Counter
+
+    from twitch_stream_data_pipeline_spark.extensions.bpe import EOW
+
+    seqs = {i: [*w[:-1], w[-1] + EOW] for i, (w, _) in enumerate(word_freqs)}
+    freqs = {i: f for i, (_, f) in enumerate(word_freqs)}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for i, s in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += freqs[i]
+        if not pairs:
+            break
+        (l, r), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, int(pf)))
+        for i, s in seqs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            seqs[i] = out
+    return merges
+
+
+@given(
+    st.lists(
+        st.tuples(_bpe_word, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=60, deadline=None)
+def test_driver_merge_trainer_equals_naive_recount(word_freqs, min_freq):
+    """The incremental-pair-count + lazy-heap trainer must produce the
+    exact merge sequence of a full recount per round — including the
+    decrement-push subtlety (a pair whose count only DECREASED must
+    stay visible to the argmax at its new count)."""
+    from twitch_stream_data_pipeline_spark.extensions.bpe import (
+        _driver_merge_trainer,
+    )
+
+    # collapse duplicate words (the real input is a distinct-word table)
+    merged = {}
+    for w, f in word_freqs:
+        merged[w] = merged.get(w, 0) + f
+    wf = sorted(merged.items())
+    want = _naive_trainer(wf, 30, min_freq)
+    got = _driver_merge_trainer(wf, 30, min_freq)
+    assert got == want
+
+
+@given(
+    _bpe_word,
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            st.text(alphabet="abc", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_replay_symbols_equals_naive_sequential_replay(word, merge_list):
+    """The occurrence-indexed heap replay must equal one greedy pass
+    per merge in rank order for ARBITRARY merge tables — including
+    pathological ones where a late merge's product string-collides
+    with an earlier pair's token (the cursor guard discards those,
+    exactly as sequential replay never revisits a passed rank)."""
+    from twitch_stream_data_pipeline_spark.extensions.bpe import (
+        EOW,
+        _replay_symbols,
+    )
+
+    syms = [*word[:-1], word[-1] + EOW]
+    naive = list(syms)
+    for l, r in merge_list:
+        out = []
+        for x in naive:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        naive = out
+    rank_of = {pair: i for i, pair in enumerate(merge_list)}
+    got = _replay_symbols(syms, merge_list, rank_of)
+    assert got == naive
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-5, max_value=5, allow_nan=False, width=32
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_unit_rows_zero_safe(rows):
+    """_unit_rows: non-zero rows become unit vectors, all-zero rows
+    stay all-zero (never NaN) — the ADVICE r6 normalization contract."""
+    import numpy as np
+
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        _unit_rows,
+    )
+
+    X = np.array(rows, dtype=np.float64)
+    U = _unit_rows(X)
+    assert not np.isnan(U).any()
+    for i in range(len(X)):
+        n = np.linalg.norm(X[i])
+        if n == 0:
+            assert (U[i] == 0).all()
+        else:
+            assert abs(np.linalg.norm(U[i]) - 1.0) < 1e-12

@@ -229,6 +229,56 @@ def bpe_train(
     )
 
 
+def _replay_symbols(syms, merge_list, rank_of) -> list[str]:
+    """Occurrence-indexed sequential merge replay over one symbol
+    sequence: instead of one greedy pass per merge (O(|merges| x
+    |word|) — a 32k-merge vocabulary scans every word 32k times), seed
+    a min-heap with the ranks of the pairs PRESENT in the word and pop
+    in rank order; each greedy pass pushes the ranks of any
+    newly-created pairs. A popped rank <= the replay cursor is
+    discarded — its round has already passed — which makes this
+    EXACTLY equivalent to replaying the full merge list in order for
+    ANY merge table (a pair occurrence created after its own rank's
+    round never merges, same as the fold engine), at
+    O(applied merges x |word|) cost, independent of table size.
+    Equivalence is pinned against the naive full replay in tests
+    (fixed fixtures + hypothesis-random tables)."""
+    import heapq
+
+    s = list(syms)
+    heap = sorted(
+        {
+            k
+            for k in (rank_of.get(p) for p in zip(s, s[1:]))
+            if k is not None
+        }
+    )
+    cursor = -1
+    while heap:
+        k = heapq.heappop(heap)
+        if k <= cursor:
+            continue
+        cursor = k
+        l, r = merge_list[k]
+        out: list[str] = []
+        for x in s:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+                # left adjacency created by this merge
+                if len(out) >= 2:
+                    nk = rank_of.get((out[-2], out[-1]))
+                    if nk is not None and nk > cursor:
+                        heapq.heappush(heap, nk)
+            else:
+                if out:
+                    nk = rank_of.get((out[-1], x))
+                    if nk is not None and nk > cursor:
+                        heapq.heappush(heap, nk)
+                out.append(x)
+        s = out
+    return s
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -279,59 +329,12 @@ def bpe_segment(
         rank_of = {pair: i for i, pair in enumerate(merge_list)}
 
         def replay(batches):
-            import heapq
-
-            # Occurrence-indexed sequential replay: instead of one
-            # pass per merge (O(|merges| x |word|) — a 32k-merge
-            # vocabulary scans every word 32k times), seed a min-heap
-            # with the ranks of the pairs PRESENT in the word and pop
-            # in rank order; each greedy pass pushes the ranks of any
-            # newly-created pairs. A popped rank <= the replay cursor
-            # is discarded — its round has already passed — which
-            # makes this EXACTLY equivalent to replaying the full
-            # merge list in order (a pair occurrence created after
-            # its own rank's round never merges, same as the fold
-            # engine), while the cost is O(applied merges x |word|),
-            # independent of merge-table size.
-            def one_word(syms):
-                s = list(syms)
-                heap = sorted(
-                    {
-                        k
-                        for k in (
-                            rank_of.get(p) for p in zip(s, s[1:])
-                        )
-                        if k is not None
-                    }
-                )
-                cursor = -1
-                while heap:
-                    k = heapq.heappop(heap)
-                    if k <= cursor:
-                        continue
-                    cursor = k
-                    l, r = merge_list[k]
-                    out: list[str] = []
-                    for x in s:
-                        if out and out[-1] == l and x == r:
-                            out[-1] = l + r
-                            # adjacencies created by this merge
-                            if len(out) >= 2:
-                                nk = rank_of.get((out[-2], out[-1]))
-                                if nk is not None and nk > cursor:
-                                    heapq.heappush(heap, nk)
-                        else:
-                            if out:
-                                nk = rank_of.get((out[-1], x))
-                                if nk is not None and nk > cursor:
-                                    heapq.heappush(heap, nk)
-                            out.append(x)
-                    s = out
-                return s
-
             for pdf in batches:
                 pdf = pdf.copy()
-                pdf["symbols"] = [one_word(syms) for syms in pdf["symbols"]]
+                pdf["symbols"] = [
+                    _replay_symbols(syms, merge_list, rank_of)
+                    for syms in pdf["symbols"]
+                ]
                 yield pdf
 
         seg = seg.mapInPandas(replay, "word string, symbols array<string>")
