@@ -5643,6 +5643,17 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # green rounds covers every oracle-bearing query) enforces this
     # mechanically: a new oracle query registered past the window
     # fails CI until it is swapped in.
+    #
+    # ROUND-8 PLAN: after the r07 run, every r06 first-timer holds TWO
+    # consecutive greens and becomes rotation-eligible under the same
+    # rule as the section-3 tail (>= 2 green rounds + the every-session
+    # pytest oracle). ivfpq_index_exact will hold one green and must
+    # stay in-window for its second grade. Any new round-8
+    # oracle-bearing query takes the most-evidenced retained slot
+    # first (trailing_hour_sum will hold 4 greens, then
+    # winnow_near_dup / stratified_sample / ivf_knn_exact /
+    # multimodal_decode at 3+), never a slot from a query with fewer
+    # than two grades.
     # ======================================================================
     # -- 1a. flagship round-5 tiers, priority order per the r5 plan
     "pretrain_pipeline",
