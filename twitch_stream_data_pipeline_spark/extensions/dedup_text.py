@@ -799,7 +799,9 @@ def _write_lsh_ids(df: DataFrame, path: str, id_col: str, mode: str) -> None:
 
 
 def _lsh_params(spark, path: str) -> dict:
-    row = spark.read.parquet(f"{path}/_params").collect()[0]
+    from .model_io import read_small_parquet
+
+    row = read_small_parquet(spark, f"{path}/_params")[0]
     return {k: int(row[k]) for k in ("num_hashes", "n", "bands", "rows_per_band")}
 
 

@@ -563,7 +563,9 @@ def ivf_index_knn(
         # needs n_cells anyway) — one model read per ingest, not two
         cent = quantizer
     else:
-        cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+        from .model_io import read_small_parquet
+
+        cent_rows = read_small_parquet(spark, f"{path}/_quantizer")
         cent = np.array(
             [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
             dtype=np.float64,
@@ -1353,7 +1355,9 @@ def embedding_ingest(
     """
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+    from .model_io import read_small_parquet
+
+    cent_rows = read_small_parquet(spark, f"{path}/_quantizer")
     cent = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
         dtype=np.float64,
@@ -1534,12 +1538,14 @@ def append_to_ivfpq_index(
 def _load_ivfpq_models(spark, path: str):
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/_quantizer").collect()
+    from .model_io import read_small_parquet
+
+    cent_rows = read_small_parquet(spark, f"{path}/_quantizer")
     cent = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
         dtype=np.float64,
     )
-    book_rows = spark.read.parquet(f"{path}/_codebooks").collect()
+    book_rows = read_small_parquet(spark, f"{path}/_codebooks")
     n_books = 1 + max(r["book"] for r in book_rows)
     n_cent = 1 + max(r["code"] for r in book_rows)
     dsub = len(book_rows[0]["centroid"])
