@@ -1142,3 +1142,30 @@ def test_embedding_ingest_in_batch_and_replay_gates(spark, tmp_path):
         for r in embedding_ingest(spark, path, batch, threshold=0.9).collect()
     }
     assert replay[1] is False and replay[2] is False
+
+
+def test_model_io_local_and_spark_paths_agree(spark, tmp_path):
+    """read_small_parquet: the pyarrow fast path (local dir) and the
+    Spark fallback (file: URI is parsed; an explicit scheme the local
+    parser rejects routes through Spark) return the same rows."""
+    from twitch_stream_data_pipeline_spark.extensions.model_io import (
+        _local_dir,
+        read_small_parquet,
+    )
+
+    p = str(tmp_path / "model")
+    spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "cell int, centroid array<double>"
+    ).coalesce(1).write.parquet(p)
+
+    local = sorted(
+        read_small_parquet(spark, p), key=lambda r: r["cell"]
+    )
+    via_file_uri = sorted(
+        read_small_parquet(spark, f"file://{p}"), key=lambda r: r["cell"]
+    )
+    assert local == via_file_uri
+    assert local[0]["centroid"] == [1.0, 2.0]
+    assert _local_dir("s3a://bucket/key") is None
+    assert _local_dir(p) == p
+    assert _local_dir("/definitely/not/a/dir/xyz") is None
