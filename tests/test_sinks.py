@@ -707,3 +707,83 @@ def test_read_partitioned_verbatim_serialized_and_restores_conf(spark, tmp_path)
         assert r == ["0015", "0930"], r  # verbatim strings, zero-pad kept
     assert spark.conf.get(conf_key) == before
 
+
+
+def test_index_layouts_compact_with_standard_lake_maintenance(spark, tmp_path):
+    """The standing-index maintenance story: a 15-minute ingest cadence
+    appends one file per band/cell directory per batch, and the SAME
+    compact_partitions job that maintains the lake layers (K6)
+    maintains the index layouts — partition dirs collapse to one file
+    each, the persisted models and the _ids relation are untouched
+    bytes, and probe results are identical before and after."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_index_probe,
+    )
+    from twitch_stream_data_pipeline_spark.sinks import compact_partitions
+
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame(
+        [
+            (i, f"document number {i} about streaming analytics topic {i % 7}")
+            for i in range(100, 140)
+        ],
+        schema,
+    )
+    path = str(tmp_path / "lsh")
+    build_lsh_index(base, path)
+    for k in range(3):  # three micro-batch appends
+        batch = spark.createDataFrame(
+            [
+                (1000 + 10 * k + j,
+                 f"fresh batch {k} document {j} with streaming words {j % 5}")
+                for j in range(5)
+            ],
+            schema,
+        )
+        append_to_lsh_index(batch, path)
+
+    def files_per_band():
+        return {
+            d: len(glob.glob(os.path.join(path, d, "*.parquet")))
+            for d in os.listdir(path)
+            if d.startswith("band=")
+        }
+
+    before_files = files_per_band()
+    assert max(before_files.values()) >= 4  # build + 3 appends fragmented
+
+    queries = spark.createDataFrame(
+        [(1, "document number 101 about streaming analytics topic 3")],
+        schema,
+    )
+    before_probe = sorted(
+        map(tuple, lsh_index_probe(spark, path, queries).collect())
+    )
+    models_before = (
+        sorted(map(tuple, spark.read.parquet(f"{path}/_params").collect())),
+        sorted(map(tuple, spark.read.parquet(f"{path}/_ids").collect())),
+    )
+
+    compact_partitions(spark, path, partition_col="band")
+
+    after_files = files_per_band()
+    assert set(after_files) == set(before_files)  # no partition lost
+    assert max(after_files.values()) == 1, after_files
+    assert (
+        sorted(map(tuple, lsh_index_probe(spark, path, queries).collect()))
+        == before_probe
+    )
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{path}/_params").collect())),
+        sorted(map(tuple, spark.read.parquet(f"{path}/_ids").collect())),
+    ) == models_before
+    # postings themselves survived the rewrite intact
+    postings = spark.read.parquet(path)
+    assert postings.count() == postings.distinct().count()
