@@ -164,7 +164,11 @@ def _index_splits(sf_dir: str):
 
     def p_dedup(spark, path):
         batch = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
-        return dedup_ingest(spark, path, batch)
+        return dedup_ingest(spark, path, batch).select(
+            "doc_id", "lang", "n_chars"  # the catalog entry's projection —
+            # without it the timing collects document BODIES (transfer, not
+            # probe); tests/test_bench_split.py pins the equality
+        )
 
     def b_emb_ing(spark):
         path = tempfile.mkdtemp(prefix="bench_ivfing_")
