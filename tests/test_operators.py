@@ -1169,3 +1169,38 @@ def test_model_io_local_and_spark_paths_agree(spark, tmp_path):
     assert _local_dir("s3a://bucket/key") is None
     assert _local_dir(p) == p
     assert _local_dir("/definitely/not/a/dir/xyz") is None
+
+
+def test_dedup_ingest_replay_gate_legacy_layout_without_ids(spark, tmp_path):
+    """A standing index built before the _ids relation existed must not
+    crash the replay gate: it falls back to the band-0 id scan (the
+    pre-_ids behavior — postings-bearing docs are still caught; only
+    sub-n-word docs are invisible until the next append starts _ids)."""
+    import shutil
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(100, "established corpus document about streaming analytics")],
+        schema,
+    )
+    path = str(tmp_path / "legacy")
+    build_lsh_index(corpus, path)
+    shutil.rmtree(f"{path}/_ids")  # simulate a pre-round-7 layout
+
+    batch = spark.createDataFrame(
+        [
+            (100, "established corpus document about streaming analytics"),
+            (7, "a brand new document with its own fresh sentence here"),
+        ],
+        schema,
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_ingest(spark, path, batch).collect()
+    )
+    # 100 is caught by the band-0 fallback replay gate; 7 survives
+    assert kept == [7]

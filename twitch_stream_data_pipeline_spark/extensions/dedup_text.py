@@ -966,10 +966,23 @@ def dedup_ingest(
             in_batch.select(F.col("doc_b").alias(id_col))
         )
     if drop_existing_ids:
+        try:
+            # complete id set, sub-n-word docs included (gate 3 in the
+            # docstring)
+            indexed = spark.read.parquet(f"{path}/_ids")
+        except Exception:
+            # legacy layout built before the _ids relation existed:
+            # fall back to one band partition (an indexed doc with
+            # postings appears in every band — only sub-n-word docs
+            # are invisible here, the pre-round-7 behavior). The next
+            # append_to_lsh_index call starts the _ids relation.
+            indexed = (
+                spark.read.parquet(path)
+                .filter(F.col("band") == 0)
+                .select("doc_id")
+            )
         existing = (
-            spark.read.parquet(f"{path}/_ids")  # complete id set,
-            # sub-n-word docs included (see gate 3 in the docstring)
-            .join(
+            indexed.join(
                 F.broadcast(
                     new_df.select(F.col(id_col).alias("doc_id")).distinct()
                 ),
