@@ -1155,3 +1155,70 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path):
         ),
     )
     assert {r["match_id"] for r in probe.collect()} == {2}
+
+
+def test_streaming_ingest_full_redelivery_emits_nothing(spark, tmp_path):
+    """At-least-once END-TO-END: after a complete run, replaying the
+    WHOLE source against a FRESH checkpoint (the strongest redelivery —
+    every file re-fires) must emit ZERO survivors. Docs that survived
+    the first run are caught by the replay gate's persisted ``_ids``
+    relation (including the sub-n-word doc, which has no postings);
+    the rest are still duplicates. The index must not grow either."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "idx")
+    build_lsh_index(
+        spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            schema,
+        ),
+        path,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # dup
+        (2, "a genuinely novel document with fresh words entirely"),
+        (3, "tiny doc"),  # sub-n-word: no shingles, only _ids covers it
+    ]
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    def run(ckpt: str) -> list[int]:
+        emitted: list[int] = []
+
+        def sink(df, epoch_id):
+            kept = dedup_ingest(spark, path, df, append=True)
+            emitted.extend(r["doc_id"] for r in kept.collect())
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "replay did not finish"
+        return sorted(emitted)
+
+    assert run("ckpt1") == [2, 3]
+    ids_before = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/_ids").collect()
+    }
+    # fresh checkpoint: every source file redelivered from offset zero
+    assert run("ckpt2") == []
+    ids_after = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{path}/_ids").collect()
+    }
+    assert ids_after == ids_before == {100, 2, 3}
