@@ -1169,13 +1169,20 @@ def test_model_io_local_and_spark_paths_agree(spark, tmp_path):
     assert _local_dir("s3a://bucket/key") is None
     assert _local_dir(p) == p
     assert _local_dir("/definitely/not/a/dir/xyz") is None
+    # scheme-less paths resolve against fs.defaultFS: on a cluster
+    # whose default filesystem is NOT local, a same-named local dir
+    # must not shadow the real relation (review r7) — only an
+    # explicit file: URI takes the pyarrow path there
+    assert _local_dir(p, "hdfs://namenode:8020") is None
+    assert _local_dir(f"file://{p}", "hdfs://namenode:8020") == p
 
 
 def test_dedup_ingest_replay_gate_legacy_layout_without_ids(spark, tmp_path):
     """A standing index built before the _ids relation existed must not
     crash the replay gate: it falls back to the band-0 id scan (the
     pre-_ids behavior — postings-bearing docs are still caught; only
-    sub-n-word docs are invisible until the next append starts _ids)."""
+    legacy sub-n-word docs are invisible until the next append
+    BACKFILLS _ids from the postings)."""
     import shutil
 
     from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
@@ -1204,3 +1211,76 @@ def test_dedup_ingest_replay_gate_legacy_layout_without_ids(spark, tmp_path):
     )
     # 100 is caught by the band-0 fallback replay gate; 7 survives
     assert kept == [7]
+
+
+def test_dedup_ingest_legacy_first_append_backfills_ids(spark, tmp_path):
+    """Review r7: the FIRST append to a pre-_ids layout must backfill
+    the relation from the existing postings. Starting _ids with only
+    the new batch would make the gate trust a PARTIAL relation as
+    complete, so every redelivered legacy document would bypass gate 3
+    forever (the probe self-excludes a doc's own indexed copy)."""
+    import shutil
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    legacy = (100, "established corpus document about streaming analytics")
+    path = str(tmp_path / "legacy_append")
+    build_lsh_index(spark.createDataFrame([legacy], schema), path)
+    shutil.rmtree(f"{path}/_ids")  # simulate a pre-round-7 layout
+
+    batch = spark.createDataFrame(
+        [(7, "a brand new document with its own fresh sentence here")],
+        schema,
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_ingest(spark, path, batch, append=True).collect()
+    )
+    assert kept == [7]
+    # the append backfilled the legacy id alongside the new one
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{path}/_ids").collect()}
+    assert ids == {7, 100}
+
+    # at-least-once redelivery of the LEGACY document: only gate 3 can
+    # drop it (its sole candidate match is its own indexed copy, which
+    # the probe self-excludes) — a partial _ids re-emitted it
+    redelivered = spark.createDataFrame([legacy], schema)
+    assert dedup_ingest(spark, path, redelivered, append=True).collect() == []
+
+
+def test_ensure_protobuf_failed_attempt_rolls_back(monkeypatch, tmp_path):
+    """Review r7: a vendored-dir attempt that still cannot import
+    google.protobuf must restore sys.path, PYTHONPATH, and the
+    version-check-disable env var — leaving them mutated would make
+    every child process resolve modules from the vendored tree and
+    mask real protobuf version mismatches, for zero benefit."""
+    import importlib.util
+    import os
+    import sys
+
+    from twitch_stream_data_pipeline_spark import compat
+
+    vend = tmp_path / "vend"
+    (vend / "google" / "protobuf").mkdir(parents=True)
+    monkeypatch.setattr(compat, "_VENDORED_PROTOBUF_DIRS", (str(vend),))
+    monkeypatch.setattr(
+        importlib.util,
+        "find_spec",
+        lambda name, *a, **k: (_ for _ in ()).throw(ModuleNotFoundError(name)),
+    )
+
+    before_sys_path = list(sys.path)
+    before_pp = os.environ.get("PYTHONPATH")
+    before_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+
+    assert compat.ensure_protobuf() is False
+    assert sys.path == before_sys_path
+    assert os.environ.get("PYTHONPATH") == before_pp
+    assert (
+        os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+        == before_check
+    )

@@ -602,7 +602,6 @@ def test_driver_merge_trainer_equals_naive_recount(word_freqs, min_freq):
         ),
         min_size=0,
         max_size=25,
-        unique=True,
     ),
 )
 @settings(max_examples=120, deadline=None)
@@ -610,8 +609,10 @@ def test_replay_symbols_equals_naive_sequential_replay(word, merge_list):
     """The occurrence-indexed heap replay must equal one greedy pass
     per merge in rank order for ARBITRARY merge tables — including
     pathological ones where a late merge's product string-collides
-    with an earlier pair's token (the cursor guard discards those,
-    exactly as sequential replay never revisits a passed rank)."""
+    with an earlier pair's token, and tables listing the SAME pair at
+    several ranks (a trained table can re-learn a pair whose adjacency
+    later merges string-rebuild; the rank-list mapping replays every
+    listed round, a single pair->rank dict replays only one)."""
     from twitch_stream_data_pipeline_spark.extensions.bpe import (
         EOW,
         _replay_symbols,
@@ -627,9 +628,38 @@ def test_replay_symbols_equals_naive_sequential_replay(word, merge_list):
             else:
                 out.append(x)
         naive = out
-    rank_of = {pair: i for i, pair in enumerate(merge_list)}
-    got = _replay_symbols(syms, merge_list, rank_of)
+    from twitch_stream_data_pipeline_spark.extensions.bpe import _ranks_of
+
+    got = _replay_symbols(syms, merge_list, _ranks_of(merge_list))
     assert got == naive
+
+
+def test_replay_symbols_duplicate_pair_tables():
+    """Fixed regressions for duplicated merge pairs (review r7): a
+    keep-LAST pair->rank dict fired (b,c) before the first (a,b); a
+    keep-FIRST dict missed the re-fire round where ('xy','b') matches
+    only after ('x','y') has built the 'xy' symbol."""
+    from twitch_stream_data_pipeline_spark.extensions.bpe import (
+        _ranks_of,
+        _replay_symbols,
+    )
+
+    for syms, merges, want in [
+        # duplicate listed later must not displace the first round
+        (
+            ["a", "b", "c", "d</w>"],
+            [("a", "b"), ("b", "c"), ("a", "b")],
+            ["ab", "c", "d</w>"],
+        ),
+        # re-fire: the second ('xy','b') round matches the adjacency
+        # built by ('x','y') in between
+        (
+            ["x", "y", "b</w>"],
+            [("xy", "b</w>"), ("x", "y"), ("xy", "b</w>")],
+            ["xyb</w>"],
+        ),
+    ]:
+        assert _replay_symbols(syms, merges, _ranks_of(merges)) == want
 
 
 @given(

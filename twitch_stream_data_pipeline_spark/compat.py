@@ -47,27 +47,54 @@ def ensure_protobuf() -> bool:
     except (ImportError, ModuleNotFoundError):
         pass
     for root in _VENDORED_PROTOBUF_DIRS:
-        if os.path.isdir(os.path.join(root, "google", "protobuf")):
-            if root not in sys.path:
-                sys.path.append(root)
-            current = os.environ.get("PYTHONPATH", "")
-            if root not in current.split(os.pathsep):
-                os.environ["PYTHONPATH"] = (
-                    f"{current}{os.pathsep}{root}" if current else root
-                )
-            # The vendored runtime may trail the gencode shipped inside
-            # pyspark by a minor version (observed: runtime 6.32-dev vs
-            # StateMessage_pb2 gencode 6.33), which protobuf's loader
-            # rejects outright. Protobuf's own documented escape hatch
-            # covers exactly this same-major drift; scope it to the
-            # vendored-copy path only (a real installation never sets
-            # it). Env var, so Spark's Python workers inherit it too.
-            os.environ.setdefault(
-                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        if not os.path.isdir(os.path.join(root, "google", "protobuf")):
+            continue
+        # Snapshot everything the attempt mutates so a FAILED attempt
+        # rolls back cleanly: leaving the AppEngine tree on sys.path /
+        # PYTHONPATH (arbitrary extra modules become importable in
+        # every child process) and the version-check-disable flag set
+        # (masks real gencode/runtime mismatches elsewhere) is only
+        # acceptable when the import actually works (review r7).
+        added_sys = root not in sys.path
+        prev_pythonpath = os.environ.get("PYTHONPATH")
+        prev_check = os.environ.get(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+        )
+        if added_sys:
+            sys.path.append(root)
+        current = prev_pythonpath or ""
+        if root not in current.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{current}{os.pathsep}{root}" if current else root
             )
-            try:
-                if importlib.util.find_spec("google.protobuf") is not None:
-                    return True
-            except (ImportError, ModuleNotFoundError):
-                continue
+        # The vendored runtime may trail the gencode shipped inside
+        # pyspark by a minor version (observed: runtime 6.32-dev vs
+        # StateMessage_pb2 gencode 6.33), which protobuf's loader
+        # rejects outright. Protobuf's own documented escape hatch
+        # covers exactly this same-major drift; scope it to the
+        # vendored-copy path only (a real installation never sets
+        # it). Env var, so Spark's Python workers inherit it too.
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        try:
+            ok = importlib.util.find_spec("google.protobuf") is not None
+        except (ImportError, ModuleNotFoundError):
+            ok = False
+        if ok:
+            return True
+        if added_sys and root in sys.path:
+            sys.path.remove(root)
+        if prev_pythonpath is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prev_pythonpath
+        if prev_check is None:
+            os.environ.pop(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+            )
+        else:
+            os.environ[
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+            ] = prev_check
     return False

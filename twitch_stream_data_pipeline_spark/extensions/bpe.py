@@ -180,7 +180,11 @@ def bpe_train(
     produce the identical merge sequence (integer counts,
     lexicographic tie-break; pinned in tests)."""
     spark = df.sparkSession
-    wf = word_frequencies(df, text_col)
+    # the vocabulary-sized reduction is the ONLY corpus-sized scan;
+    # checkpoint it so the count gate and whichever merge path follows
+    # (driver collect / distributed fold) reuse one materialization
+    # instead of re-running the scan+groupBy per action
+    wf = word_frequencies(df, text_col).localCheckpoint(eager=False)
     if wf.count() <= driver_vocab_limit:
         collected = [
             (r["word"], int(r["freq"]))
@@ -229,27 +233,52 @@ def bpe_train(
     )
 
 
-def _replay_symbols(syms, merge_list, rank_of) -> list[str]:
+def _ranks_of(merge_list) -> dict:
+    """Pair -> ASCENDING list of every rank it occupies in the merge
+    list. A trained table CAN contain the same pair twice: after
+    ``(l, r)`` merges, later merges may string-rebuild an ``l``/``r``
+    adjacency (e.g. ``('x','y')`` producing symbol ``xy`` == ``l``),
+    the trainer counts it again, and re-learns the pair at a later
+    rank. A single pair->rank dict (first OR last wins) diverges from
+    sequential replay on such tables; the rank LIST keeps every round
+    addressable."""
+    ranks: dict = {}
+    for i, pair in enumerate(merge_list):
+        ranks.setdefault(pair, []).append(i)
+    return ranks
+
+
+def _replay_symbols(syms, merge_list, ranks_of) -> list[str]:
     """Occurrence-indexed sequential merge replay over one symbol
     sequence: instead of one greedy pass per merge (O(|merges| x
     |word|) — a 32k-merge vocabulary scans every word 32k times), seed
     a min-heap with the ranks of the pairs PRESENT in the word and pop
-    in rank order; each greedy pass pushes the ranks of any
-    newly-created pairs. A popped rank <= the replay cursor is
-    discarded — its round has already passed — which makes this
-    EXACTLY equivalent to replaying the full merge list in order for
-    ANY merge table (a pair occurrence created after its own rank's
-    round never merges, same as the fold engine), at
+    in rank order; each greedy pass pushes, for any newly-created
+    pair, its smallest rank STRICTLY AFTER the replay cursor
+    (``_ranks_of`` keeps every round of a duplicated pair, bisected
+    per lookup). A popped rank <= the cursor is discarded — its round
+    has already passed — which makes this EXACTLY equivalent to
+    replaying the full merge list in order for ANY merge table (a
+    pair occurrence created after a rank's round merges at the pair's
+    NEXT listed rank or never, same as the fold engine), at
     O(applied merges x |word|) cost, independent of table size.
     Equivalence is pinned against the naive full replay in tests
-    (fixed fixtures + hypothesis-random tables)."""
+    (fixed fixtures + hypothesis-random tables incl. duplicates)."""
+    import bisect
     import heapq
+
+    def next_rank(pair, cursor):
+        lst = ranks_of.get(pair)
+        if not lst:
+            return None
+        i = bisect.bisect_right(lst, cursor)
+        return lst[i] if i < len(lst) else None
 
     s = list(syms)
     heap = sorted(
         {
             k
-            for k in (rank_of.get(p) for p in zip(s, s[1:]))
+            for k in (next_rank(p, -1) for p in zip(s, s[1:]))
             if k is not None
         }
     )
@@ -266,13 +295,13 @@ def _replay_symbols(syms, merge_list, rank_of) -> list[str]:
                 out[-1] = l + r
                 # left adjacency created by this merge
                 if len(out) >= 2:
-                    nk = rank_of.get((out[-2], out[-1]))
-                    if nk is not None and nk > cursor:
+                    nk = next_rank((out[-2], out[-1]), cursor)
+                    if nk is not None:
                         heapq.heappush(heap, nk)
             else:
                 if out:
-                    nk = rank_of.get((out[-1], x))
-                    if nk is not None and nk > cursor:
+                    nk = next_rank((out[-1], x), cursor)
+                    if nk is not None:
                         heapq.heappush(heap, nk)
                 out.append(x)
         s = out
@@ -326,13 +355,13 @@ def bpe_segment(
             )
     else:
         merge_list = [(l, r) for l, r in merges]
-        rank_of = {pair: i for i, pair in enumerate(merge_list)}
+        ranks = _ranks_of(merge_list)
 
         def replay(batches):
             for pdf in batches:
                 pdf = pdf.copy()
                 pdf["symbols"] = [
-                    _replay_symbols(syms, merge_list, rank_of)
+                    _replay_symbols(syms, merge_list, ranks)
                     for syms in pdf["symbols"]
                 ]
                 yield pdf

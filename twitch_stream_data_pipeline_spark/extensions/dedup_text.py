@@ -814,8 +814,28 @@ def append_to_lsh_index(
     postings into the band partitions. Probes see old and new
     documents identically; no rebuild, no re-banding of history."""
     from ..sinks import write_partitioned
+    from .model_io import fs_path_exists
 
-    p = _lsh_params(new_df.sparkSession, path)
+    spark = new_df.sparkSession
+    p = _lsh_params(spark, path)
+    if not fs_path_exists(spark, f"{path}/_ids"):
+        # Legacy layout built before the _ids relation existed: the
+        # FIRST append must backfill _ids from the existing postings
+        # (band 0 — every doc with postings appears in every band),
+        # or the partial relation it starts would make the replay
+        # gate treat every legacy document as un-indexed forever
+        # (review r7: a redelivered legacy doc bypassed gate 3 once
+        # _ids existed without it). Legacy sub-n-word docs left no
+        # record anywhere and stay invisible — the pre-round-7
+        # behavior, documented at the gate.
+        (
+            spark.read.parquet(path)
+            .filter(F.col("band") == 0)
+            .select("doc_id")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{path}/_ids")
+        )
     sigs = minhash_signatures(
         _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
     )
@@ -966,16 +986,22 @@ def dedup_ingest(
             in_batch.select(F.col("doc_b").alias(id_col))
         )
     if drop_existing_ids:
-        try:
+        from .model_io import fs_path_exists
+
+        if fs_path_exists(spark, f"{path}/_ids"):
             # complete id set, sub-n-word docs included (gate 3 in the
             # docstring)
             indexed = spark.read.parquet(f"{path}/_ids")
-        except Exception:
+        else:
             # legacy layout built before the _ids relation existed:
             # fall back to one band partition (an indexed doc with
             # postings appears in every band — only sub-n-word docs
             # are invisible here, the pre-round-7 behavior). The next
-            # append_to_lsh_index call starts the _ids relation.
+            # append_to_lsh_index call backfills the _ids relation
+            # from this same band scan before extending it. An
+            # explicit existence probe, NOT a bare except around the
+            # read: a transient/corrupt-read error must propagate,
+            # not silently degrade the gate (review r7).
             indexed = (
                 spark.read.parquet(path)
                 .filter(F.col("band") == 0)

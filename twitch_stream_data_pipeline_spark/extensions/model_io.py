@@ -19,16 +19,34 @@ import glob
 import os
 
 
-def _local_dir(path: str) -> str | None:
-    """The local directory for a schemeless or file: path, else None."""
+def _local_dir(path: str, default_fs: str = "file:///") -> str | None:
+    """The local directory for a ``file:`` path — or a scheme-less
+    path, but ONLY when ``default_fs`` is the local filesystem: Spark
+    resolves scheme-less paths against ``fs.defaultFS``, so on a
+    cluster defaulting to HDFS/S3 a same-named local directory must
+    NOT shadow the real relation. Else None."""
     if path.startswith("file:"):
         p = path[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
         return p if os.path.isdir(p) else None
-    if "://" not in path:
+    if "://" not in path and default_fs.startswith("file:"):
         return path if os.path.isdir(path) else None
     return None
+
+
+def _default_fs(spark) -> str:
+    return spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+
+
+def fs_path_exists(spark, path: str) -> bool:
+    """True when ``path`` exists on whatever filesystem Spark resolves
+    it to (Hadoop FileSystem API — local dirs in tests, object stores
+    on a cluster). Metadata-only, no file reads."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def read_small_parquet(spark, path: str) -> list[dict]:
@@ -37,7 +55,7 @@ def read_small_parquet(spark, path: str) -> list[dict]:
     pyarrow for local paths (no job launch), Spark collect otherwise.
     Callers own the contract that the relation is model-state-sized.
     """
-    local = _local_dir(path)
+    local = _local_dir(path, _default_fs(spark))
     if local is not None:
         try:
             import pyarrow.parquet as pq
