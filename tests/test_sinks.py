@@ -787,3 +787,23 @@ def test_index_layouts_compact_with_standard_lake_maintenance(spark, tmp_path):
     # postings themselves survived the rewrite intact
     postings = spark.read.parquet(path)
     assert postings.count() == postings.distinct().count()
+
+    # the flat _ids relation fragments too (one file per append) and
+    # has no partition column for compact_partitions to key on — its
+    # maintenance twin collapses it to one file with identical rows,
+    # and the scratch sibling is cleaned up
+    from twitch_stream_data_pipeline_spark.sinks import compact_flat_relation
+
+    ids_dir = f"{path}/_ids"
+    assert len(glob.glob(os.path.join(ids_dir, "*.parquet"))) >= 4
+    compact_flat_relation(spark, ids_dir)
+    assert len(glob.glob(os.path.join(ids_dir, "*.parquet"))) == 1
+    assert (
+        sorted(map(tuple, spark.read.parquet(ids_dir).collect()))
+        == models_before[1]
+    )
+    assert not os.path.exists(f"{ids_dir}__compacting")
+    assert (
+        sorted(map(tuple, lsh_index_probe(spark, path, queries).collect()))
+        == before_probe
+    )

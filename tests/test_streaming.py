@@ -80,6 +80,24 @@ def test_foreachbatch_dim_upsert(spark, tmp_path):
     deltas = spark.read.parquet(str(tmp_path / "deltas")).count()
     assert deltas == 3
 
+    # the flat state relation gains files per micro-batch append;
+    # maintenance compaction between batches must not disturb the
+    # upsert semantics of the batches that follow
+    import glob
+
+    from twitch_stream_data_pipeline_spark.sinks import compact_flat_relation
+
+    state_dir = str(tmp_path / "dim")
+    assert len(glob.glob(f"{state_dir}/*.parquet")) >= 2
+    compact_flat_relation(spark, state_dir)
+    assert len(glob.glob(f"{state_dir}/*.parquet")) == 1
+    b3 = spark.createDataFrame(
+        [("3", "C3"), ("4", "d")], "user_id string, user_name string"
+    )
+    ups(b3, 3)
+    state = {tuple(r) for r in ups.current_state().collect()}
+    assert state == {("1", "a"), ("2", "b"), ("3", "c"), ("4", "d")}
+
 
 def test_streaming_source_is_incremental(spark):
     """The streaming scan must be a real streaming source (file listing

@@ -484,3 +484,32 @@ def compact_partitions(
         partition_overwrite_mode="dynamic",
     )
 
+
+def compact_flat_relation(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> None:
+    """Small-file compaction for an UNPARTITIONED parquet relation —
+    the flat twin of :func:`compact_partitions`, needed by the append-
+    only flat relations: the index layouts' ``_ids`` (scanned by the
+    replay gate per ingest) and the dim upserter's state table each
+    gain one file per micro-batch append (96/day at the reference
+    cadence), so file-open overhead accumulates without a partition
+    column to key a rewrite on.
+
+    Materialize-then-overwrite through a scratch sibling (the dim
+    upserter's pattern): Spark refuses to overwrite a path its plan is
+    reading, and staging through the scratch dir makes the rewrite two
+    committed jobs on any filesystem — no raw delete/rename window in
+    which a crash loses the relation outright. ``target_files`` sizes
+    the output (one file for anything modest; shard a multi-GB ids
+    relation). Single-writer maintenance-window semantics, like every
+    non-transactional parquet rewrite in this layer."""
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
