@@ -1,0 +1,214 @@
+"""Distributed embedding clustering (spherical k-means) and
+cluster-balanced sampling — the semantic-diversity tier of a
+training-data pipeline: cluster the corpus by embedding, then sample
+per cluster so no semantic region dominates the mixture (the curation
+move behind cluster-based data selection; the reference's
+degree-0 analog is its per-category grouping of streams before
+aggregation, ``src/curate_data/curate_streams_data.py``).
+
+:func:`kmeans_embeddings` is the FULL-CORPUS companion to the
+driver-side sample trainer ``similarity._train_coarse_quantizer``:
+there the k-means fits a bounded sample and only ASSIGNMENT touches
+every row (the FAISS economics — right for building an IVF layout);
+here every Lloyd iteration aggregates the whole relation, which is
+what cluster-balanced sampling and per-cluster statistics need when
+the clusters themselves must reflect the full corpus, not a sample.
+
+Scale shape (the 100 TB contract): one scan per iteration — Lloyd's
+at scale IS iterated scans; nothing corpus-sized ever sits on the
+driver or shuffles. Per iteration:
+
+1. centroids (k x d float64, model-state-sized) broadcast into one
+   Arrow pass that assigns each row (argmax of one matmul) and
+   emits PER-BATCH PARTIAL SUMS — (cluster, n, coordinate-sum
+   array<long>) — so the Python boundary outputs O(batches x k)
+   rows, never O(N);
+2. the partials posexplode JVM-side and hash-aggregate on
+   (cluster, pos) with map-side combine — each task contributes at
+   most k x d combined rows to the shuffle regardless of input size;
+3. the k x d exact int64 sums collect to the driver (model-state-
+   sized) and the next centroids are their unit rows.
+
+Determinism (the catalog's partition-independence rule): embeddings
+are quantized to int64 (``round(x * 1000)``, the module-wide
+convention shared with the DuckDB oracle) and CENTROIDS are quantized
+to int64 at scale 1e6 on the driver each round, so every score is
+``int-dot / sqrt(int-norm * int-norm)`` — exact integer arithmetic
+(numpy integer matmul never routes through BLAS) followed by a fixed
+sequence of IEEE float64 ops, byte-identical under any partitioning
+and any Arrow batch shape. A float64 BLAS matmul would NOT be: dgemm
+accumulation order varies with batch row-count, drifting the last ulp
+and flipping near-tie assignments. Coordinate sums in the Lloyd
+update are exact int64 additions — associative and commutative, so
+shuffle order is irrelevant. int64 headroom: |q| <= ~1e5 per
+coordinate and |c_q| <= 1e6, so dots <= d * 1e11 and a cluster needs
+~9e13 members to overflow a sum — unreachable; squared norms convert
+to float64 (each < 2^53) BEFORE the product, the ``cosine_knn``
+pattern. The 1e-6 centroid resolution is part of the operator's spec:
+irrelevant to clustering quality, essential for determinism.
+Assignment ties break to the LOWEST cluster id (numpy argmax takes
+the first maximum), per-row and partition-independent. All-zero
+embeddings and all-zero centroids follow the module's zero-norm
+contract (``similarity._unit_rows``): guarded denominators score them
+0 against everything, so zero rows land deterministically in
+cluster 0.
+
+Empty clusters keep their previous centroid (standard Lloyd practice;
+deterministic). Initial centroids are the unit rows of the first
+``k`` vectors ordered by id — fixed init, like the sample trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _unit_rows, quantized_embedding
+
+#: centroid quantization scale — module-docstring determinism contract
+CENT_SCALE = 1_000_000
+
+
+def _quantize_centroids(cent):
+    """Driver-side float64 unit centroids -> the int64 representation
+    every scoring pass uses (see the module determinism contract)."""
+    import numpy as np
+
+    return np.round(cent * CENT_SCALE).astype(np.int64)
+
+
+def _centroid_pass(qdf: DataFrame, cent_q, partials_only: bool):
+    """One broadcast-centroid Arrow pass over ``(rid, qv)``.
+
+    ``partials_only=True`` -> (cluster, n, sums array<long>) per-batch
+    partials (the Lloyd update input); ``False`` -> the final per-row
+    ``(rid, cluster, cosine)`` assignment. ``cosine`` is the exact
+    quantized form ``int-dot(q, c_q) / sqrt(|q|^2 * |c_q|^2)`` — all
+    integer arithmetic until one guarded IEEE division, identical
+    under any partitioning and batch shape (module docstring).
+    """
+    import numpy as np
+    import pandas as pd
+
+    k, _ = cent_q.shape
+    c_norm2 = (cent_q * cent_q).sum(axis=1).astype(np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            dots = (X @ cent_q.T).astype(np.float64)  # exact int64 matmul
+            q_norm2 = (X * X).sum(axis=1).astype(np.float64)
+            denom = np.sqrt(
+                np.where(q_norm2 == 0, 1.0, q_norm2)[:, None]
+                * np.where(c_norm2 == 0, 1.0, c_norm2)[None, :]
+            )
+            sims = dots / denom
+            assign = sims.argmax(axis=1)  # first max: lowest cluster wins
+            if partials_only:
+                out_c, out_n, out_s = [], [], []
+                for c in range(k):
+                    mask = assign == c
+                    n = int(mask.sum())
+                    if n:
+                        out_c.append(c)
+                        out_n.append(n)
+                        out_s.append(X[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(
+                    {"cluster": out_c, "n": out_n, "sums": out_s}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "rid": pdf["rid"],
+                        "cluster": assign,
+                        "cosine": sims[np.arange(len(assign)), assign],
+                    }
+                )
+
+    schema = (
+        "cluster int, n long, sums array<long>"
+        if partials_only
+        else "rid long, cluster int, cosine double"
+    )
+    return qdf.mapInPandas(run, schema)
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-corpus spherical k-means: ``(id_col, cluster, cosine)`` —
+    each row's cluster after ``iters`` synchronous Lloyd rounds and
+    its cosine to the final unit centroid. See the module docstring
+    for the scale shape and the byte-identical determinism contract.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    out_schema = f"{id_col} long, cluster int, cosine double"
+    qdf = df.select(
+        F.col(id_col).alias("rid"),
+        quantized_embedding(F.col(vec_col)).alias("qv"),
+    )
+    init = (
+        qdf.orderBy("rid")
+        .limit(k)
+        .collect()  # intentionally driver-side: k init vectors (model-state-sized)
+    )
+    if not init:
+        return spark.createDataFrame([], out_schema)
+    cent = _unit_rows(np.array([r["qv"] for r in init], dtype=np.float64))
+    for _ in range(iters):
+        agg = (
+            _centroid_pass(qdf, _quantize_centroids(cent), partials_only=True)
+            .select("cluster", "n", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()  # intentionally driver-side: k x d exact sums (model-state-sized)
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in agg:
+            sums[r["cluster"], r["pos"]] = float(r["s"])
+            if r["pos"] == 0:
+                counts[r["cluster"]] = r["n"]
+        nonempty = counts > 0
+        # unit row of the exact int sum IS the mean direction; empty
+        # clusters keep their previous centroid
+        cent[nonempty] = _unit_rows(sums[nonempty])
+    return _centroid_pass(
+        qdf, _quantize_centroids(cent), partials_only=False
+    ).select(F.col("rid").alias(id_col), "cluster", "cosine")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    cluster_col: str = "cluster",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic diversity sample: at most ``per_cluster`` rows
+    from every cluster, chosen by md5-of-id rank — the repo's standard
+    seedless-deterministic sampling key (``extensions.sampling``), so
+    reruns and different partitionings pick the same rows. The window
+    partitions on the cluster (never global — the plan-lint class),
+    with the id as the total-order tiebreak for md5 collisions.
+
+    Generic over any grouping column: a k-means cluster id, a language,
+    a quality bucket — anything the mixture must not let dominate.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_cluster)
+        .drop("__rk")
+    )

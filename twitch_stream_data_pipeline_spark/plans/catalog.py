@@ -5592,6 +5592,85 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "kmeans_clusters",
+    None,  # iterative fixed-point like pagerank_copresence: 5 Lloyd
+    # rounds of exact int64 coordinate sums + driver-quantized
+    # centroids — not relationally statable without recursion;
+    # reference-equality vs an independent pure-numpy implementation
+    # of the same spec (EXACT float equality, last bit), byte-identical
+    # partition independence, zero-norm and k>n degeneracy pinned in
+    # tests/test_clustering.py
+    ("similarity", "clustering", "iterative", "ext"),
+    "Full-corpus distributed spherical k-means over the embeddings "
+    "table (extensions.clustering.kmeans_embeddings) — the semantic "
+    "structure a curation pipeline clusters on before balanced "
+    "sampling. One scan per Lloyd round: broadcast int64-quantized "
+    "centroids into an Arrow pass emitting O(batches x k) partial "
+    "sums, posexplode + map-side-combined (cluster,pos) aggregation, "
+    "k x d exact sums to the driver. Every score is exact integer "
+    "arithmetic + one guarded IEEE division, so assignments AND "
+    "cosines are byte-identical under any partitioning. Output here "
+    "is the bounded per-cluster summary (size, min id, mean cosine "
+    "in exact-sum form) — k rows, stable.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.clustering import kmeans_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_embeddings(emb, k=8, iters=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            # deterministic mean: sum of per-row deterministic doubles
+            # would be shuffle-order-dependent — aggregate the exact
+            # int-quantized cosine instead (round half-up at 1e-9,
+            # then exact int64 sum / count)
+            (
+                F.sum(F.floor(F.col("cosine") * 1e9 + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / (F.count("*") * F.lit(1e9))
+            ).alias("mean_cosine"),
+        )
+        .select("cluster", "n_members", "min_vec_id", "mean_cosine")
+    )
+
+
+@_register(
+    "cluster_balanced_sample",
+    None,  # the cluster ids come from the iterative k-means above, so
+    # the composite is rows-only like its parent; the sampling layer
+    # itself (md5-ranked window per cluster) is deterministic and its
+    # subset/cap/determinism contract is pinned in
+    # tests/test_clustering.py
+    ("sampling", "clustering", "ext"),
+    "Cluster-balanced diversity sampling "
+    "(extensions.clustering.cluster_balanced_sample over "
+    "kmeans_embeddings): at most N documents per semantic cluster, "
+    "chosen by md5-of-id rank — the curation move that stops one "
+    "semantic region dominating a training mixture. The window "
+    "partitions on the cluster id (plan-lint class: never global); "
+    "md5 + id tiebreak makes the picked set independent of "
+    "partitioning and rerun-stable. Output: (cluster, vec_id) for "
+    "the picked rows — k x N rows, bounded.",
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.clustering import (
+        cluster_balanced_sample,
+        kmeans_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_embeddings(emb, k=8, iters=5)
+    return (
+        cluster_balanced_sample(assigned, per_cluster=5)
+        .select("cluster", "vec_id")
+        .orderBy("cluster", "vec_id")
+    )
+
+
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py
 # ===========================================================================
@@ -5819,6 +5898,10 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "approx_distinct_users",
     "pca_project",
     "pack_groups",
+    # round 7 late additions (rows-only: iterative k-means and its
+    # dependent sampler — same evidence class as pagerank_copresence)
+    "kmeans_clusters",
+    "cluster_balanced_sample",
 )
 
 
