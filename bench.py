@@ -101,6 +101,14 @@ EXTENDED = (
     "dedup_ingest",
     "embedding_ingest",
     "ivfpq_index_knn",
+    # round 7 (late): full-corpus distributed k-means — 5 Lloyd rounds,
+    # each one scan + one k x d driver collect, so the timing is
+    # iteration-cadence-bound at bench scale (the honest cost shape of
+    # a synchronous iterative operator). extended_total comparability:
+    # subtract this one vs BENCH_r07-and-earlier (see BENCHNOTES.md).
+    # cluster_balanced_sample is not timed separately — it IS a kmeans
+    # run plus one partitioned window.
+    "kmeans_clusters",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

@@ -148,6 +148,10 @@ def kmeans_embeddings(
     each row's cluster after ``iters`` synchronous Lloyd rounds and
     its cosine to the final unit centroid. See the module docstring
     for the scale shape and the byte-identical determinism contract.
+
+    ``id_col`` must uniquely identify rows (every id-keyed operator's
+    contract here): the fixed init takes the k smallest ids, and a
+    duplicated id would make that choice partition-order-dependent.
     """
     import numpy as np
 
