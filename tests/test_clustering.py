@@ -143,6 +143,39 @@ def test_cluster_balanced_sample_contract(spark, emb):
     assert sampled.join(assigned, ["vec_id", "cluster"], "left_anti").count() == 0
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# vectors on the k/8 grid: x*1000 = 125k is an exact float64 integer,
+# so quantization is unambiguous in BOTH engines and the property
+# targets the Lloyd/assignment/partial-sum logic itself (the repo's
+# half-away-from-zero rounding convention is oracle-pinned elsewhere).
+_vec = st.lists(
+    st.integers(min_value=-16, max_value=16).map(lambda k: k / 8.0),
+    min_size=3,
+    max_size=3,
+)
+_rows = st.lists(_vec, min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rows, st.integers(1, 5), st.integers(0, 4), st.integers(1, 5))
+def test_kmeans_property_matches_reference(spark, rows, k, iters, parts):
+    """Random small corpora — duplicates, zero vectors, k > n, iters=0
+    all arise — must match the independent numpy reference EXACTLY,
+    under an arbitrary input partitioning."""
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<double>, label int",
+    ).repartition(parts)
+    got = {
+        r["vec_id"]: (r["cluster"], r["cosine"])
+        for r in kmeans_embeddings(df, k=k, iters=iters).collect()
+    }
+    expect = numpy_kmeans_reference(list(range(len(rows))), rows, k, iters)
+    assert got == expect
+
+
 def test_cluster_balanced_sample_plans_partitioned_window(spark, emb):
     """The window must partition on the cluster column — a global
     window here would single-partition the corpus (the plan-lint
