@@ -11,6 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.extensions.clustering import (
+    assign_with_model,
+    build_kmeans_model,
     cluster_balanced_sample,
     kmeans_embeddings,
 )
@@ -174,6 +176,48 @@ def test_kmeans_property_matches_reference(spark, rows, k, iters, parts):
     }
     expect = numpy_kmeans_reference(list(range(len(rows))), rows, k, iters)
     assert got == expect
+
+
+def test_persisted_model_assignment_equals_in_memory(spark, emb, tmp_path):
+    """The operational form: build once, assign every batch with the
+    persisted model. The persisted quantized ints ARE the scoring
+    inputs, so disk must be EXACTLY the in-memory result — last bit."""
+    path = str(tmp_path / "kmodel")
+    build_kmeans_model(emb, path, k=8, iters=5)
+    via_model = sorted(
+        map(tuple, assign_with_model(spark, path, emb).collect())
+    )
+    in_memory = sorted(
+        map(tuple, kmeans_embeddings(emb, k=8, iters=5).collect())
+    )
+    assert via_model == in_memory
+    # an unseen ingest batch assigns without touching the corpus: the
+    # only scan in the plan is the batch itself (plus the model read,
+    # which is a driver-side pyarrow read, not a Spark scan)
+    batch = emb.orderBy("vec_id").limit(7).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    out = assign_with_model(spark, path, batch)
+    assert out.count() == 7
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1
+    # assignment is pure routing: the shifted copies land exactly where
+    # their originals did
+    orig = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_with_model(spark, path, emb.orderBy("vec_id").limit(7)).collect()
+    }
+    got = {r["vec_id"] - 100000: r["cluster"] for r in out.collect()}
+    assert got == orig
+
+
+def test_persisted_model_guards(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        build_kmeans_model(emb.limit(0), str(tmp_path / "nope"), k=4)
+    with _pytest.raises(Exception):
+        assign_with_model(spark, str(tmp_path / "missing"), emb)
 
 
 def test_cluster_balanced_sample_plans_partitioned_window(spark, emb):

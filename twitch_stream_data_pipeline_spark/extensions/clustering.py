@@ -137,37 +137,26 @@ def _centroid_pass(qdf: DataFrame, cent_q, partials_only: bool):
     return qdf.mapInPandas(run, schema)
 
 
-def kmeans_embeddings(
-    df: DataFrame,
-    k: int = 8,
-    iters: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Full-corpus spherical k-means: ``(id_col, cluster, cosine)`` —
-    each row's cluster after ``iters`` synchronous Lloyd rounds and
-    its cosine to the final unit centroid. See the module docstring
-    for the scale shape and the byte-identical determinism contract.
-
-    ``id_col`` must uniquely identify rows (every id-keyed operator's
-    contract here): the fixed init takes the k smallest ids, and a
-    duplicated id would make that choice partition-order-dependent.
-    """
-    import numpy as np
-
-    spark = df.sparkSession
-    out_schema = f"{id_col} long, cluster int, cosine double"
-    qdf = df.select(
+def _quantized_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("rid"),
         quantized_embedding(F.col(vec_col)).alias("qv"),
     )
+
+
+def _lloyd(qdf: DataFrame, k: int, iters: int):
+    """The Lloyd loop over a ``(rid, qv)`` relation: the final
+    int64-QUANTIZED centroids (the scoring source of truth per the
+    module determinism contract), or None on empty input."""
+    import numpy as np
+
     init = (
         qdf.orderBy("rid")
         .limit(k)
         .collect()  # intentionally driver-side: k init vectors (model-state-sized)
     )
     if not init:
-        return spark.createDataFrame([], out_schema)
+        return None
     cent = _unit_rows(np.array([r["qv"] for r in init], dtype=np.float64))
     for _ in range(iters):
         agg = (
@@ -187,8 +176,110 @@ def kmeans_embeddings(
         # unit row of the exact int sum IS the mean direction; empty
         # clusters keep their previous centroid
         cent[nonempty] = _unit_rows(sums[nonempty])
+    return _quantize_centroids(cent)
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-corpus spherical k-means: ``(id_col, cluster, cosine)`` —
+    each row's cluster after ``iters`` synchronous Lloyd rounds and
+    its cosine to the final unit centroid. See the module docstring
+    for the scale shape and the byte-identical determinism contract.
+
+    ``id_col`` must uniquely identify rows (every id-keyed operator's
+    contract here): the fixed init takes the k smallest ids, and a
+    duplicated id would make that choice partition-order-dependent.
+    """
+    spark = df.sparkSession
+    qdf = _quantized_rows(df, id_col, vec_col)
+    cent_q = _lloyd(qdf, k, iters)
+    if cent_q is None:
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster int, cosine double"
+        )
+    return _centroid_pass(qdf, cent_q, partials_only=False).select(
+        F.col("rid").alias(id_col), "cluster", "cosine"
+    )
+
+
+def build_kmeans_model(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train full-corpus k-means and persist the model at
+    ``{path}/_centroids`` — the operational form for a standing
+    semantic map (the index-family pattern: build once, assign every
+    ingest batch with the PERSISTED model so a batch can never be
+    scored differently than the map it routes into; periodic retrain
+    when drift accumulates, like the IVF rebuild signal).
+
+    What persists is the int64-QUANTIZED centroids — already the
+    scoring source of truth (module determinism contract) — so the
+    disk round-trip is exact by construction: no float re-rounding
+    can make :func:`assign_with_model` disagree with the in-memory
+    :func:`kmeans_embeddings` on the same data. One row per cluster
+    ``(cluster int, centroid_q array<long>, scale long)``, one file
+    (model-state-sized, read back via the pyarrow fast path).
+    """
+    import pandas as pd
+
+    cent_q = _lloyd(_quantized_rows(df, id_col, vec_col), k, iters)
+    if cent_q is None:
+        raise ValueError(
+            "build_kmeans_model: input is empty — nothing to train on"
+        )
+    df.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "cluster": range(len(cent_q)),
+                "centroid_q": [row.tolist() for row in cent_q],
+                "scale": CENT_SCALE,
+            }
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def assign_with_model(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a batch to a persisted :func:`build_kmeans_model` map:
+    one broadcast-centroid Arrow pass per ingest call — batch-sized
+    cost against a standing model, the ``dedup_ingest`` /
+    ``embedding_ingest`` economics. Identical output to running
+    :func:`kmeans_embeddings` with the model's centroids (the
+    persisted quantized ints ARE the scoring inputs)."""
+    import numpy as np
+
+    from .model_io import read_small_parquet
+
+    rows = sorted(
+        read_small_parquet(spark, f"{path}/_centroids"),
+        key=lambda r: r["cluster"],
+    )
+    if not rows:
+        raise ValueError(f"assign_with_model: no centroids at {path}")
+    scales = {r["scale"] for r in rows}
+    if scales != {CENT_SCALE}:
+        raise ValueError(
+            f"assign_with_model: model scale {scales} != engine scale "
+            f"{CENT_SCALE} — rebuild the model with this engine version"
+        )
+    cent_q = np.array([r["centroid_q"] for r in rows], dtype=np.int64)
     return _centroid_pass(
-        qdf, _quantize_centroids(cent), partials_only=False
+        _quantized_rows(df, id_col, vec_col), cent_q, partials_only=False
     ).select(F.col("rid").alias(id_col), "cluster", "cosine")
 
 
