@@ -20,20 +20,25 @@ from twitch_stream_data_pipeline_spark.extensions.clustering import (
 SF = "/root/testdata/sf0.001"
 
 
-def numpy_kmeans_reference(ids, vecs, k, iters):
+def numpy_kmeans_reference(ids, qvecs, k, iters):
     """Independent driver-only implementation of the SAME spec the
-    distributed operator claims: rows quantized round(x*1000) to
-    int64, centroids quantized round(c*1e6) to int64 before every
-    scoring pass, scores = exact int dot / sqrt of exact int norms
-    (guarded), init = unit rows of the first k vectors by id,
-    spherical Lloyd with EXACT integer coordinate sums, empty clusters
-    keep their centroid, ties to the lowest cluster. No code shared
-    with the operator beyond numpy itself."""
+    distributed operator claims: centroids quantized round(c*1e6) to
+    int64 before every scoring pass, scores = exact int dot / sqrt of
+    exact int norms (guarded), init = unit rows of the first k vectors
+    by id, spherical Lloyd with EXACT integer coordinate sums, empty
+    clusters keep their centroid, ties to the lowest cluster. No code
+    shared with the operator beyond numpy itself.
+
+    ``qvecs`` are the ALREADY-QUANTIZED int64 rows: the row
+    quantization convention (Spark's ``round(float32(x) * 1000)``,
+    HALF_UP on the float32-precision product) belongs to
+    `quantized_embedding` and is oracle-pinned elsewhere — callers
+    collect it from the engine expression (or supply exact-grid ints)
+    so this reference cannot silently diverge on .5 boundaries or
+    float32-vs-float64 product rounding."""
     order = np.argsort(ids, kind="stable")
     ids = np.asarray(ids)[order]
-    Q = np.round(np.asarray(vecs, dtype=np.float64)[order] * 1000).astype(
-        np.int64
-    )
+    Q = np.asarray(qvecs, dtype=np.int64)[order]
 
     def unit(X):
         n = np.linalg.norm(X, axis=1, keepdims=True)
@@ -73,14 +78,22 @@ def emb(spark):
 
 
 def test_kmeans_matches_independent_reference(spark, emb):
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        quantized_embedding,
+    )
+
     got = {
         r["vec_id"]: (r["cluster"], r["cosine"])
         for r in kmeans_embeddings(emb, k=8, iters=5).collect()
     }
-    rows = emb.select("vec_id", "embedding").collect()
+    # quantize through the ENGINE expression so the reference shares
+    # the exact row ints (float32-product HALF_UP is Spark's semantics)
+    rows = emb.select(
+        "vec_id", quantized_embedding(F.col("embedding")).alias("qv")
+    ).collect()
     expect = numpy_kmeans_reference(
         [r["vec_id"] for r in rows],
-        [r["embedding"] for r in rows],
+        [r["qv"] for r in rows],
         k=8,
         iters=5,
     )
@@ -174,7 +187,10 @@ def test_kmeans_property_matches_reference(spark, rows, k, iters, parts):
         r["vec_id"]: (r["cluster"], r["cosine"])
         for r in kmeans_embeddings(df, k=k, iters=iters).collect()
     }
-    expect = numpy_kmeans_reference(list(range(len(rows))), rows, k, iters)
+    # on the k/8 grid x*1000 is an exact integer, so Python round ==
+    # the engine quantization
+    qvecs = [[round(x * 1000) for x in v] for v in rows]
+    expect = numpy_kmeans_reference(list(range(len(rows))), qvecs, k, iters)
     assert got == expect
 
 

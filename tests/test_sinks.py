@@ -807,3 +807,48 @@ def test_index_layouts_compact_with_standard_lake_maintenance(spark, tmp_path):
         sorted(map(tuple, lsh_index_probe(spark, path, queries).collect()))
         == before_probe
     )
+
+
+def test_compact_flat_relation_retry_protocol(spark, tmp_path):
+    """The crash-safety claim, exercised: (a) a COMMITTED scratch
+    sibling with a truncated target — the overwrite-back crash window
+    — must be treated as the recovery copy, never overwritten by
+    re-staging the damaged target; (b) an UNCOMMITTED scratch leftover
+    is discarded and the intact target re-staged; (c) target_files is
+    honored on the FINAL write, not just the staging one."""
+    import glob
+    import os
+    import shutil
+
+    from twitch_stream_data_pipeline_spark.sinks import compact_flat_relation
+
+    path = str(tmp_path / "rel")
+    rows = [(i, f"v{i}") for i in range(20)]
+    spark.createDataFrame(rows, "id long, v string").repartition(
+        4
+    ).write.parquet(path)
+    want = sorted(map(tuple, rows))
+
+    # (a) committed scratch + truncated target: simulate a crash after
+    # stage committed, mid-overwrite-back
+    tmp = path + "__compacting"
+    spark.read.parquet(path).repartition(1).write.parquet(tmp)
+    assert os.path.exists(f"{tmp}/_SUCCESS")
+    shutil.rmtree(path)
+    os.makedirs(path)  # empty, uncommitted target — the crash state
+    compact_flat_relation(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(tmp)
+
+    # (b) uncommitted scratch leftover (no _SUCCESS): target is intact,
+    # the leftover must be discarded, compaction proceeds normally
+    os.makedirs(f"{tmp}/garbage")
+    compact_flat_relation(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(tmp)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
+
+    # (c) target_files sizes the final layout
+    compact_flat_relation(spark, path, target_files=3)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 3
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want

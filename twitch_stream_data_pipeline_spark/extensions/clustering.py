@@ -302,8 +302,11 @@ def cluster_balanced_sample(
     w = Window.partitionBy(cluster_col).orderBy(
         F.md5(F.col(id_col).cast("string")), id_col
     )
+    rk = "__rk"
+    while rk in df.columns:  # never clobber a caller's column
+        rk += "_"
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= per_cluster)
-        .drop("__rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= per_cluster)
+        .drop(rk)
     )

@@ -499,17 +499,33 @@ def compact_flat_relation(
     Materialize-then-overwrite through a scratch sibling (the dim
     upserter's pattern): Spark refuses to overwrite a path its plan is
     reading, and staging through the scratch dir makes the rewrite two
-    committed jobs on any filesystem — no raw delete/rename window in
-    which a crash loses the relation outright. ``target_files`` sizes
-    the output (one file for anything modest; shard a multi-GB ids
-    relation). Single-writer maintenance-window semantics, like every
+    committed jobs — while the target is being overwritten, the
+    committed scratch copy is the recovery point. Crash/retry
+    protocol: a re-run first inspects the scratch sibling. A COMMITTED
+    scratch (``_SUCCESS`` present) means the previous run crashed
+    during or after the overwrite-back, when the target may be partial
+    — the retry must RESUME from the scratch copy, never re-read the
+    target (re-staging a truncated target would overwrite the only
+    complete copy). An uncommitted scratch means the crash happened
+    mid-stage while the target was still intact: discard it and start
+    over. ``target_files`` sizes the output on BOTH writes (one file
+    for anything modest; shard a multi-GB ids relation — without the
+    second repartition the overwrite-back would inherit the file
+    scan's split packing, not the requested shard count).
+    Single-writer maintenance-window semantics, like every
     non-transactional parquet rewrite in this layer."""
     tmp = path.rstrip("/") + "__compacting"
-    spark.read.parquet(path).repartition(target_files).write.mode(
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    success = spark._jvm.org.apache.hadoop.fs.Path(tmp + "/_SUCCESS")
+    if not fs.exists(success):
+        if fs.exists(jtmp):  # uncommitted leftover; target still intact
+            fs.delete(jtmp, True)
+        spark.read.parquet(path).repartition(target_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+    spark.read.parquet(tmp).repartition(target_files).write.mode(
         "overwrite"
-    ).parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
+    ).parquet(path)
+    fs.delete(jtmp, True)
 
