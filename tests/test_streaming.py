@@ -1240,3 +1240,65 @@ def test_streaming_ingest_full_redelivery_emits_nothing(spark, tmp_path):
         for r in spark.read.parquet(f"{path}/_ids").collect()
     }
     assert ids_after == ids_before == {100, 2, 3}
+
+
+def test_streaming_semantic_routing_with_persisted_kmeans(spark, tmp_path):
+    """The clustering tier in the 15-min cadence: a standing k-means
+    model (build once) routes every streaming micro-batch to semantic
+    clusters via foreachBatch -> assign_with_model — batch-sized cost
+    per tick, the dedup_ingest/embedding_ingest economics. Streamed
+    assignments must equal assigning the whole corpus in one batch
+    (the model is fixed, so routing is order- and batching-
+    independent), and per-cluster running counts accumulate exactly."""
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.extensions.clustering import (
+        assign_with_model,
+        build_kmeans_model,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = str(tmp_path / "kmodel")
+    build_kmeans_model(emb, model, k=4, iters=3)
+
+    # three "ingest" micro-batches of unseen vectors: reuse fixture
+    # vectors under fresh ids so expected routing is well-defined
+    batches = [
+        emb.filter((F.col("vec_id") % 3) == i).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+        for i in range(3)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    routed: list[tuple] = []
+    counts: dict[int, int] = {}
+
+    def sink(df, epoch_id):
+        out = assign_with_model(spark, model, df).collect()
+        routed.extend((r["vec_id"], r["cluster"]) for r in out)
+        for r in out:
+            counts[r["cluster"]] = counts.get(r["cluster"], 0) + 1
+
+    schema = emb.schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = sorted(
+        (r["vec_id"] + 10000, r["cluster"])
+        for r in assign_with_model(spark, model, emb).collect()
+    )
+    assert sorted(routed) == whole
+    assert sum(counts.values()) == emb.count()
