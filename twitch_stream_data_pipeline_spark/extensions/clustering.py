@@ -56,6 +56,16 @@ cluster 0.
 Empty clusters keep their previous centroid (standard Lloyd practice;
 deterministic). Initial centroids are the unit rows of the first
 ``k`` vectors ordered by id — fixed init, like the sample trainer.
+
+Contract bound: ``k x d`` must be model-state-sized (the IVF
+quantizer's contract) — it is collected to the driver each round and
+rides into the Arrow closure. That holds through curation-scale
+cluster counts (k=10k x d=1k ≈ 80 MB of int64); a k so large the
+centroids themselves are data (web-scale k≈1M) needs the
+centroids-as-relation formulation (assignment becomes a join against
+a bucketed centroid table, the update a plain aggregation on it) —
+out of scope here, and SemDeDup-style curation runs at the former
+scale.
 """
 
 from __future__ import annotations
