@@ -18,8 +18,8 @@ Scale shape (the 100 TB contract): one scan per iteration — Lloyd's
 at scale IS iterated scans; nothing corpus-sized ever sits on the
 driver or shuffles. Per iteration:
 
-1. centroids (k x d float64, model-state-sized) broadcast into one
-   Arrow pass that assigns each row (argmax of one matmul) and
+1. centroids (k x d int64-quantized, model-state-sized) broadcast
+   into one Arrow pass that assigns each row (argmax of one matmul) and
    emits PER-BATCH PARTIAL SUMS — (cluster, n, coordinate-sum
    array<long>) — so the Python boundary outputs O(batches x k)
    rows, never O(N);
