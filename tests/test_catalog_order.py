@@ -49,8 +49,10 @@ def test_every_oracle_query_graded_or_in_window():
 
     repo = Path(__file__).resolve().parents[1]
     graded = set()
-    for r in range(1, 7):
-        rows = json.load(open(repo / f"CORRECTNESS_r0{r}.json"))
+    evidence = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert len(evidence) >= 6  # r01-r06 exist; later rounds join as written
+    for path in evidence:
+        rows = json.load(open(path))
         graded |= {
             n
             for n, row in rows.items()
