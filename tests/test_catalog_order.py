@@ -86,6 +86,42 @@ def test_r06_first_timers_hold_their_slots_for_a_second_grade():
         assert window.index(name) == r06_order.index(name), name
 
 
+def test_rotated_out_oracle_queries_hold_two_green_rounds():
+    """The rotation-eligibility rule (VERDICT r7 #2, the round-7
+    section-2 plan comment): an oracle-bearing query may leave the
+    50-slot graded window only after >= 2 green driver rounds in its
+    history. Reads every CORRECTNESS_r*.json present, so each new
+    driver round tightens the evidence automatically; a premature
+    rotation (e.g. swapping out a one-green first-timer like
+    ivfpq_index_exact after r07) fails here mechanically."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    green_rounds: dict[str, int] = {}
+    evidence = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert len(evidence) >= 7  # r01-r07 exist; later rounds join as written
+    for path in evidence:
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                green_rounds[name] = green_rounds.get(name, 0) + 1
+    window = set(EXPOSURE_ORDER[:HARNESS_WINDOW])
+    premature = {
+        name: green_rounds.get(name, 0)
+        for name in EXPOSURE_ORDER[HARNESS_WINDOW:]
+        if CATALOG[name].oracle is not None and green_rounds.get(name, 0) < 2
+    }
+    assert not premature, (
+        f"oracle queries rotated out before two green driver rounds: "
+        f"{premature}"
+    )
+    # and the inverse sanity: at most ONE in-window oracle query may be
+    # evidence-free (the single per-round swap-in the stability rule
+    # permits — round 8: kmeans_assign_exact)
+    ungraded = [n for n in window if green_rounds.get(n, 0) == 0]
+    assert len(ungraded) <= 1, ungraded
+
+
 def test_queries_and_oracles_follow_exposure_order():
     assert list(queries()) == list(EXPOSURE_ORDER)
     oracles = oracle_sql()
@@ -121,14 +157,15 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_documented_r7_rotation():
-    """VERDICT r6 #1: the round-7 window is the round-6 window held
+def test_window_is_documented_r8_rotation():
+    """VERDICT r7 #1/#2: the round-8 window is the round-7 window held
     STABLE — the 42 round-6 first-timers keep their exact slots for a
-    second consecutive grade — with exactly ONE permitted change: the
-    new exact-mode on-disk IVF+PQ query (ivfpq_index_exact, VERDICT
-    r6 #2) takes the slot of bm25_topk, the retained query with four
-    green rounds; bm25_topk joins the rotated-out tail. This pins the
-    exact graded order for the r07 run."""
+    third consecutive grade and ivfpq_index_exact keeps its slot for
+    its second — with exactly ONE permitted change: the new exact-mode
+    clustering-kernel query (kmeans_assign_exact) takes the slot of
+    trailing_hour_sum, the retained query with four green rounds
+    (r04-r07); trailing_hour_sum joins the rotated-out tail. This pins
+    the exact graded order for the r08 run."""
     expected = [
         # 1a flagship round-5 tiers
         "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
@@ -154,15 +191,17 @@ def test_window_is_documented_r7_rotation():
         # incremental ingest gates over both
         "ivf_index_knn", "lsh_index_probe", "dedup_ingest",
         "embedding_ingest",
-        # 2 retained (+ the one r7 swap-in, ivfpq_index_exact)
+        # 2 retained (+ the r7 swap-in ivfpq_index_exact holding for
+        # its second grade, + the one r8 swap-in kmeans_assign_exact)
         "winnow_near_dup", "bpe_token_stats", "variant_topk_props",
         "stratified_sample", "ivf_knn_exact", "multimodal_decode",
-        "ivfpq_index_exact", "trailing_hour_sum",
+        "ivfpq_index_exact", "kmeans_assign_exact",
     ]
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
+        "trailing_hour_sum",
         "bm25_topk",
         "curate_events", "corpus_curation", "dedup_clusters",
         "salted_distinct_users", "csv_roundtrip", "simhash_near_dup",
@@ -179,7 +218,7 @@ def test_window_is_documented_r7_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 43
+    assert len(rotated_out) == 44
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 

@@ -244,3 +244,110 @@ def test_cluster_balanced_sample_plans_partitioned_window(spark, emb):
     plan = cluster_balanced_sample(assigned, 3)._jdf.queryExecution().executedPlan().toString()
     window_lines = [l for l in plan.splitlines() if "Window" in l]
     assert window_lines and all("cluster" in l for l in window_lines)
+
+
+# ---------------------------------------------------------------------------
+# assign_to_centroids — the factored-out assignment kernel (round 8):
+# fixed caller-supplied centroids, scored RAW (no unit normalization),
+# the exact-mode entry the kmeans_assign_exact oracle grades.
+# ---------------------------------------------------------------------------
+
+from twitch_stream_data_pipeline_spark.extensions.clustering import (  # noqa: E402
+    assign_to_centroids,
+)
+
+
+def _qrows(df):
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        quantized_embedding,
+    )
+
+    rows = (
+        df.select("vec_id", quantized_embedding(F.col("embedding")).alias("qv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [r["vec_id"] for r in rows], np.array(
+        [r["qv"] for r in rows], dtype=np.int64
+    )
+
+
+def test_assign_to_centroids_matches_independent_reference(spark, emb):
+    """EXACT float equality (last bit) vs an independent numpy
+    restatement of the spec: raw int64-quantized centroids, score =
+    exact int dot / sqrt(exact int norms, guarded), first-max
+    tie-break."""
+    k = 8
+    ids, Q = _qrows(emb)
+    C = Q[:k]
+    dots = (Q @ C.T).astype(np.float64)
+    qn = (Q * Q).sum(axis=1).astype(np.float64)
+    cn = (C * C).sum(axis=1).astype(np.float64)
+    sims = dots / np.sqrt(
+        np.where(qn == 0, 1.0, qn)[:, None]
+        * np.where(cn == 0, 1.0, cn)[None, :]
+    )
+    want = {
+        int(i): (int(a), float(s))
+        for i, a, s in zip(
+            ids, sims.argmax(axis=1), sims[np.arange(len(ids)), sims.argmax(axis=1)]
+        )
+    }
+    got = {
+        r["vec_id"]: (r["cluster"], r["cosine"])
+        for r in assign_to_centroids(emb, emb.orderBy("vec_id").limit(k)).collect()
+    }
+    assert got == want  # exact, not approx — the determinism contract
+
+
+def test_assign_to_centroids_partition_independent(spark, emb):
+    base = {
+        tuple(r)
+        for r in assign_to_centroids(
+            emb.repartition(1), emb.orderBy("vec_id").limit(5)
+        ).collect()
+    }
+    other = {
+        tuple(r)
+        for r in assign_to_centroids(
+            emb.repartition(7), emb.orderBy("vec_id").limit(5)
+        ).collect()
+    }
+    assert base == other
+
+
+def test_assign_to_centroids_scale_invariant_and_tiebreak(spark):
+    """cosine divides by the centroid norm, so doubling a centroid
+    changes nothing (and x2 is fp-exact: byte-identical cosines);
+    duplicated centroids tie on every score and the LOWEST cluster id
+    wins."""
+    rows = [(i, [float(x) / 1000.0 for x in v]) for i, v in
+            [(0, [1000, 0]), (1, [0, 1000]), (2, [700, 700]), (3, [0, 0])]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    c2 = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (1, [0.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    a1 = sorted(tuple(r) for r in assign_to_centroids(df, c1).collect())
+    a2 = sorted(tuple(r) for r in assign_to_centroids(df, c2).collect())
+    assert a1 == a2
+    # the diagonal row ties between both centroids -> cluster 0;
+    # the zero row scores 0 everywhere -> cluster 0 (module contract)
+    by_id = {r[0]: r[1] for r in a1}
+    assert by_id[2] == 0 and by_id[3] == 0
+    dup = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert {r["cluster"] for r in assign_to_centroids(df, dup).collect()} == {0}
+
+
+def test_assign_to_centroids_empty_inputs(spark, emb):
+    empty = emb.filter(F.lit(False))
+    out = assign_to_centroids(emb, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cluster", "cosine"]
+    out2 = assign_to_centroids(empty, emb.orderBy("vec_id").limit(3))
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["vec_id", "cluster", "cosine"]

@@ -217,6 +217,66 @@ def kmeans_embeddings(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroid_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str | None = None,
+    centroid_vec_col: str | None = None,
+) -> DataFrame:
+    """Assign every row of ``df`` to the nearest of a FIXED set of
+    caller-supplied centroid rows: ``(id_col, cluster, cosine)``.
+
+    This is the k-means ASSIGNMENT step factored out of the Lloyd
+    loop — the exact-mode entry point that makes the clustering
+    machinery relationally statable (the ``ivf_knn_exact`` /
+    ``ivfpq_index_exact`` recipe): with centroids fixed in advance
+    there is no iteration, and "argmax quantized cosine, lowest
+    cluster id on ties" is plain SQL, so the whole scoring path
+    (:func:`_quantized_rows` -> broadcast int64 centroids ->
+    :func:`_centroid_pass`) gets a full differential oracle instead
+    of a rows-only check. The iterated path (:func:`kmeans_embeddings`)
+    runs the SAME pass per round, so a green here grades the scoring
+    kernel the Lloyd loop is built from.
+
+    ``centroid_df`` supplies one row per centroid; cluster ``i`` is
+    the row with the i-th smallest ``centroid_id_col`` (default:
+    ``id_col``), making the id order — not partition order — the
+    cluster numbering. Centroid vectors go through the module's
+    int64 quantization (``round(x * 1000)``) and are scored RAW,
+    without unit normalization: cosine divides by the centroid norm,
+    so assignment and cosine values are invariant to centroid scale,
+    and skipping the driver-side re-quantization keeps every scored
+    number derivable from the stored table by exact integer
+    arithmetic (the determinism contract, and what the DuckDB oracle
+    states). The centroid set is collected to the driver —
+    model-state-sized by contract, like the Lloyd init.
+
+    Useful beyond the oracle: routing a corpus against externally
+    defined anchors (taxonomy exemplars, per-domain reference
+    documents) is this operation verbatim.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    cid = centroid_id_col or id_col
+    cvec = centroid_vec_col or vec_col
+    rows = (
+        _quantized_rows(centroid_df, cid, cvec)
+        .orderBy("rid")
+        .collect()  # intentionally driver-side: k centroid rows (model-state-sized)
+    )
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster int, cosine double"
+        )
+    cent_q = np.array([r["qv"] for r in rows], dtype=np.int64)
+    return _centroid_pass(
+        _quantized_rows(df, id_col, vec_col), cent_q, partials_only=False
+    ).select(F.col("rid").alias(id_col), "cluster", "cosine")
+
+
 def build_kmeans_model(
     df: DataFrame,
     path: str,
