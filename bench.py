@@ -211,6 +211,43 @@ def _index_splits(sf_dir: str):
     }
 
 
+def wait_for_idle_host(
+    getloadavg=os.getloadavg, sleep=time.sleep
+) -> tuple[tuple[float, float, float], str, int, float]:
+    """Idle-host gate (VERDICT r7 "what's wrong" #1): the r07 record of
+    record was taken at loadavg 7.7 and became the least comparable
+    bench artifact in seven rounds. Cross-round totals are only
+    meaningful when the host is quiet at launch, so when 1-min loadavg
+    exceeds SPARK_GRAFT_LOAD_MAX (default 2.0) we WAIT — bounded at
+    SPARK_GRAFT_LOAD_TRIES sleeps of SPARK_GRAFT_LOAD_SLEEP seconds
+    (default 10 x 30s) — and record every attempt in the JSON line. If
+    the budget runs out we still measure (the driver needs a record),
+    but the artifact then says load_gate="exhausted" so nobody mistakes
+    it for a comparable number. Set SPARK_GRAFT_LOAD_MAX=inf to opt out
+    explicitly. Returns (loadavg_at_measure_start, gate, attempts,
+    threshold)."""
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+    load_tries = int(os.environ.get("SPARK_GRAFT_LOAD_TRIES", "10"))
+    load_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "30"))
+    load_start = getloadavg()
+    waits = 0
+    while load_start[0] > load_max and waits < load_tries:
+        waits += 1
+        print(
+            f"# host busy (loadavg {load_start[0]:.2f} > {load_max}), "
+            f"wait {waits}/{load_tries} ({load_sleep:.0f}s)",
+            file=sys.stderr,
+        )
+        sleep(load_sleep)
+        load_start = getloadavg()
+    gate = (
+        "idle"
+        if load_start[0] <= load_max
+        else "exhausted"  # measured anyway; NOT cross-round comparable
+    )
+    return load_start, gate, waits, load_max
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -218,7 +255,7 @@ def main() -> None:
     # (loadavg_before is read after warmup + the first timed pass, so
     # it reflects the bench's OWN load — only loadavg_start can answer
     # "was the host idle when this run began".)
-    load_start = os.getloadavg()
+    load_start, load_gate, load_waits, load_max = wait_for_idle_host()
     spark = get_spark("bench")
 
     # warm the JVM, parquet reader, and codegen/JIT paths with a tiny
@@ -354,6 +391,9 @@ def main() -> None:
                 "steady_probe_queries": steady_probe,
                 "steady_median_probe_queries": steady_median_probe,
                 "loadavg_start": [round(x, 2) for x in load_start],
+                "load_gate": load_gate,
+                "load_wait_attempts": load_waits,
+                "load_gate_max": load_max,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,

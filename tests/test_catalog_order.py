@@ -122,6 +122,32 @@ def test_rotated_out_oracle_queries_hold_two_green_rounds():
     assert len(ungraded) <= 1, ungraded
 
 
+def test_stale_no_oracle_queries_document_their_graded_twin():
+    """VERDICT r7 #5: a query whose ONLY driver history is
+    err:no_oracle (it sat in the graded window before the
+    no-oracle-in-window rule existed) must say so — its description
+    names the oracle-graded successor, so the permanently-red-looking
+    rows in CORRECTNESS_r01/r02 can't be misread as open failures."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    ran_no_oracle = set()
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("err") == "no_oracle":
+                ran_no_oracle.add(name)
+    stale = {n for n in ran_no_oracle if CATALOG[n].oracle is None}
+    assert stale == {
+        "lsh_knn", "ivf_knn", "multimodal_features",
+        "approx_distinct_users", "group_outliers",
+    }, stale
+    undocumented = [
+        n for n in stale if "SUPERSEDED" not in CATALOG[n].doc
+    ]
+    assert not undocumented, undocumented
+
+
 def test_queries_and_oracles_follow_exposure_order():
     assert list(queries()) == list(EXPOSURE_ORDER)
     oracles = oracle_sql()

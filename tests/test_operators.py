@@ -1284,3 +1284,110 @@ def test_ensure_protobuf_failed_attempt_rolls_back(monkeypatch, tmp_path):
         os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
         == before_check
     )
+
+
+def test_ensure_protobuf_success_path_is_scoped():
+    """ADVICE r7 (medium): on the SUCCESS path the escape hatch and
+    the vendored tree must be scoped — the version-check-disable flag
+    lives only in WORKER_ENV (forwarded as spark.executorEnv by
+    get_spark, never the driver process env), and sys.path/PYTHONPATH
+    carry the protobuf-only shim, not the whole AppEngine platform
+    dir with its dozens of unrelated vendored packages."""
+    import os
+    import sys
+
+    from twitch_stream_data_pipeline_spark import compat
+
+    assert compat.ensure_protobuf()  # conftest already wired it; idempotent
+    if not compat.WORKER_ENV:
+        pytest.skip("real protobuf installation — no vendored wiring to scope")
+    assert compat.WORKER_ENV == {
+        "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK": "true"
+    }
+    # the hatch must not leak into the driver process environment,
+    # where it would mask mismatches for every protobuf consumer
+    assert "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
+    # only the scoped shim is importable, never the raw vendored tree
+    pythonpath = (os.environ.get("PYTHONPATH") or "").split(os.pathsep)
+    for root in compat._VENDORED_PROTOBUF_DIRS:
+        assert root not in sys.path
+        assert root not in pythonpath
+    shim_entries = [p for p in sys.path if "tswdp_protobuf_shim" in p]
+    assert shim_entries, "scoped shim missing from sys.path"
+    listing = os.listdir(shim_entries[0])
+    assert listing == ["google"]
+    assert os.listdir(os.path.join(shim_entries[0], "google")) == ["protobuf"]
+    # and the eager validation left the gencode resident for the driver
+    assert "pyspark.sql.streaming.proto.StateMessage_pb2" in sys.modules
+
+
+def test_dedup_ingest_survivors_pinned_before_index_mutation(spark, tmp_path):
+    """ADVICE r7: the survivors relation embeds the gate pipeline,
+    which scans the very postings/_ids paths append=True mutates.
+    The returned handle must be MATERIALIZED before the append —
+    otherwise any file-listing refresh makes a later collect re-run
+    the gates against the batch's own postings and report zero
+    survivors for a batch that was in fact appended."""
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        build_lsh_index,
+        dedup_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(100, "established corpus document about streaming analytics")],
+        schema,
+    )
+    path = str(tmp_path / "pin")
+    build_lsh_index(corpus, path)
+
+    batch = spark.createDataFrame(
+        [(1, "a shiny new document with entirely fresh content here")],
+        schema,
+    )
+    survivors = dedup_ingest(spark, path, batch, append=True)
+    # the returned plan must be the MATERIALIZED rows (LogicalRDD), not
+    # the gate pipeline: re-listing the mutated index paths on a later
+    # action is exactly what the pin forbids. (A file-listing refresh
+    # can't be forced from here — each DataFrame captures its own
+    # InMemoryFileIndex — so the plan shape IS the testable contract.)
+    plan = survivors._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan, plan
+    assert "parquet" not in plan.lower(), plan  # no index scan survives
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(f"{path}/_ids")
+    assert [r["doc_id"] for r in survivors.collect()] == [1]
+    # and again: the materialized handle is stable across actions
+    assert survivors.count() == 1
+
+
+def test_embedding_ingest_decision_pinned_before_index_mutation(
+    spark, tmp_path
+):
+    """The IVF twin of the pin above: with append=True the returned
+    decision relation must not re-probe the layout after the batch's
+    own vectors were appended (they would match themselves at cosine
+    1.0 and flip keep to False on a listing refresh)."""
+    from twitch_stream_data_pipeline_spark.extensions.similarity import (
+        build_ivf_index,
+        embedding_ingest,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.9, 0.1, 0.0, 0.0])], schema
+    )
+    path = str(tmp_path / "ivf_pin")
+    build_ivf_index(corpus, path, n_cells=2)
+
+    batch = spark.createDataFrame([(1, [0.0, 0.0, 1.0, 0.0])], schema)
+    decided = embedding_ingest(
+        spark, path, batch, threshold=0.9, append=True
+    )
+    plan = decided._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan, plan
+    assert "parquet" not in plan.lower(), plan  # no index scan survives
+    spark.catalog.refreshByPath(path)
+    rows = decided.collect()
+    assert len(rows) == 1 and rows[0]["keep"] is True
+    assert decided.filter("keep").count() == 1

@@ -852,3 +852,58 @@ def test_compact_flat_relation_retry_protocol(spark, tmp_path):
     compact_flat_relation(spark, path, target_files=3)
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == 3
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+
+def test_compact_flat_relation_resume_guard(spark, tmp_path):
+    """ADVICE r7: a committed scratch is the recovery source only
+    while the target has not advanced past it. (d) target _SUCCESS
+    newer + equal row counts = the overwrite-back completed and only
+    the cleanup crashed -> drop the scratch, touch nothing; (e) target
+    _SUCCESS newer + DIFFERENT counts = appends interleaved with the
+    crashed compaction -> refuse loudly, both copies preserved
+    (resuming would silently drop the interleaved appends)."""
+    import glob
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.sinks import compact_flat_relation
+
+    rows = [(i, f"v{i}") for i in range(20)]
+    want = sorted(map(tuple, rows))
+
+    # (d) completed overwrite-back, crashed before scratch cleanup
+    path = str(tmp_path / "done")
+    tmp = path + "__compacting"
+    spark.createDataFrame(rows, "id long, v string").repartition(
+        4
+    ).write.parquet(path)
+    spark.read.parquet(path).repartition(1).write.parquet(tmp)
+    old = time.time() - 3600
+    os.utime(f"{tmp}/_SUCCESS", (old, old))  # scratch committed FIRST
+    n_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    compact_flat_relation(spark, path)
+    assert not os.path.exists(tmp)  # cleanup finished the job
+    # and the target was NOT rewritten from the scratch (file layout
+    # untouched proves the skip path ran, not a resume)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == n_files
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    # (e) appends landed after the scratch committed: refuse
+    path2 = str(tmp_path / "advanced")
+    tmp2 = path2 + "__compacting"
+    spark.createDataFrame(rows, "id long, v string").write.parquet(path2)
+    spark.read.parquet(path2).repartition(1).write.parquet(tmp2)
+    os.utime(f"{tmp2}/_SUCCESS", (old, old))
+    extra = [(100, "appended"), (101, "appended")]
+    spark.createDataFrame(extra, "id long, v string").write.mode(
+        "append"
+    ).parquet(path2)  # the interleaved ingest append (bumps _SUCCESS)
+    with _pytest.raises(RuntimeError, match="refusing to resume"):
+        compact_flat_relation(spark, path2)
+    # both copies preserved for the operator
+    assert os.path.exists(f"{tmp2}/_SUCCESS")
+    assert sorted(map(tuple, spark.read.parquet(path2).collect())) == sorted(
+        want + [tuple(r) for r in extra]
+    )

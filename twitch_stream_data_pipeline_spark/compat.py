@@ -9,12 +9,28 @@ protobuf runtime (6.x) is present inside the Google Cloud SDK's
 AppEngine platform directory on typical GCE images. ``ensure_protobuf``
 makes it importable WITHOUT installing anything: if ``google.protobuf``
 is already importable it is a no-op; otherwise, when a known vendored
-copy exists on disk, its parent directory is appended to ``sys.path``
-(driver) and ``PYTHONPATH`` (so Spark's Python workers, which inherit
-the environment at session start, see it too).
+copy exists on disk, a SCOPED shim directory exposing ONLY
+``google/protobuf`` (one namespace-package symlink, nothing else from
+the vendored tree — ADVICE r7) is appended to ``sys.path`` (driver) and
+``PYTHONPATH`` (so Spark's Python workers, which inherit the
+environment at session start, see it too).
 
-If neither source exists, callers degrade exactly as before (the
-streaming test skips). ``requirements.txt`` records the dependency for
+The vendored runtime may trail the gencode shipped inside pyspark by a
+minor version (observed: runtime 6.32-dev vs StateMessage_pb2 gencode
+6.33), which protobuf's loader rejects outright; protobuf's documented
+escape hatch (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) covers
+exactly this same-major drift. Scoping that hatch is the other ADVICE
+r7 point: leaving it in the process env would disable gencode/runtime
+validation for EVERY protobuf consumer in the process. Instead the
+driver sets it only around ONE eager validation import of the pyspark
+gencode (which then sits in ``sys.modules`` for the process lifetime)
+and restores it; Spark's Python workers — which run their own import —
+receive the flag through ``spark.executorEnv`` (:data:`WORKER_ENV`,
+applied by ``session.get_spark``), never through the driver's
+environment.
+
+If no runtime exists, callers degrade exactly as before (the streaming
+test skips). ``requirements.txt`` records the dependency for
 environments where installing is allowed.
 """
 
@@ -23,6 +39,7 @@ from __future__ import annotations
 import importlib.util
 import os
 import sys
+import tempfile
 
 #: Vendored protobuf runtimes known to exist on stock images, in
 #: preference order. Each entry is a directory containing a
@@ -31,15 +48,80 @@ _VENDORED_PROTOBUF_DIRS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 
+_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+#: Env vars the Spark session must forward to its Python workers
+#: (``session.get_spark`` turns each into ``spark.executorEnv.*``;
+#: pyspark copies those into every worker's environment, local mode
+#: included). Populated by :func:`ensure_protobuf` on the
+#: vendored-copy path only — a real protobuf installation never needs
+#: any of this.
+WORKER_ENV: dict[str, str] = {}
+
+
+def _scoped_shim(root: str) -> str | None:
+    """Build (idempotently) a path entry exposing ONLY
+    ``google/protobuf`` from the vendored tree at ``root``: a shim
+    directory holding a bare ``google/`` namespace dir (no
+    ``__init__.py``) with a single symlink ``protobuf`` into the
+    vendored copy. Putting the SHIM on ``sys.path`` instead of the
+    whole AppEngine platform dir keeps its dozens of unrelated
+    vendored packages un-importable (ADVICE r7). Returns None when
+    the shim cannot be built (symlink-less filesystem); the caller
+    falls back to the unscoped root rather than losing streaming."""
+    target = os.path.join(root, "google", "protobuf")
+    shim = os.path.join(
+        tempfile.gettempdir(), f"tswdp_protobuf_shim_{os.getuid()}"
+    )
+    link = os.path.join(shim, "google", "protobuf")
+    try:
+        os.makedirs(os.path.join(shim, "google"), exist_ok=True)
+        if os.path.islink(link) and os.readlink(link) == target:
+            return shim
+        # replace-over-rename so concurrent builders can't race into a
+        # half-created entry
+        tmp = f"{link}.tmp.{os.getpid()}"
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
+        return shim
+    except OSError:
+        return None
+
+
+def _validate_gencode() -> bool:
+    """Eagerly import the one gencode consumer this engine needs
+    (pyspark's StateMessage_pb2) with the version-check escape hatch
+    enabled, then RESTORE the flag. Success leaves the module in
+    ``sys.modules`` — later driver-side imports reuse it without
+    re-validating — while the process env goes back to validating
+    every OTHER protobuf consumer normally. Failure means the
+    vendored runtime cannot serve the gencode even with the hatch,
+    so the caller must roll back and report no protobuf."""
+    prev = os.environ.get(_FLAG)
+    os.environ[_FLAG] = "true"
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:  # noqa: BLE001 — any load failure = unusable runtime
+        return False
+    finally:
+        if prev is None:
+            os.environ.pop(_FLAG, None)
+        else:
+            os.environ[_FLAG] = prev
+
 
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable if at all possible.
 
     Returns True when the import will succeed (already installed, or a
-    vendored copy was wired onto ``sys.path`` + ``PYTHONPATH``); False
-    when no runtime exists and callers should gate/skip. Must run
-    BEFORE the SparkSession is created for Python workers to inherit
-    the path.
+    vendored copy was wired onto ``sys.path`` + ``PYTHONPATH`` through
+    the scoped shim and its gencode compatibility was PROVEN by an
+    eager import); False when no usable runtime exists and callers
+    should gate/skip. Must run BEFORE the SparkSession is created for
+    Python workers to inherit the path, and sessions must be built via
+    ``session.get_spark`` so :data:`WORKER_ENV` reaches the workers.
     """
     try:
         if importlib.util.find_spec("google.protobuf") is not None:
@@ -49,52 +131,36 @@ def ensure_protobuf() -> bool:
     for root in _VENDORED_PROTOBUF_DIRS:
         if not os.path.isdir(os.path.join(root, "google", "protobuf")):
             continue
+        entry = _scoped_shim(root) or root
         # Snapshot everything the attempt mutates so a FAILED attempt
-        # rolls back cleanly: leaving the AppEngine tree on sys.path /
-        # PYTHONPATH (arbitrary extra modules become importable in
-        # every child process) and the version-check-disable flag set
-        # (masks real gencode/runtime mismatches elsewhere) is only
-        # acceptable when the import actually works (review r7).
-        added_sys = root not in sys.path
+        # rolls back cleanly (review r7): leaving the path entry wired
+        # when the runtime cannot actually serve the gencode would
+        # make every child process resolve a half-working protobuf.
+        added_sys = entry not in sys.path
         prev_pythonpath = os.environ.get("PYTHONPATH")
-        prev_check = os.environ.get(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
-        )
         if added_sys:
-            sys.path.append(root)
+            sys.path.append(entry)
         current = prev_pythonpath or ""
-        if root not in current.split(os.pathsep):
+        if entry not in current.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                f"{current}{os.pathsep}{root}" if current else root
+                f"{current}{os.pathsep}{entry}" if current else entry
             )
-        # The vendored runtime may trail the gencode shipped inside
-        # pyspark by a minor version (observed: runtime 6.32-dev vs
-        # StateMessage_pb2 gencode 6.33), which protobuf's loader
-        # rejects outright. Protobuf's own documented escape hatch
-        # covers exactly this same-major drift; scope it to the
-        # vendored-copy path only (a real installation never sets
-        # it). Env var, so Spark's Python workers inherit it too.
-        os.environ.setdefault(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-        )
         try:
             ok = importlib.util.find_spec("google.protobuf") is not None
         except (ImportError, ModuleNotFoundError):
             ok = False
         if ok:
+            ok = _validate_gencode()
+        if ok:
+            # workers re-import the gencode in their own processes and
+            # need the same-major escape hatch there; forward it via
+            # executorEnv only (never the driver's environment)
+            WORKER_ENV[_FLAG] = "true"
             return True
-        if added_sys and root in sys.path:
-            sys.path.remove(root)
+        if added_sys and entry in sys.path:
+            sys.path.remove(entry)
         if prev_pythonpath is None:
             os.environ.pop("PYTHONPATH", None)
         else:
             os.environ["PYTHONPATH"] = prev_pythonpath
-        if prev_check is None:
-            os.environ.pop(
-                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
-            )
-        else:
-            os.environ[
-                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
-            ] = prev_check
     return False

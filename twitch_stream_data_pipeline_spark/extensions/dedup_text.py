@@ -808,14 +808,28 @@ def _lsh_params(spark, path: str) -> dict:
 def append_to_lsh_index(
     new_df: DataFrame, path: str, text_col: str = "text",
     id_col: str = "doc_id",
-) -> None:
+) -> DataFrame:
     """Incrementally extend a :func:`build_lsh_index` layout: band the
     new documents with the PERSISTED parameters and append their
     postings into the band partitions. Probes see old and new
-    documents identically; no rebuild, no re-banding of history."""
+    documents identically; no rebuild, no re-banding of history.
+
+    The batch is materialized ONCE (eager ``localCheckpoint``) before
+    any index mutation, and the pinned DataFrame is returned. In
+    :func:`dedup_ingest` the incoming plan embeds the gate pipeline,
+    which scans the very postings/``_ids`` paths this function appends
+    to; without the pin, the ``_ids`` write (and any later caller
+    action on the batch) would RE-execute that pipeline after the
+    postings append — correct only while Spark's cached
+    InMemoryFileIndex snapshot survives, and silently wrong (the batch
+    would gate against its own postings) on any listing refresh
+    (ADVICE r7). The pin also removes the second full gate probe per
+    ingest batch. Batch-sized blocks, the incremental-ingest contract.
+    """
     from ..sinks import write_partitioned
     from .model_io import fs_path_exists
 
+    new_df = new_df.localCheckpoint(eager=True)
     spark = new_df.sparkSession
     p = _lsh_params(spark, path)
     if not fs_path_exists(spark, f"{path}/_ids"):
@@ -844,6 +858,7 @@ def append_to_lsh_index(
         mode="append",
     )
     _write_lsh_ids(new_df, path, id_col, mode="append")
+    return new_df
 
 
 def lsh_index_probe(
@@ -1019,5 +1034,10 @@ def dedup_ingest(
         drop_ids = drop_ids.unionByName(existing)
     survivors = new_df.join(drop_ids.distinct(), id_col, "left_anti")
     if append:
-        append_to_lsh_index(survivors, path, text_col, id_col=id_col)
+        # the returned handle is the MATERIALIZED batch: collecting it
+        # later must not re-run the gates against the index paths the
+        # append just mutated (ADVICE r7)
+        survivors = append_to_lsh_index(
+            survivors, path, text_col, id_col=id_col
+        )
     return survivors

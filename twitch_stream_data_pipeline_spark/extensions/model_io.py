@@ -57,9 +57,19 @@ def read_small_parquet(spark, path: str) -> list[dict]:
     """
     local = _local_dir(path, _default_fs(spark))
     if local is not None:
-        try:
-            import pyarrow.parquet as pq
+        # Narrow fallback classes only (ADVICE r7): an absent/renamed
+        # layout (FileNotFoundError), a footer pyarrow rejects
+        # (ArrowInvalid — Spark's reader is more lenient on some
+        # legacy encodings), or an OS-level read failure. Anything
+        # else (a genuinely corrupt file, OOM) must PROPAGATE — a
+        # blanket retry through Spark would either surface the same
+        # corruption twice or, worse, succeed with subtly different
+        # decoding and hand callers type-divergent dicts depending on
+        # which reader ran.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
+        try:
             files = sorted(glob.glob(os.path.join(local, "*.parquet")))
             if not files:  # e.g. only _SUCCESS markers — fall back
                 raise FileNotFoundError(local)
@@ -68,6 +78,12 @@ def read_small_parquet(spark, path: str) -> list[dict]:
             for t in tables:
                 rows.extend(t.to_pylist())
             return rows
-        except Exception:
-            pass  # malformed local layout: let Spark produce the error
+        except (FileNotFoundError, pa.ArrowInvalid, OSError) as exc:
+            import sys
+
+            print(
+                f"# read_small_parquet: pyarrow fast path failed for "
+                f"{path} ({exc!r}); falling back to the Spark reader",
+                file=sys.stderr,
+            )
     return [r.asDict() for r in spark.read.parquet(path).collect()]

@@ -1419,6 +1419,15 @@ def embedding_ingest(
         id_col, "nearest_id", "nearest_cosine", keep.alias("keep")
     )
     if append:
+        # Materialize the decision relation ONCE before mutating the
+        # layout (the dedup_ingest pin, ADVICE r7): `decided` embeds
+        # the probe + existing-id scans of `path`; executing it again
+        # after the append — for the survivors join here, or when the
+        # caller collects the returned relation — would only stay
+        # correct while Spark's cached file-index snapshot survives.
+        # On any listing refresh the batch would score against its own
+        # just-appended vectors (cosine 1.0 => keep flips False).
+        decided = decided.localCheckpoint(eager=True)
         survivors = new_vecs.join(
             decided.filter("keep").select(id_col), id_col
         )

@@ -1362,7 +1362,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate by construction; verified against cosine_knn in tests
     ("similarity", "ext", "lsh"),
     "LSH-bucketed approximate top-5 (random-hyperplane buckets) — the "
-    "sub-linear scale path; recall asserted against cosine_knn in tests.",
+    "sub-linear scale path; recall asserted against cosine_knn in tests. "
+    "SUPERSEDED for driver grading (last driver run r02, no_oracle by "
+    "design): the machinery's oracle-graded twins are cosine_knn (the "
+    "exact scorer it approximates, green r01-r05) and lsh_index_probe "
+    "(the materialized LSH layout, green r06-r07); this entry stays for "
+    "the in-memory approximate API surface, pytest-covered.",
 )
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -1411,7 +1416,12 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("similarity", "udf", "ext"),
     "Per-label embedding outlier scoring (centroid distance + in-group "
     "z-score) via grouped-map applyInPandas — the whole-group-in-one-"
-    "frame member of the UDF surface (SURVEY.md 2.8).",
+    "frame member of the UDF surface (SURVEY.md 2.8). SUPERSEDED for "
+    "driver grading (last driver run r02, no_oracle by design): "
+    "group_outliers_scalable states the SAME computation as "
+    "oracle-checkable relational ops and is driver-green (r06-r07); "
+    "this entry stays as the grouped-map API demonstration, with "
+    "1e-9 agreement between the two pinned in tests.",
 )
 def q_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.similarity import group_outlier_scores
@@ -1473,7 +1483,13 @@ def q_group_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_probe == n_cells and recall at n_probe < n_cells asserted in tests
     ("similarity", "ext", "ivf"),
     "IVF coarse-quantizer approximate top-5 (trained centroid cells, "
-    "n_probe=4 of 16) — the FAISS-IVF-shaped ANN scale path.",
+    "n_probe=4 of 16) — the FAISS-IVF-shaped ANN scale path. "
+    "SUPERSEDED for driver grading (last driver run r02, no_oracle by "
+    "design): ivf_knn_exact runs this SAME code path at n_probe == "
+    "n_cells under a full DuckDB oracle (green r06-r07), and "
+    "ivf_index_knn grades the on-disk layout (green r06-r07); this "
+    "entry keeps the pruning (n_probe < n_cells) recall surface, "
+    "pytest-covered.",
 )
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -1667,7 +1683,12 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # python-side stub decoder — rows-only check
     ("multimodal", "ext"),
     "Arrow-batched (mapInPandas) feature extraction over binary payloads with "
-    "the STUBBED decoder — exercises schema/batch plumbing end to end.",
+    "the STUBBED decoder — exercises schema/batch plumbing end to end. "
+    "SUPERSEDED for driver grading (last driver run r02, no_oracle by "
+    "design): multimodal_decode states the decode+pool pipeline in "
+    "oracle-checkable JVM byte ops and is driver-green (r06-r07); "
+    "this entry stays as the Python-batch plumbing surface for real "
+    "decoders (image/audio libs), pytest-covered.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -2019,7 +2040,14 @@ def q_count_distinct_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("aggregate", "sketch", "approx"),
     "HyperLogLog++ approximate COUNT(DISTINCT) per event_type beside the "
     "exact count. At 100 TB the sketch is the scale path: mergeable partial "
-    "state, no exact-distinct shuffle of the key universe.",
+    "state, no exact-distinct shuffle of the key universe. SUPERSEDED "
+    "for driver grading (last driver run r02, no_oracle by design — "
+    "HLL estimates are engine-specific): the exact-distinct semantics "
+    "are driver-graded via count_distinct_star (green r01-r05) and "
+    "salted_distinct_users (green r03-r05); the sketch itself is "
+    "covered by the hll_mergeable_rollup property tests (merge "
+    "associativity, error bound). This entry stays as the "
+    "approx-aggregate API surface.",
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -5953,7 +5981,14 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lang_id",
     "doc_fingerprint",
     "binary_meta",
-    # -- 5. no oracle by design (harness records rows-only)
+    # -- 5. no oracle by design (harness records rows-only). Five of
+    #    these (lsh_knn, ivf_knn, multimodal_features,
+    #    approx_distinct_users, group_outliers) last ran under the
+    #    driver in r02 as err:no_oracle and are SUPERSEDED for grading
+    #    by oracle-green twins — each registration's description names
+    #    its twin and tests/test_catalog_order.py enforces the
+    #    annotation, so no permanently-ungradable driver history can
+    #    be misread as an open failure (VERDICT r7 #5).
     "lsh_knn",
     "group_outliers",
     "ivf_knn",

@@ -58,6 +58,15 @@ def get_spark(
         # silently changed semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Forward compat-layer worker env (e.g. the protobuf same-major
+    # version-check escape hatch on the vendored-runtime path) to the
+    # Python workers WITHOUT polluting the driver process env — pyspark
+    # copies spark.executorEnv.* into every worker's environment, local
+    # mode included. No-op when compat wired nothing.
+    from .compat import WORKER_ENV
+
+    for k, v in WORKER_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

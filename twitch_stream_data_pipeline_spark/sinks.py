@@ -513,17 +513,52 @@ def compact_flat_relation(
     second repartition the overwrite-back would inherit the file
     scan's split packing, not the requested shard count).
     Single-writer maintenance-window semantics, like every
-    non-transactional parquet rewrite in this layer."""
+    non-transactional parquet rewrite in this layer — and GUARDED
+    (ADVICE r7), because for the ``_ids`` relation the "other writer"
+    is the ingest cadence itself: a committed scratch is the recovery
+    source only while the target has not advanced past it. On retry
+    with a committed scratch, the target's own ``_SUCCESS`` decides:
+    absent (crash mid-overwrite-back; no append can have committed to
+    a _SUCCESS-less dir) or older than the scratch commit (crash
+    before the overwrite-back started; target still the exact state
+    the scratch was staged from) -> resume is provably safe. NEWER
+    means writes landed after the scratch committed: equal row counts
+    identify the normal crash-after-overwrite-before-cleanup case
+    (drop the scratch, done); unequal counts mean appends interleaved
+    with the crashed compaction — resuming would silently DROP them,
+    so refuse loudly and leave both copies for the operator."""
     tmp = path.rstrip("/") + "__compacting"
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jtmp = hpath(tmp)
     fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
-    success = spark._jvm.org.apache.hadoop.fs.Path(tmp + "/_SUCCESS")
+    success = hpath(tmp + "/_SUCCESS")
     if not fs.exists(success):
         if fs.exists(jtmp):  # uncommitted leftover; target still intact
             fs.delete(jtmp, True)
         spark.read.parquet(path).repartition(target_files).write.mode(
             "overwrite"
         ).parquet(tmp)
+    else:
+        tgt_success = hpath(path.rstrip("/") + "/_SUCCESS")
+        if fs.exists(tgt_success) and (
+            fs.getFileStatus(tgt_success).getModificationTime()
+            > fs.getFileStatus(success).getModificationTime()
+        ):
+            t_count = spark.read.parquet(path).count()
+            s_count = spark.read.parquet(tmp).count()
+            if t_count == s_count:
+                # overwrite-back completed; only the cleanup crashed
+                fs.delete(jtmp, True)
+                return
+            raise RuntimeError(
+                f"compact_flat_relation: refusing to resume — the target "
+                f"{path} ({t_count} rows) advanced past the committed "
+                f"scratch {tmp} ({s_count} rows): writes interleaved "
+                f"with a crashed compaction, and overwriting from the "
+                f"scratch would silently drop them. Reconcile manually "
+                f"(if the target is known complete, delete the scratch "
+                f"dir)."
+            )
     spark.read.parquet(tmp).repartition(target_files).write.mode(
         "overwrite"
     ).parquet(path)
