@@ -234,3 +234,173 @@ def test_bpe_segment_arrow_replay_equals_jvm_folds(spark):
         assert rebuilt == text
         want = [t for w in text.lower().split() for t in naive_word(w, merges)]
         assert big[i] == want, (i, big[i][:8], want[:8])
+
+
+# ---------------------------------------------------------------- #
+# batched distributed merge path (VERDICT r7 #6)                    #
+# ---------------------------------------------------------------- #
+
+
+def _py_batched_train(
+    corpus_words,
+    n_merges,
+    min_pair_freq=2,
+    batch_limit=4,
+    collect_limit=6,
+):
+    """Pure-Python mirror of the DISTRIBUTED batched merge loop —
+    identical round structure (full pair count, sorted top-T collect,
+    ``_safe_merge_batch`` selection, in-order greedy application) with
+    the Spark machinery replaced by dict arithmetic, so hypothesis can
+    hammer the batching math (ties, tail bounds, product-string
+    collisions) at a per-example cost Spark could never afford."""
+    from twitch_stream_data_pipeline_spark.extensions.bpe import (
+        _safe_merge_batch,
+    )
+
+    vocab = Counter(corpus_words)
+    seqs = {w: [*w[:-1], w[-1] + EOW] for w in vocab}
+    merges = []
+    while len(merges) < n_merges:
+        pairs = Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += f
+        cands = [
+            (l, r, f)
+            for (l, r), f in sorted(
+                pairs.items(),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+            )
+        ]
+        exhausted = len(cands) < collect_limit
+        cands = cands[:collect_limit]
+        if not cands or cands[0][2] < min_pair_freq:
+            break
+        batch = _safe_merge_batch(
+            cands,
+            exhausted=exhausted,
+            min_pair_freq=min_pair_freq,
+            max_batch=min(batch_limit, n_merges - len(merges)),
+        )
+        for l, r, pf in batch:
+            merges.append((len(merges), l, r, pf))
+            for w in seqs:
+                s, out = seqs[w], []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                seqs[w] = out
+    return merges
+
+
+def test_safe_merge_batch_property_equals_sequential_trainer():
+    """The batched loop must learn EXACTLY the sequential sequence on
+    arbitrary corpora — tiny two-letter alphabet maximizes frequency
+    ties, symbol overlap, and product-string collisions (xy built by
+    ('x','y') colliding with a literal 'xy' symbol), tiny
+    collect/batch limits exercise every tail/ceiling branch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        words=words,
+        freqs=st.lists(
+            st.integers(min_value=1, max_value=9), min_size=8, max_size=8
+        ),
+        min_pf=st.integers(min_value=1, max_value=2),
+        batch_limit=st.integers(min_value=1, max_value=4),
+        collect_limit=st.integers(min_value=2, max_value=8),
+    )
+    def check(words, freqs, min_pf, batch_limit, collect_limit):
+        corpus = [
+            w for i, w in enumerate(words) for _ in range(freqs[i])
+        ]
+        want = py_bpe(corpus, 12, min_pair_freq=min_pf)
+        got = _py_batched_train(
+            corpus,
+            12,
+            min_pair_freq=min_pf,
+            batch_limit=batch_limit,
+            collect_limit=collect_limit,
+        )
+        assert got == want
+
+    check()
+
+
+def test_bpe_train_distributed_batched_500_merges_bounded_rounds(spark):
+    """VERDICT r7 #6 'done' bar: >=500 merges through the DISTRIBUTED
+    branch in BOUNDED Spark rounds (merge count >> job count), with
+    the sequence equal to the sequential reference. 520 two-character
+    words over pairwise-disjoint alphabets with strictly distinct
+    frequencies: every round's candidates are symbol-disjoint, so
+    once the collect covers the whole pair table (collect_limit >
+    vocabulary) the safety rule accepts a full batch_limit prefix per
+    round -> ceil(520/48) = 11 rounds instead of 520."""
+    n_words = 520
+    words = [
+        chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1)
+        for i in range(n_words)
+    ]
+    corpus_words = [
+        w for i, w in enumerate(words) for _ in range(n_words + 1 - i)
+    ]
+    texts = [
+        (i, " ".join([w] * (n_words + 1 - i)))
+        for i, w in enumerate(words)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    stats: dict = {}
+    got = [
+        tuple(r)
+        for r in bpe_train(
+            df,
+            n_merges=n_words,
+            driver_vocab_limit=0,  # force the distributed branch
+            collect_limit=600,  # > pair-table size: tail bound = 0
+            stats=stats,
+        ).orderBy("rank").collect()
+    ]
+    want = py_bpe(corpus_words, n_words)
+    assert got == [tuple(m) for m in want]
+    assert len(got) == n_words
+    assert stats["path"] == "distributed"
+    assert stats["rounds"] <= 12, stats
+    assert sum(stats["batch_sizes"]) == n_words
+
+
+def test_bpe_train_distributed_batched_natural_text_equals_driver(spark):
+    """On NATURAL text (heavy ties, overlapping symbols, real feeder
+    interference) the batched distributed branch must still match the
+    driver trainer merge-for-merge — batches shrink to stay exact,
+    they never reorder."""
+    texts = [
+        "the streamer talked over the game while the chat scrolled",
+        "the game crashed and the streamer restarted the stream",
+        "chat asked the streamer to play the other game instead",
+        "the stream settled once the game patch finished installing",
+        "viewers in chat debated the patch notes for the game",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    stats: dict = {}
+    dist = bpe_train(
+        df, n_merges=40, driver_vocab_limit=0, stats=stats
+    ).orderBy("rank").collect()
+    drv = bpe_train(df, n_merges=40).orderBy("rank").collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+    assert len(dist) > 0
+    assert stats["path"] == "distributed"
+    assert sum(stats["batch_sizes"]) == len(dist)
