@@ -34,12 +34,27 @@ class DimUpserter:
         keys: list[str],
         schema_ddl: str,
         delta_path: str | None = None,
+        compact_every: int | None = None,
+        compact_target_files: int = 1,
     ) -> None:
         self.spark = spark
         self.state_path = state_path
         self.keys = keys
         self.schema_ddl = schema_ddl
         self.delta_dir = delta_path or state_path.rstrip("/") + "_deltas"
+        #: every N state APPENDS (epochs with a non-empty delta), run
+        #: :func:`~..sinks.compact_flat_relation` on the state table —
+        #: it gains one file per append (96/day at the reference
+        #: cadence). Running the compaction INSIDE the foreachBatch
+        #: callback puts it behind the same serialization point as the
+        #: ingest appends (foreachBatch invocations of one query never
+        #: overlap), which is exactly the single-writer window the
+        #: compactor's resume guard assumes (review r7): no append can
+        #: interleave with a compaction scheduled this way. None (the
+        #: default) preserves the call-it-yourself maintenance window.
+        self.compact_every = compact_every
+        self.compact_target_files = compact_target_files
+        self._appends_since_compact = 0
 
     def current_state(self) -> DataFrame:
         if os.path.exists(self.state_path):
@@ -68,6 +83,17 @@ class DimUpserter:
         result.delta.write.mode("overwrite").parquet(epoch_dir)
         materialized = self.spark.read.schema(self.schema_ddl).parquet(epoch_dir)
         materialized.write.mode("append").parquet(self.state_path)
+        if self.compact_every:
+            self._appends_since_compact += 1
+            if self._appends_since_compact >= self.compact_every:
+                from ..sinks import compact_flat_relation
+
+                compact_flat_relation(
+                    self.spark,
+                    self.state_path,
+                    target_files=self.compact_target_files,
+                )
+                self._appends_since_compact = 0
 
 
 class AggMaintainer:
