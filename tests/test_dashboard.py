@@ -1,0 +1,112 @@
+"""Dashboard-layer SQL over the curated star (SURVEY.md §2.5; VERDICT r7 #8).
+
+The reference serves its curated star schema to QuickSight
+(reference README.md:6-9); the engine-side analog is
+``register_curated_star`` + :data:`DASHBOARD_SQL` — plain ANSI SQL a
+BI tool would issue, one ``spark.sql`` call each. These tests pin
+
+* exact values on a hand-computed curated fact, so the SQL semantics
+  (grain, join keys, the hours_watched roll-up) are frozen, and
+* the 100 TB plan shape: every dashboard query joins the fact to a
+  dimension that is tiny by construction (~1.1k calendar days, 96
+  time slots, the category dim), so each must plan as a
+  BroadcastHashJoin — a shuffle join against a 96-row dim would be
+  the classic small-dim mistake at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitch_stream_data_pipeline_spark.sources import (
+    DASHBOARD_SQL,
+    dashboard_query,
+    register_curated_star,
+)
+from twitch_stream_data_pipeline_spark.sources.generators import (
+    day_dates_dim,
+    time_of_day_dim,
+)
+
+CURATED_DDL = (
+    "stream_id string, day_date_id string, time_of_day_id string, "
+    "user_id string, category_id string, language_id string, "
+    "viewer_count bigint, hours_watched double"
+)
+
+# Two calendar days x two slots, two categories, one user streaming in
+# both categories -- small enough to hand-compute every tile.
+CURATED_ROWS = [
+    # stream, day,        slot,   user, cat,  lang, viewers, hours
+    ("1", "20260111", "0000", "u1", "c1", "en", 100, 25.0),
+    ("2", "20260111", "0000", "u2", "c2", "en", 40, 10.0),
+    ("3", "20260111", "1715", "u1", "c2", "de", 60, 15.0),
+    ("4", "20260112", "1715", "u3", "c1", "en", 200, 50.0),
+]
+CATEGORIES = [("c1", "Just Chatting"), ("c2", "Tetris")]
+
+
+@pytest.fixture()
+def curated_star(spark):
+    register_curated_star(
+        spark,
+        curated_streams=spark.createDataFrame(CURATED_ROWS, CURATED_DDL),
+        categories=spark.createDataFrame(
+            CATEGORIES, "category_id string, category_name string"
+        ),
+        day_dates=day_dates_dim(spark, "2026-01-01", "2026-01-31"),
+        time_of_day=time_of_day_dim(spark),
+    )
+    return spark
+
+
+def test_hours_watched_by_category(curated_star):
+    rows = [
+        tuple(r)
+        for r in dashboard_query(curated_star, "hours_watched_by_category").collect()
+    ]
+    # c1: streams 1+4 -> 75.0 hours / 300 viewers; c2: 2+3 -> 25.0 / 100
+    assert rows == [
+        ("Just Chatting", 75.0, 300),
+        ("Tetris", 25.0, 100),
+    ]
+
+
+def test_unique_streamers_by_day(curated_star):
+    rows = [
+        (str(r.the_date), r.day_of_week, r.unique_streamers)
+        for r in dashboard_query(curated_star, "unique_streamers_by_day").collect()
+    ]
+    # day 1: u1 twice + u2 -> 2 distinct; day 2: u3 -> 1
+    assert rows == [
+        ("2026-01-11", "Sunday", 2),
+        ("2026-01-12", "Monday", 1),
+    ]
+
+
+def test_viewers_by_hour(curated_star):
+    rows = [
+        tuple(r) for r in dashboard_query(curated_star, "viewers_by_hour").collect()
+    ]
+    # slot 0000 -> hour 0 (streams 1,2: 140 viewers, cats c1+c2);
+    # slot 1715 -> hour 17 (streams 3,4: 260 viewers, cats c1+c2)
+    assert rows == [(0, 140, 2), (17, 260, 2)]
+
+
+def test_dashboard_plans_broadcast_the_dim(curated_star):
+    """Every dashboard query must broadcast its dimension side; none may
+    shuffle the fact against a <=1.1k-row dim or plan a Cartesian."""
+    for name in DASHBOARD_SQL:
+        df = dashboard_query(curated_star, name)
+        # the dims arrive via createDataFrame (no size stats), so the
+        # broadcast decision is AQE's: execute, then read the FINAL plan
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, (name, plan)
+        # AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial
+        # Plan ==" (which legitimately holds the pre-stats SMJ) — judge
+        # only what actually ran
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, (name, final)
+        assert "SortMergeJoin" not in final, (name, final)
+        assert "Cartesian" not in final, (name, final)
