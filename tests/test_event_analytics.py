@@ -836,3 +836,42 @@ def test_pagerank_reference_and_determinism(spark):
     a = sorted(map(tuple, pagerank(df.repartition(2), iters=6).collect()))
     b = sorted(map(tuple, pagerank(df.repartition(8), iters=6).collect()))
     assert a == b
+
+
+def test_pagerank_matches_unrolled_sql_oracle(spark, duck):
+    """DuckDB relational differential for pagerank (the evidence
+    upgrade from reference-equality-vs-Python): pagerank_oracle_sql
+    unrolls the 15 int64 fixed-point rounds as chained CTEs, so the
+    comparison is EXACT — same edges (the graded copresence_pairs
+    build over the real events parquet), bit-identical fp vectors,
+    identical (rank DESC, vertex) top-25. Staged for promotion into
+    the catalog entry as round 9's window swap (see
+    pagerank_oracle_sql's docstring)."""
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        pagerank_oracle_sql,
+    )
+    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
+
+    from .conftest import SF_SMOKE
+
+    edges_sql = """
+      WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+               MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+        FROM events GROUP BY 1, 2
+      )
+      SELECT DISTINCT a.user_id AS ea, b.user_id AS eb
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND a.user_id < b.user_id
+      WHERE least(a.hi, b.hi) - greatest(a.lo, b.lo) > 0
+    """
+    got = [
+        (r.vertex, r.rank)
+        for r in CATALOG["pagerank_copresence"].fn(spark, SF_SMOKE).collect()
+    ]
+    want = duck.execute(pagerank_oracle_sql(edges_sql)).fetchall()
+    assert len(got) == len(want) > 0
+    # int64 fixed-point on both sides: exact equality, not tolerance
+    assert got == [tuple(r) for r in want]

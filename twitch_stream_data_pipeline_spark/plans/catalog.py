@@ -4277,10 +4277,17 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pagerank_copresence",
     None,  # iterative fixed-point: 15 synchronous power iterations in
-    # int64 fixed-point (deterministic, partition-independent), but not
-    # a relational expression DuckDB can state without recursion over
-    # state; reference-equality vs a pure-Python power iteration,
-    # uniformity, and byte-identical partition independence pinned in
+    # int64 fixed-point (deterministic, partition-independent).
+    # A full DuckDB oracle now EXISTS — graph.pagerank_oracle_sql
+    # unrolls the rounds as chained CTEs, bit-exact, differentially
+    # pinned in tests/test_event_analytics.py::
+    # test_pagerank_matches_unrolled_sql_oracle — but stays out of
+    # this registration until the entry can take a graded-window slot
+    # (round 9's permitted swap; the window-discipline gate in
+    # tests/test_catalog_order.py forbids an out-of-window oracle
+    # query with zero driver greens). Reference-equality vs a
+    # pure-Python power iteration, uniformity, and byte-identical
+    # partition independence also pinned in
     # tests/test_event_analytics.py::test_pagerank_reference_and_determinism
     ("graph", "iterative", "ext"),
     "PageRank over the co-presence graph (extensions.graph.pagerank): "
