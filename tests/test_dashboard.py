@@ -47,16 +47,25 @@ CATEGORIES = [("c1", "Just Chatting"), ("c2", "Tetris")]
 
 
 @pytest.fixture()
-def curated_star(spark):
-    register_curated_star(
-        spark,
-        curated_streams=spark.createDataFrame(CURATED_ROWS, CURATED_DDL),
-        categories=spark.createDataFrame(
+def curated_star(spark, tmp_path):
+    # parquet-backed like the deployed star: the dims carry file-size
+    # stats, so the STATIC planner already picks the broadcast join —
+    # the plan assertion doesn't depend on AQE's runtime demotion
+    # heuristics (a <=2-row createDataFrame dim shuffled across many
+    # partitions trips nonEmptyPartitionRatioForBroadcastJoin)
+    tables = {
+        "curated_streams": spark.createDataFrame(CURATED_ROWS, CURATED_DDL),
+        "categories": spark.createDataFrame(
             CATEGORIES, "category_id string, category_name string"
         ),
-        day_dates=day_dates_dim(spark, "2026-01-01", "2026-01-31"),
-        time_of_day=time_of_day_dim(spark),
-    )
+        "day_dates": day_dates_dim(spark, "2026-01-01", "2026-01-31"),
+        "time_of_day": time_of_day_dim(spark),
+    }
+    on_disk = {}
+    for name, df in tables.items():
+        df.write.parquet(str(tmp_path / name))
+        on_disk[name] = spark.read.parquet(str(tmp_path / name))
+    register_curated_star(spark, **on_disk)
     return spark
 
 
@@ -98,15 +107,9 @@ def test_dashboard_plans_broadcast_the_dim(curated_star):
     shuffle the fact against a <=1.1k-row dim or plan a Cartesian."""
     for name in DASHBOARD_SQL:
         df = dashboard_query(curated_star, name)
-        # the dims arrive via createDataFrame (no size stats), so the
-        # broadcast decision is AQE's: execute, then read the FINAL plan
-        df.collect()
+        # parquet dims carry size stats, so the broadcast must already
+        # be in the static plan — no need to execute first
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "isFinalPlan=true" in plan, (name, plan)
-        # AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial
-        # Plan ==" (which legitimately holds the pre-stats SMJ) — judge
-        # only what actually ran
-        final = plan.split("== Initial Plan ==")[0]
-        assert "BroadcastHashJoin" in final, (name, final)
-        assert "SortMergeJoin" not in final, (name, final)
-        assert "Cartesian" not in final, (name, final)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "Cartesian" not in plan, (name, plan)

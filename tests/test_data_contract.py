@@ -177,3 +177,46 @@ def test_nanos_readable_without_legacy_conf(spark, tmp_path):
         assert got == {eid: _BASE_US + off for (eid, off, *_r) in _ROWS}
     finally:
         spark.conf.set(conf, "true")
+
+
+def test_get_spark_reuse_never_clobbers_runtime_conf(spark):
+    """Session-factory contract (round 8): Spark's builder applies
+    every builder config to an EXISTING session as runtime SQL conf,
+    so a library-internal get_spark() — the CLI's verify/run paths,
+    any helper — used to silently reset the caller's session tuning to
+    this module's defaults (observed: the CLI verify inside a test run
+    reset shuffle partitions 8 -> 32 for the rest of the process,
+    flipping later AQE broadcast decisions). On reuse, get_spark must
+    apply ONLY explicit overrides and leave everything else alone."""
+    from twitch_stream_data_pipeline_spark.session import get_spark
+
+    conf = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf)
+    try:
+        # no overrides: identical session, conf untouched
+        again = get_spark("reuse-check")
+        assert again is spark
+        assert again.conf.get(conf) == before
+        # explicit override: applied to the reused session
+        get_spark("reuse-check-2", shuffle_partitions=int(before) + 5)
+        assert spark.conf.get(conf) == str(int(before) + 5)
+        # the CLI path end-to-end: runs a real verify (which calls
+        # get_spark with no overrides) and must not move the conf back
+        # to the 32-partition default
+        import io
+
+        from twitch_stream_data_pipeline_spark.__main__ import main
+
+        spark.conf.set(conf, before)
+        buf = io.StringIO()
+        assert (
+            main(
+                ["verify", "pricing_summary", "--sf-dir",
+                 "/root/testdata/sf0.001"],
+                out=buf,
+            )
+            == 0
+        )
+        assert spark.conf.get(conf) == before
+    finally:
+        spark.conf.set(conf, before)

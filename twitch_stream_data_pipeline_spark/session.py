@@ -32,6 +32,24 @@ def get_spark(
     ``src/other/create_category_group_messages.py:61-84``), and
     broadcast threshold keeps every dim join shuffle-free.
     """
+    # Reuse WITHOUT clobbering: when a session already exists,
+    # Spark's builder.getOrCreate() applies every builder config to it
+    # as a runtime SQL conf — so a library-internal get_spark() (the
+    # CLI, a helper) would silently rewrite the CALLER's session
+    # tuning back to this module's defaults (found the hard way: the
+    # CLI's verify path reset a test session's shuffle partitions from
+    # 8 to 32 for the rest of the process, flipping downstream AQE
+    # broadcast decisions). On reuse, apply ONLY what the caller
+    # explicitly asked for; defaults are for session CREATION.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        if shuffle_partitions is not None:
+            active.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        for k, v in (extra_conf or {}).items():
+            active.conf.set(k, v)
+        return active
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (

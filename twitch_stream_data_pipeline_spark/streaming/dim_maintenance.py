@@ -52,6 +52,10 @@ class DimUpserter:
         #: compactor's resume guard assumes (review r7): no append can
         #: interleave with a compaction scheduled this way. None (the
         #: default) preserves the call-it-yourself maintenance window.
+        #: The counter is in-memory: a checkpoint restart resets the
+        #: cadence PHASE (the first post-restart compaction may come up
+        #: to N-1 appends late) — never the correctness of state reads,
+        #: which the compactor guarantees regardless of when it runs.
         self.compact_every = compact_every
         self.compact_target_files = compact_target_files
         self._appends_since_compact = 0
