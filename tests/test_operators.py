@@ -1284,6 +1284,18 @@ def test_ensure_protobuf_failed_attempt_rolls_back(monkeypatch, tmp_path):
         os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
         == before_check
     )
+    # and the attempt against the fake root must not have re-pointed
+    # any PREVIOUSLY wired shim: shims are per-root, and every shim
+    # entry still on sys.path must still resolve to a real protobuf
+    # tree — a dangling symlink here turns google.protobuf into an
+    # empty namespace package in every FUTURE child process (Spark
+    # Python workers) while the driver keeps working from sys.modules,
+    # the exact order-dependent breakage this test once caused
+    for entry in sys.path:
+        if "tswdp_protobuf_shim" in entry:
+            link = os.path.join(entry, "google", "protobuf")
+            assert os.path.isdir(link), f"dangling shim symlink: {link}"
+            assert os.path.isfile(os.path.join(link, "__init__.py"))
 
 
 def test_ensure_protobuf_success_path_is_scoped():

@@ -36,6 +36,7 @@ environments where installing is allowed.
 
 from __future__ import annotations
 
+import hashlib
 import importlib.util
 import os
 import sys
@@ -68,10 +69,24 @@ def _scoped_shim(root: str) -> str | None:
     whole AppEngine platform dir keeps its dozens of unrelated
     vendored packages un-importable (ADVICE r7). Returns None when
     the shim cannot be built (symlink-less filesystem); the caller
-    falls back to the unscoped root rather than losing streaming."""
+    falls back to the unscoped root rather than losing streaming.
+
+    The shim path is unique PER VENDORED ROOT: with a shared path, an
+    attempt against root B would re-point the symlink a previously
+    wired root A's PYTHONPATH entry still names — and if B's attempt
+    then fails and B disappears, every FUTURE child process (Spark's
+    Python workers, the transformWithState driver worker) inherits a
+    PYTHONPATH whose ``google/protobuf`` dangles, turning
+    ``google.protobuf`` into an empty namespace package and failing
+    imports with "(unknown location)" while the driver itself keeps
+    working from ``sys.modules``. Found as an order-dependent
+    full-suite failure: a rollback test probing a fake vendored dir
+    corrupted the real shim for every later streaming test."""
     target = os.path.join(root, "google", "protobuf")
+    digest = hashlib.sha256(root.encode()).hexdigest()[:12]
     shim = os.path.join(
-        tempfile.gettempdir(), f"tswdp_protobuf_shim_{os.getuid()}"
+        tempfile.gettempdir(),
+        f"tswdp_protobuf_shim_{os.getuid()}_{digest}",
     )
     link = os.path.join(shim, "google", "protobuf")
     try:
