@@ -41,7 +41,16 @@ def get_spark(
     # 8 to 32 for the rest of the process, flipping downstream AQE
     # broadcast decisions). On reuse, apply ONLY what the caller
     # explicitly asked for; defaults are for session CREATION.
+    # getActiveSession is thread-local; from a non-main thread (a
+    # foreachBatch callback, a pool worker) it returns None even while
+    # the process holds a live session — fall back to the process-wide
+    # handle the same way pyspark's own getOrCreate does, with the
+    # same stopped-context check.
     active = SparkSession.getActiveSession()
+    if active is None:
+        active = SparkSession._instantiatedSession
+        if active is not None and active._sc._jsc is None:  # stopped
+            active = None
     if active is not None:
         if shuffle_partitions is not None:
             active.conf.set(
