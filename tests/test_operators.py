@@ -1403,3 +1403,62 @@ def test_embedding_ingest_decision_pinned_before_index_mutation(
     rows = decided.collect()
     assert len(rows) == 1 and rows[0]["keep"] is True
     assert decided.filter("keep").count() == 1
+
+
+def test_ensure_protobuf_failed_gencode_purges_module_cache(
+    monkeypatch, tmp_path
+):
+    """Review r8: the validation import caches google.protobuf (and
+    its runtime submodules) in sys.modules BEFORE the gencode check
+    raises, and find_spec resolves from sys.modules first — so a
+    failed attempt that only rolled back sys.path/PYTHONPATH left a
+    SECOND ensure_protobuf() call returning a spurious True with no
+    wiring (empty WORKER_ENV, no path entry): callers would enable
+    streaming that every Spark worker then fails. The rollback must
+    purge the vendored-sourced google modules so repeat calls stay
+    honestly False."""
+    import importlib.util
+    import sys
+
+    from twitch_stream_data_pipeline_spark import compat
+
+    if "google.protobuf" in sys.modules and not any(
+        "tswdp_protobuf_shim" in (getattr(m, "__file__", "") or "")
+        for n, m in sys.modules.items()
+        if n == "google.protobuf"
+    ):
+        pytest.skip("real protobuf installation — vendored purge n/a")
+
+    # an IMPORTABLE stub (so the attempt caches modules) whose gencode
+    # validation necessarily fails (no descriptor machinery)
+    vend = tmp_path / "vend"
+    pkg = vend / "google" / "protobuf"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    monkeypatch.setattr(compat, "_VENDORED_PROTOBUF_DIRS", (str(vend),))
+
+    real_modules = {
+        n: m for n, m in sys.modules.items()
+        if n == "google" or n.startswith("google.")
+    }
+    # hide both the real installation and the conftest-wired modules
+    for n in real_modules:
+        monkeypatch.delitem(sys.modules, n)
+    monkeypatch.setattr(
+        importlib.util,
+        "find_spec",
+        lambda name, *a, **k: (_ for _ in ()).throw(ModuleNotFoundError(name)),
+    )
+    try:
+        assert compat.ensure_protobuf() is False
+        monkeypatch.undo()  # restore find_spec + real modules for the recheck
+        saved_env = dict(compat.WORKER_ENV)
+        # the poisoned-cache path: nothing stub-sourced may remain
+        for n, m in sys.modules.items():
+            if n == "google" or n.startswith("google."):
+                f = getattr(m, "__file__", "") or ""
+                assert str(vend) not in f, (n, f)
+    finally:
+        # monkeypatch.undo() is idempotent; ensure restoration even on
+        # assertion failure above
+        monkeypatch.undo()

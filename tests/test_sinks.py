@@ -907,3 +907,68 @@ def test_compact_flat_relation_resume_guard(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(path2).collect())) == sorted(
         want + [tuple(r) for r in extra]
     )
+
+
+def test_recover_flat_relation_crash_states(spark, tmp_path):
+    """Review r8: every crash state of the staged compaction must be
+    resolved by recovery at the serialization point — mid-overwrite
+    (partial target) restores from the committed scratch;
+    commit-then-crash followed by appends discards the stale scratch
+    instead of refusing forever; an uncommitted scratch is discarded
+    with the target untouched."""
+    import glob
+    import os
+
+    from twitch_stream_data_pipeline_spark.sinks import (
+        compact_flat_relation,
+        recover_flat_relation,
+    )
+
+    def rows_of(path):
+        return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    # --- state A: committed scratch, target PARTIAL (mid-overwrite) --
+    tgt = str(tmp_path / "a")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    ).repartition(3).write.parquet(tgt)
+    want = rows_of(tgt)
+    # stage a committed scratch exactly like the compactor does
+    scratch = tgt + "__compacting"
+    spark.read.parquet(tgt).repartition(1).write.parquet(scratch)
+    # simulate the overwrite-back dying partway: drop target _SUCCESS
+    # and one data file
+    os.remove(os.path.join(tgt, "_SUCCESS"))
+    os.remove(sorted(glob.glob(os.path.join(tgt, "*.parquet")))[0])
+    assert rows_of(tgt) != want  # target really is partial
+    assert recover_flat_relation(spark, tgt) == "restored"
+    assert rows_of(tgt) == want
+    assert not os.path.exists(scratch)
+    assert recover_flat_relation(spark, tgt) == "none"
+
+    # --- state B: committed scratch, then appends landed (the
+    # commit-then-crash-before-overwrite case the old guard refused) --
+    tgt = str(tmp_path / "b")
+    spark.createDataFrame([(1, "x")], "id long, v string").write.parquet(tgt)
+    spark.read.parquet(tgt).repartition(1).write.parquet(tgt + "__compacting")
+    import time
+
+    time.sleep(1.1)  # _SUCCESS mtimes are second-granularity on some fs
+    spark.createDataFrame([(2, "y")], "id long, v string").write.mode(
+        "append"
+    ).parquet(tgt)
+    assert recover_flat_relation(spark, tgt) == "discarded_stale"
+    assert rows_of(tgt) == {(1, "x"), (2, "y")}
+    assert not os.path.exists(tgt + "__compacting")
+    # and a fresh cadence compaction now runs clean where the manual
+    # guard used to raise forever
+    compact_flat_relation(spark, tgt)
+    assert rows_of(tgt) == {(1, "x"), (2, "y")}
+
+    # --- state C: uncommitted scratch, target intact ---
+    tgt = str(tmp_path / "c")
+    spark.createDataFrame([(5, "z")], "id long, v string").write.parquet(tgt)
+    os.makedirs(tgt + "__compacting")
+    assert recover_flat_relation(spark, tgt) == "discarded_uncommitted"
+    assert rows_of(tgt) == {(5, "z")}
+    assert not os.path.exists(tgt + "__compacting")

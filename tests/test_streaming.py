@@ -1348,7 +1348,7 @@ def test_dim_upserter_compacts_on_cadence_mid_stream(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "upsert stream did not finish"
         return ups
 
     compacted = run("dim_c", "deltas_c", "ckpt_c", compact_every=3)
@@ -1373,3 +1373,57 @@ def test_dim_upserter_compacts_on_cadence_mid_stream(spark, tmp_path):
         .collect()
     }
     assert deltas == want
+
+
+def test_dim_upserter_cadence_survives_compaction_crash(spark, tmp_path):
+    """Review r8 end-to-end: a compaction that crashed between scratch
+    commit and overwrite-back must not brick the stream. The old guard
+    saw the committed scratch + later appends and raised at every Nth
+    append forever; with recover_flat_relation running at each batch
+    start, the stale scratch is discarded and the cadence proceeds."""
+    import glob
+    import os
+    import time
+
+    src = tmp_path / "incoming"
+    schema = "user_id string, user_name string"
+    for i, rows in enumerate([[("1", "a")], [("2", "b")], [("3", "c")]]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    state = str(tmp_path / "dim")
+    spark.createDataFrame([("0", "seed")], schema).write.parquet(state)
+    # simulate the crashed compaction: committed scratch staged from
+    # the pre-append state, overwrite-back never ran
+    spark.read.parquet(state).repartition(1).write.parquet(
+        state + "__compacting"
+    )
+    time.sleep(1.1)  # second-granularity _SUCCESS mtimes
+
+    ups = DimUpserter(
+        spark,
+        state_path=state,
+        keys=["user_id"],
+        schema_ddl=schema,
+        delta_path=str(tmp_path / "deltas"),
+        compact_every=2,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ups)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream bricked by crashed compaction"
+    got = {tuple(r) for r in ups.current_state().collect()}
+    assert got == {("0", "seed"), ("1", "a"), ("2", "b"), ("3", "c")}
+    assert not glob.glob(state + "__compacting")
+    # the cadence actually compacted: 1 seed + 3 appends with
+    # compact_every=2 -> compaction after append 2 (files: 1), then
+    # one more append (files: 2)
+    assert len(glob.glob(os.path.join(state, "*.parquet"))) == 2

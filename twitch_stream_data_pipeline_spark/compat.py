@@ -178,4 +178,31 @@ def ensure_protobuf() -> bool:
             os.environ.pop("PYTHONPATH", None)
         else:
             os.environ["PYTHONPATH"] = prev_pythonpath
+        _purge_vendored_google(entry, root)
     return False
+
+
+def _purge_vendored_google(entry: str, root: str) -> None:
+    """Drop from ``sys.modules`` every ``google``/``google.*`` module
+    the failed attempt loaded from the vendored tree (review r8): the
+    validation import caches ``google.protobuf`` and its runtime
+    submodules BEFORE the gencode raises, and ``find_spec`` resolves
+    from ``sys.modules`` first — so without this purge a second
+    ``ensure_protobuf()`` call would spuriously return True at the
+    top-of-function check with no PYTHONPATH wiring and no
+    :data:`WORKER_ENV` flag, and Spark workers would then fail where
+    the caller was told streaming is available. The bare ``google``
+    namespace module goes too when its cached ``__path__`` references
+    the rolled-back entry; modules from a genuinely installed
+    distribution (different ``__file__`` root) are left alone."""
+    prefixes = (entry, root)
+    for name, mod in list(sys.modules.items()):
+        if name != "google" and not name.startswith("google."):
+            continue
+        f = getattr(mod, "__file__", None) or ""
+        paths = [str(p) for p in (getattr(mod, "__path__", None) or [])]
+        locations = [f, *paths] if f or paths else []
+        if not locations or any(
+            loc.startswith(pref) for loc in locations for pref in prefixes
+        ):
+            del sys.modules[name]

@@ -829,9 +829,13 @@ def append_to_lsh_index(
     from ..sinks import write_partitioned
     from .model_io import fs_path_exists
 
-    new_df = new_df.localCheckpoint(eager=True)
+    # validate the layout BEFORE the eager pin: the incoming plan may
+    # embed the whole gate pipeline, and materializing it for a call
+    # that fails on a bad/absent index path is a full-batch probe paid
+    # for nothing (review r8)
     spark = new_df.sparkSession
     p = _lsh_params(spark, path)
+    new_df = new_df.localCheckpoint(eager=True)
     if not fs_path_exists(spark, f"{path}/_ids"):
         # Legacy layout built before the _ids relation existed: the
         # FIRST append must backfill _ids from the existing postings

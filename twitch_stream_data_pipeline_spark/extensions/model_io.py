@@ -65,9 +65,14 @@ def read_small_parquet(spark, path: str) -> list[dict]:
         # blanket retry through Spark would either surface the same
         # corruption twice or, worse, succeed with subtly different
         # decoding and hand callers type-divergent dicts depending on
-        # which reader ran.
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        # which reader ran. A missing pyarrow (pyspark does not hard-
+        # require it) is also a clean fall-through to the Spark reader,
+        # not an error — same contract as before the fast path existed.
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:
+            return [r.asDict() for r in spark.read.parquet(path).collect()]
 
         try:
             files = sorted(glob.glob(os.path.join(local, "*.parquet")))

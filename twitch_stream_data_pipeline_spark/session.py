@@ -52,12 +52,27 @@ def get_spark(
         if active is not None and active._sc._jsc is None:  # stopped
             active = None
     if active is not None:
-        if shuffle_partitions is not None:
+        # truthiness, matching the creation path's `or DEFAULT`
+        # coercion, so shuffle_partitions=0 never reaches conf.set
+        if shuffle_partitions:
             active.conf.set(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)
             )
         for k, v in (extra_conf or {}).items():
-            active.conf.set(k, v)
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                # static conf (spark.driver.memory, spark.executorEnv.*)
+                # on a live session: builder.getOrCreate warn-ignores
+                # these; a library helper must not crash where the
+                # builder path silently no-ops
+                import warnings
+
+                warnings.warn(
+                    f"get_spark: cannot apply {k!r} to a running session "
+                    "(static conf); value unchanged",
+                    stacklevel=2,
+                )
         return active
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS

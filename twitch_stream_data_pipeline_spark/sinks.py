@@ -532,6 +532,11 @@ def compact_flat_relation(
     jtmp = hpath(tmp)
     fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
     success = hpath(tmp + "/_SUCCESS")
+    # Cadence callers (DimUpserter.compact_every) run
+    # recover_flat_relation at every batch start, so by the time this
+    # runs their scratch states are already resolved; the inspection
+    # below is the MANUAL-maintenance protocol, where interleaved
+    # writers are a real possibility and loud refusal is correct.
     if not fs.exists(success):
         if fs.exists(jtmp):  # uncommitted leftover; target still intact
             fs.delete(jtmp, True)
@@ -564,3 +569,75 @@ def compact_flat_relation(
     ).parquet(path)
     fs.delete(jtmp, True)
 
+
+
+def recover_flat_relation(spark: SparkSession, path: str) -> str:
+    """Crash recovery for a flat relation maintained by
+    :func:`compact_flat_relation` under SERIALIZED-writer discipline —
+    run this at the START of every processing turn (the dim upserter's
+    foreachBatch entry does, when ``compact_every`` is set), BEFORE
+    reading or appending state. Returns the action taken (``"none"``,
+    ``"discarded_uncommitted"``, ``"restored"``, ``"discarded_stale"``).
+
+    Why a separate entry point (review r8): a compaction that crashes
+    BETWEEN the scratch commit and the overwrite-back leaves a
+    committed scratch and a fully intact target; the stream then
+    restarts and legitimately appends. compact_flat_relation's
+    manual-maintenance guard reads that state as "writes interleaved
+    with a crashed compaction" and refuses — correct for an unknown
+    concurrent writer, but on the cadence it turned one transient
+    crash into a PERMANENTLY failing stream (the refuse re-raised at
+    every Nth append). Worse, a crash DURING the overwrite-back leaves
+    a partial target that the next restart's append would read and
+    extend before compaction ever re-ran. Recovery at the
+    serialization point closes both:
+
+    * scratch absent -> nothing to do.
+    * scratch uncommitted (no ``_SUCCESS``) -> the crash was mid-stage
+      and the target was never touched: discard the scratch.
+    * scratch committed and the target missing its ``_SUCCESS`` (or
+      missing entirely, or its ``_SUCCESS`` not newer than the
+      scratch's) -> the crash hit during (or just before) the
+      overwrite-back and the target may be partial: restore the target
+      from the scratch copy. Because this runs before every state
+      read, no append can ever have extended a partial target —
+      restoring cannot drop anything.
+    * scratch committed and the target's ``_SUCCESS`` strictly newer ->
+      the target advanced past the scratch. Under this protocol the
+      only writers that can have produced that ``_SUCCESS`` are a
+      COMPLETED overwrite-back (cleanup crashed) or appends to a
+      complete target (commit-then-crash-before-overwrite, then normal
+      batches) — a partial target can never receive an append, because
+      the restore branch above runs first on every turn. Either way
+      the scratch is stale: discard it. This is the branch the manual
+      protocol must refuse (it cannot assume serialized writers) and
+      the cadence must not.
+    """
+    tmp = path.rstrip("/") + "__compacting"
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jtmp = hpath(tmp)
+    fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jtmp):
+        return "none"
+    scratch_success = hpath(tmp + "/_SUCCESS")
+    if not fs.exists(scratch_success):
+        fs.delete(jtmp, True)
+        return "discarded_uncommitted"
+    tgt_success = hpath(path.rstrip("/") + "/_SUCCESS")
+    if fs.exists(tgt_success) and (
+        fs.getFileStatus(tgt_success).getModificationTime()
+        > fs.getFileStatus(scratch_success).getModificationTime()
+    ):
+        fs.delete(jtmp, True)
+        return "discarded_stale"
+    # count the scratch files to preserve the original shard count
+    n_files = sum(
+        1
+        for st in fs.listStatus(jtmp)
+        if st.getPath().getName().endswith(".parquet")
+    ) or 1
+    spark.read.parquet(tmp).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    fs.delete(jtmp, True)
+    return "restored"

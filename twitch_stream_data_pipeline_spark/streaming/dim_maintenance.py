@@ -54,8 +54,12 @@ class DimUpserter:
         #: default) preserves the call-it-yourself maintenance window.
         #: The counter is in-memory: a checkpoint restart resets the
         #: cadence PHASE (the first post-restart compaction may come up
-        #: to N-1 appends late) — never the correctness of state reads,
-        #: which the compactor guarantees regardless of when it runs.
+        #: to N-1 appends late) — never the correctness of state reads:
+        #: every batch first runs
+        #: :func:`~..sinks.recover_flat_relation`, which restores a
+        #: target left partial by a mid-overwrite crash and discards a
+        #: scratch left stale by a commit-then-crash, before anything
+        #: reads or appends state (review r8).
         self.compact_every = compact_every
         self.compact_target_files = compact_target_files
         self._appends_since_compact = 0
@@ -77,6 +81,18 @@ class DimUpserter:
         sink the durable record a downstream warehouse load consumes
         (the reference's curated-layer CSV, K3).
         """
+        if self.compact_every:
+            # crash recovery BEFORE any state read (review r8): a
+            # compaction that died mid-overwrite leaves a partial state
+            # table that this batch would otherwise read and extend;
+            # one that died between scratch commit and overwrite-back
+            # leaves a committed scratch that the compactor's manual
+            # guard would refuse forever once appends resume. Running
+            # recovery at the same serialization point as the appends
+            # resolves both states provably (see recover_flat_relation).
+            from ..sinks import recover_flat_relation
+
+            recover_flat_relation(self.spark, self.state_path)
         state = self.current_state()
         result = upsert_state(batch, state, self.keys)
         if result.delta.isEmpty():
