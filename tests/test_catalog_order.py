@@ -117,7 +117,8 @@ def test_rotated_out_oracle_queries_hold_two_green_rounds():
     )
     # and the inverse sanity: at most ONE in-window oracle query may be
     # evidence-free (the single per-round swap-in the stability rule
-    # permits — round 8: kmeans_assign_exact)
+    # permits — round 8: kmeans_assign_exact; round 9:
+    # pagerank_copresence, whose only driver history is rows-only)
     ungraded = [n for n in window if green_rounds.get(n, 0) == 0]
     assert len(ungraded) <= 1, ungraded
 
@@ -183,15 +184,17 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_documented_r8_rotation():
-    """VERDICT r7 #1/#2: the round-8 window is the round-7 window held
-    STABLE — the 42 round-6 first-timers keep their exact slots for a
-    third consecutive grade and ivfpq_index_exact keeps its slot for
-    its second — with exactly ONE permitted change: the new exact-mode
-    clustering-kernel query (kmeans_assign_exact) takes the slot of
-    trailing_hour_sum, the retained query with four green rounds
-    (r04-r07); trailing_hour_sum joins the rotated-out tail. This pins
-    the exact graded order for the r08 run."""
+def test_window_is_documented_r9_rotation():
+    """VERDICT r8 next-round #1/#2: the round-9 window is the round-8
+    window held STABLE — the 42 round-6 first-timers keep their exact
+    slots, ivfpq_index_exact holds for its third consecutive grade and
+    kmeans_assign_exact (one green, r08) for its second — with exactly
+    ONE permitted change: pagerank_copresence, whose unrolled-CTE
+    int64 fixed-point DuckDB oracle was staged in pytest during round
+    8, is promoted into the graded window and takes the slot of
+    winnow_near_dup, a retained query with four green rounds
+    (r05-r08); winnow_near_dup joins the rotated-out tail. This pins
+    the exact graded order for the r09 run."""
     expected = [
         # 1a flagship round-5 tiers
         "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
@@ -218,8 +221,10 @@ def test_window_is_documented_r8_rotation():
         "ivf_index_knn", "lsh_index_probe", "dedup_ingest",
         "embedding_ingest",
         # 2 retained (+ the r7 swap-in ivfpq_index_exact holding for
-        # its second grade, + the one r8 swap-in kmeans_assign_exact)
-        "winnow_near_dup", "bpe_token_stats", "variant_topk_props",
+        # its third grade, + the r8 swap-in kmeans_assign_exact
+        # holding for its second, + the one r9 swap-in
+        # pagerank_copresence)
+        "pagerank_copresence", "bpe_token_stats", "variant_topk_props",
         "stratified_sample", "ivf_knn_exact", "multimodal_decode",
         "ivfpq_index_exact", "kmeans_assign_exact",
     ]
@@ -227,6 +232,7 @@ def test_window_is_documented_r8_rotation():
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
+        "winnow_near_dup",
         "trailing_hour_sum",
         "bm25_topk",
         "curate_events", "corpus_curation", "dedup_clusters",
@@ -244,7 +250,7 @@ def test_window_is_documented_r8_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 44
+    assert len(rotated_out) == 45
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 

@@ -258,12 +258,12 @@ def pagerank_oracle_sql(
     argument as the DataFrame implementation (damping multiply
     <= ~8.5e17).
 
-    Registered-catalog status: :data:`~..plans.catalog.CATALOG`'s
-    ``pagerank_copresence`` entry carries this oracle's differential
-    in pytest (tests/test_event_analytics.py) rather than inline —
-    the graded-window stability rule allows one swap-in per round, and
-    round 8's went to ``kmeans_assign_exact``; promote this SQL into
-    the catalog entry as round 9's swap.
+    Registered-catalog status: PROMOTED in round 9 — the
+    ``pagerank_copresence`` catalog entry registers this SQL inline
+    (over the relational statement of the co-presence edge build) as
+    that round's single permitted graded-window swap-in, in addition
+    to the pytest differential in tests/test_event_analytics.py that
+    staged it during round 8.
     """
     scale = PAGERANK_SCALE
     parts = [
