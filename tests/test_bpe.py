@@ -404,3 +404,18 @@ def test_bpe_train_distributed_batched_natural_text_equals_driver(spark):
     assert len(dist) > 0
     assert stats["path"] == "distributed"
     assert sum(stats["batch_sizes"]) == len(dist)
+
+
+def test_bpe_train_rejects_sub_one_limits(spark):
+    """ADVICE r8: batch_limit < 1 (or collect_limit < 1) used to make
+    every distributed round select an empty batch and loop forever on
+    an identical shuffle+collect; both are rejected at entry."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, "aa bb aa bb aa")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="batch_limit"):
+        bpe_train(df, n_merges=5, driver_vocab_limit=0, batch_limit=0)
+    with _pytest.raises(ValueError, match="collect_limit"):
+        bpe_train(df, n_merges=5, driver_vocab_limit=0, collect_limit=0)

@@ -220,3 +220,49 @@ def test_get_spark_reuse_never_clobbers_runtime_conf(spark):
         assert spark.conf.get(conf) == before
     finally:
         spark.conf.set(conf, before)
+
+
+def test_get_spark_reuse_restores_semantic_confs(spark):
+    """ADVICE r8: "don't clobber tuning on reuse" must not skip the
+    CORRECTNESS confs. A pre-existing session with a non-UTC session
+    timezone (or nanosAsLong unset) would silently break DuckDB-oracle
+    parity and the NANOS-parquet events decode — on reuse get_spark
+    re-applies exactly those two, and warns when compat.WORKER_ENV
+    exists but cannot reach the live session's workers."""
+    import warnings
+
+    from twitch_stream_data_pipeline_spark import compat
+    from twitch_stream_data_pipeline_spark.session import get_spark
+
+    tz = "spark.sql.session.timeZone"
+    nanos = "spark.sql.legacy.parquet.nanosAsLong"
+    before_tz = spark.conf.get(tz)
+    before_nanos = spark.conf.get(nanos)
+    try:
+        spark.conf.set(tz, "America/New_York")
+        spark.conf.set(nanos, "false")
+        again = get_spark("semantic-conf-check")
+        assert again is spark
+        assert spark.conf.get(tz) == "UTC"
+        assert spark.conf.get(nanos) == "true"
+        # but tuning confs stay untouched (the r8 contract): shuffle
+        # partitions were not reset by the reuse above (covered in
+        # detail by test_get_spark_reuse_never_clobbers_runtime_conf)
+
+        # WORKER_ENV present but the session predates it: loud warning
+        saved = dict(compat.WORKER_ENV)
+        compat.WORKER_ENV.clear()
+        compat.WORKER_ENV["TSWDP_FAKE_WORKER_FLAG"] = "1"
+        try:
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                get_spark("worker-env-check")
+            assert any(
+                "executorEnv" in str(x.message) for x in w
+            ), [str(x.message) for x in w]
+        finally:
+            compat.WORKER_ENV.clear()
+            compat.WORKER_ENV.update(saved)
+    finally:
+        spark.conf.set(tz, before_tz)
+        spark.conf.set(nanos, before_nanos)

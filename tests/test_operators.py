@@ -1462,3 +1462,121 @@ def test_ensure_protobuf_failed_gencode_purges_module_cache(
         # monkeypatch.undo() is idempotent; ensure restoration even on
         # assertion failure above
         monkeypatch.undo()
+
+
+def test_ensure_protobuf_gencode_absent_keeps_runtime_wired(
+    monkeypatch, tmp_path
+):
+    """ADVICE r8: a pyspark build that ships no streaming gencode
+    (ModuleNotFoundError naming a pyspark module) must NOT disable the
+    vendored protobuf runtime — non-streaming consumers still need it.
+    The runtime stays wired, ensure_protobuf reports True, and
+    WORKER_ENV stays empty (the escape hatch only protects the absent
+    gencode). A version-check failure still rolls back (covered by
+    test_ensure_protobuf_failed_gencode_purges_module_cache)."""
+    import os
+    import sys
+
+    from twitch_stream_data_pipeline_spark import compat
+
+    vend = tmp_path / "vend"
+    pkg = vend / "google" / "protobuf"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    monkeypatch.setattr(compat, "_VENDORED_PROTOBUF_DIRS", (str(vend),))
+    real_modules = [
+        n for n in sys.modules if n == "google" or n.startswith("google.")
+    ]
+    for n in real_modules:
+        monkeypatch.delitem(sys.modules, n)
+    # make the top-of-function "already installed" check miss so the
+    # vendored loop runs, then resolve normally inside the loop
+    calls = {"n": 0}
+    import importlib.util as _ilu
+
+    real_find_spec = _ilu.find_spec
+
+    def fake_find_spec(name, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ModuleNotFoundError(name)
+        return real_find_spec(name, *a, **k)
+
+    monkeypatch.setattr(_ilu, "find_spec", fake_find_spec)
+    monkeypatch.setattr(
+        compat,
+        "_validate_gencode",
+        lambda: "gencode_absent",
+    )
+    saved_env = dict(compat.WORKER_ENV)
+    compat.WORKER_ENV.clear()
+    prev_pp = os.environ.get("PYTHONPATH")
+    try:
+        assert compat.ensure_protobuf() is True
+        assert compat.WORKER_ENV == {}
+        # the wiring SURVIVED: the shim (or root) is on sys.path and
+        # PYTHONPATH for child processes
+        wired = [
+            p
+            for p in sys.path
+            if str(vend) in p or "tswdp_protobuf_shim" in p
+        ]
+        assert wired, "vendored runtime was rolled back despite being usable"
+    finally:
+        compat.WORKER_ENV.clear()
+        compat.WORKER_ENV.update(saved_env)
+        monkeypatch.undo()
+        # drop any shim entry this test's fake vendored root added
+        for p in list(sys.path):
+            if str(vend) in p or (
+                "tswdp_protobuf_shim" in p and not os.path.isdir(
+                    os.path.join(p, "google", "protobuf")
+                )
+            ):
+                sys.path.remove(p)
+        pp = os.environ.get("PYTHONPATH")
+        if pp is not None:
+            kept = [
+                e
+                for e in pp.split(os.pathsep)
+                if e and str(vend) not in e
+            ]
+            if kept:
+                os.environ["PYTHONPATH"] = os.pathsep.join(kept)
+            elif prev_pp is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prev_pp
+        # monkeypatch.undo() restored every real google* module the
+        # test delitem'd (overwriting anything the fake-vend attempt
+        # cached) — do NOT pop them here: removing a restored parent
+        # would orphan cached submodules whose namespace __path__
+        # recalculates through sys.modules['google.protobuf']
+
+
+def test_purge_vendored_google_spares_preexisting_locationless_stub():
+    """ADVICE r8: the rollback purge's no-location heuristic used to
+    evict ANY google* module lacking __file__/__path__ — including
+    stubs a test or mock injected before the attempt. Pre-existing
+    location-less modules are now spared; ones that appeared during
+    the attempt are still purged."""
+    import sys
+    import types
+
+    from twitch_stream_data_pipeline_spark import compat
+
+    stub = types.ModuleType("google.injected_stub")  # no __file__/__path__
+    fresh = types.ModuleType("google.fresh_during_attempt")
+    sys.modules["google.injected_stub"] = stub
+    sys.modules["google.fresh_during_attempt"] = fresh
+    try:
+        compat._purge_vendored_google(
+            "/nonexistent/entry",
+            "/nonexistent/root",
+            pre_modules={"google.injected_stub"},
+        )
+        assert sys.modules.get("google.injected_stub") is stub
+        assert "google.fresh_during_attempt" not in sys.modules
+    finally:
+        sys.modules.pop("google.injected_stub", None)
+        sys.modules.pop("google.fresh_during_attempt", None)

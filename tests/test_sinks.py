@@ -908,6 +908,42 @@ def test_compact_flat_relation_resume_guard(spark, tmp_path):
         want + [tuple(r) for r in extra]
     )
 
+    # (f) ADVICE r8: an append landing in the SAME mtime tick as the
+    # scratch commit (second-granularity _SUCCESS mtimes) must hit the
+    # row-count comparison and refuse, not fall through to the
+    # overwrite-back that would silently drop it
+    path3 = str(tmp_path / "same_tick")
+    tmp3 = path3 + "__compacting"
+    spark.createDataFrame(rows, "id long, v string").write.parquet(path3)
+    spark.read.parquet(path3).repartition(1).write.parquet(tmp3)
+    spark.createDataFrame(extra, "id long, v string").write.mode(
+        "append"
+    ).parquet(path3)
+    tick = time.time() - 3600
+    os.utime(f"{tmp3}/_SUCCESS", (tick, tick))
+    os.utime(f"{path3}/_SUCCESS", (tick, tick))  # same tick, both sides
+    with _pytest.raises(RuntimeError, match="refusing to resume"):
+        compact_flat_relation(spark, path3)
+    assert sorted(map(tuple, spark.read.parquet(path3).collect())) == sorted(
+        want + [tuple(r) for r in extra]
+    )
+
+    # (g) same tick with EQUAL counts is the loss-free staged-from
+    # state: scratch dropped, target bytes untouched
+    path4 = str(tmp_path / "same_tick_clean")
+    tmp4 = path4 + "__compacting"
+    spark.createDataFrame(rows, "id long, v string").repartition(
+        4
+    ).write.parquet(path4)
+    spark.read.parquet(path4).repartition(1).write.parquet(tmp4)
+    os.utime(f"{tmp4}/_SUCCESS", (tick, tick))
+    os.utime(f"{path4}/_SUCCESS", (tick, tick))
+    n_files4 = len(glob.glob(os.path.join(path4, "*.parquet")))
+    compact_flat_relation(spark, path4)
+    assert not os.path.exists(tmp4)
+    assert len(glob.glob(os.path.join(path4, "*.parquet"))) == n_files4
+    assert sorted(map(tuple, spark.read.parquet(path4).collect())) == want
+
 
 def test_recover_flat_relation_crash_states(spark, tmp_path):
     """Review r8: every crash state of the staged compaction must be

@@ -103,23 +103,35 @@ def _scoped_shim(root: str) -> str | None:
         return None
 
 
-def _validate_gencode() -> bool:
+def _validate_gencode() -> str:
     """Eagerly import the one gencode consumer this engine needs
     (pyspark's StateMessage_pb2) with the version-check escape hatch
-    enabled, then RESTORE the flag. Success leaves the module in
+    enabled, then RESTORE the flag. ``"ok"`` leaves the module in
     ``sys.modules`` — later driver-side imports reuse it without
     re-validating — while the process env goes back to validating
-    every OTHER protobuf consumer normally. Failure means the
-    vendored runtime cannot serve the gencode even with the hatch,
-    so the caller must roll back and report no protobuf."""
+    every OTHER protobuf consumer normally.
+
+    Three outcomes, not two (ADVICE r8): a ``ModuleNotFoundError``
+    naming a *pyspark* module means the GENCODE CONSUMER is absent
+    from this pyspark build — the vendored runtime itself is fine and
+    must stay wired for every non-streaming protobuf consumer
+    (``"gencode_absent"``). Any other failure — including a missing
+    ``google.protobuf`` surfacing from inside the gencode's own
+    imports — means the runtime cannot serve the gencode even with
+    the hatch, so the caller must roll back (``"failed"``)."""
     prev = os.environ.get(_FLAG)
     os.environ[_FLAG] = "true"
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
-        return True
-    except Exception:  # noqa: BLE001 — any load failure = unusable runtime
-        return False
+        return "ok"
+    except ModuleNotFoundError as exc:
+        missing = exc.name or ""
+        if missing == "pyspark" or missing.startswith("pyspark."):
+            return "gencode_absent"
+        return "failed"
+    except Exception:  # noqa: BLE001 — any other load failure = unusable
+        return "failed"
     finally:
         if prev is None:
             os.environ.pop(_FLAG, None)
@@ -151,6 +163,12 @@ def ensure_protobuf() -> bool:
         # rolls back cleanly (review r7): leaving the path entry wired
         # when the runtime cannot actually serve the gencode would
         # make every child process resolve a half-working protobuf.
+        # The sys.modules snapshot scopes the rollback purge (ADVICE
+        # r8): only google* modules that APPEARED during this attempt
+        # may be evicted on the no-location heuristic.
+        pre_modules = {
+            n for n in sys.modules if n == "google" or n.startswith("google.")
+        }
         added_sys = entry not in sys.path
         prev_pythonpath = os.environ.get("PYTHONPATH")
         if added_sys:
@@ -161,16 +179,22 @@ def ensure_protobuf() -> bool:
                 f"{current}{os.pathsep}{entry}" if current else entry
             )
         try:
-            ok = importlib.util.find_spec("google.protobuf") is not None
+            resolvable = importlib.util.find_spec("google.protobuf") is not None
         except (ImportError, ModuleNotFoundError):
-            ok = False
-        if ok:
-            ok = _validate_gencode()
-        if ok:
+            resolvable = False
+        verdict = _validate_gencode() if resolvable else "failed"
+        if verdict == "ok":
             # workers re-import the gencode in their own processes and
             # need the same-major escape hatch there; forward it via
             # executorEnv only (never the driver's environment)
             WORKER_ENV[_FLAG] = "true"
+            return True
+        if verdict == "gencode_absent":
+            # this pyspark build ships no streaming gencode, so there
+            # is nothing to version-validate and no worker will ever
+            # import it — keep the runtime wired for every other
+            # protobuf consumer, and leave WORKER_ENV empty (the
+            # escape hatch protects only the absent gencode)
             return True
         if added_sys and entry in sys.path:
             sys.path.remove(entry)
@@ -178,11 +202,13 @@ def ensure_protobuf() -> bool:
             os.environ.pop("PYTHONPATH", None)
         else:
             os.environ["PYTHONPATH"] = prev_pythonpath
-        _purge_vendored_google(entry, root)
+        _purge_vendored_google(entry, root, pre_modules)
     return False
 
 
-def _purge_vendored_google(entry: str, root: str) -> None:
+def _purge_vendored_google(
+    entry: str, root: str, pre_modules: frozenset[str] | set[str] = frozenset()
+) -> None:
     """Drop from ``sys.modules`` every ``google``/``google.*`` module
     the failed attempt loaded from the vendored tree (review r8): the
     validation import caches ``google.protobuf`` and its runtime
@@ -194,15 +220,27 @@ def _purge_vendored_google(entry: str, root: str) -> None:
     the caller was told streaming is available. The bare ``google``
     namespace module goes too when its cached ``__path__`` references
     the rolled-back entry; modules from a genuinely installed
-    distribution (different ``__file__`` root) are left alone."""
+    distribution (different ``__file__`` root) are left alone. A
+    module with NO location at all (neither ``__file__`` nor
+    ``__path__``) is evicted only when it appeared DURING the attempt
+    (absent from ``pre_modules``) — a pre-existing location-less
+    stub, e.g. one a test or mock injected, is not ours to purge
+    (ADVICE r8)."""
     prefixes = (entry, root)
     for name, mod in list(sys.modules.items()):
         if name != "google" and not name.startswith("google."):
             continue
         f = getattr(mod, "__file__", None) or ""
-        paths = [str(p) for p in (getattr(mod, "__path__", None) or [])]
+        try:
+            paths = [str(p) for p in (getattr(mod, "__path__", None) or [])]
+        except Exception:
+            # a namespace __path__ whose parent entry is already gone
+            # from sys.modules raises on recalculation — such an
+            # orphan cannot be imported from again; evict it
+            del sys.modules[name]
+            continue
         locations = [f, *paths] if f or paths else []
-        if not locations or any(
+        if (not locations and name not in pre_modules) or any(
             loc.startswith(pref) for loc in locations for pref in prefixes
         ):
             del sys.modules[name]

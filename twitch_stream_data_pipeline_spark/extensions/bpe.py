@@ -265,6 +265,14 @@ def bpe_train(
     tie-break; pinned in tests). ``stats``, when given, is filled
     with ``path`` (driver|distributed), ``rounds``, and per-round
     ``batch_sizes`` for job-count assertions."""
+    # ADVICE r8: a sub-1 batch_limit (or collect_limit) would make
+    # every distributed round select an empty batch and re-run an
+    # identical shuffle+collect forever — reject at entry instead of
+    # spinning
+    if batch_limit < 1:
+        raise ValueError(f"batch_limit must be >= 1, got {batch_limit}")
+    if collect_limit is not None and collect_limit < 1:
+        raise ValueError(f"collect_limit must be >= 1, got {collect_limit}")
     spark = df.sparkSession
     # the vocabulary-sized reduction is the ONLY corpus-sized scan;
     # checkpoint it so the count gate and whichever merge path follows

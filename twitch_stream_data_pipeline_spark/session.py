@@ -52,6 +52,53 @@ def get_spark(
         if active is not None and active._sc._jsc is None:  # stopped
             active = None
     if active is not None:
+        # ADVICE r8: "don't clobber tuning on reuse" must not also
+        # skip the CORRECTNESS confs. A session created outside
+        # get_spark (a notebook, a test harness, pyspark shell) may
+        # lack the UTC session timezone and nanos-as-long legacy
+        # read that DuckDB-oracle parity and the events decode branch
+        # depend on — these are semantics, not tuning, so on reuse
+        # they are (re)applied when they differ. Both are
+        # runtime-settable SQL confs; the guard below still tolerates
+        # an exotic build marking one static.
+        for k, v in (
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ):
+            try:
+                if active.conf.get(k, None) != v:
+                    active.conf.set(k, v)
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    f"get_spark: required conf {k!r}={v!r} could not be "
+                    "applied to the pre-existing session; oracle parity "
+                    "and NANOS-parquet reads may misbehave",
+                    stacklevel=2,
+                )
+        # executorEnv.* is static: workers of a pre-existing session
+        # never see compat.WORKER_ENV, so the vendored-protobuf
+        # version-check escape hatch silently doesn't reach them —
+        # say so instead of letting streaming fail mysteriously later
+        from .compat import WORKER_ENV
+
+        if WORKER_ENV:
+            applied = {
+                k: active.conf.get(f"spark.executorEnv.{k}", None)
+                for k in WORKER_ENV
+            }
+            if any(applied[k] != v for k, v in WORKER_ENV.items()):
+                import warnings
+
+                warnings.warn(
+                    "get_spark: reusing a session created before the "
+                    f"compat worker env {sorted(WORKER_ENV)} was wired; "
+                    "spark.executorEnv.* is fixed at session build, so "
+                    "Python workers will not see it (streaming gencode "
+                    "paths may hit the protobuf version check)",
+                    stacklevel=2,
+                )
         # truthiness, matching the creation path's `or DEFAULT`
         # coercion, so shuffle_partitions=0 never reaches conf.set
         if shuffle_partitions:

@@ -521,12 +521,20 @@ def compact_flat_relation(
     absent (crash mid-overwrite-back; no append can have committed to
     a _SUCCESS-less dir) or older than the scratch commit (crash
     before the overwrite-back started; target still the exact state
-    the scratch was staged from) -> resume is provably safe. NEWER
-    means writes landed after the scratch committed: equal row counts
-    identify the normal crash-after-overwrite-before-cleanup case
-    (drop the scratch, done); unequal counts mean appends interleaved
-    with the crashed compaction — resuming would silently DROP them,
-    so refuse loudly and leave both copies for the operator."""
+    the scratch was staged from) -> resume is provably safe. NEWER —
+    or EQUAL (ADVICE r8: ``_SUCCESS`` mtimes are second-granularity on
+    common filesystems, so an append landing in the same tick as the
+    scratch commit is indistinguishable from one landing just after;
+    treating equal as "older" would resume over it and silently drop
+    the append, exactly the loss this guard exists to refuse) — means
+    writes MAY have landed after the scratch committed, and the row
+    counts decide: equal counts identify the two loss-free states
+    (the normal crash-after-overwrite-before-cleanup, and a
+    same-tick staging with no interleaved append — either way drop
+    the scratch and return, leaving an intact target the caller can
+    simply re-compact); unequal counts mean appends interleaved with
+    the crashed compaction — resuming would silently DROP them, so
+    refuse loudly and leave both copies for the operator."""
     tmp = path.rstrip("/") + "__compacting"
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     jtmp = hpath(tmp)
@@ -547,7 +555,7 @@ def compact_flat_relation(
         tgt_success = hpath(path.rstrip("/") + "/_SUCCESS")
         if fs.exists(tgt_success) and (
             fs.getFileStatus(tgt_success).getModificationTime()
-            > fs.getFileStatus(success).getModificationTime()
+            >= fs.getFileStatus(success).getModificationTime()
         ):
             t_count = spark.read.parquet(path).count()
             s_count = spark.read.parquet(tmp).count()
