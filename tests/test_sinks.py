@@ -1008,3 +1008,91 @@ def test_recover_flat_relation_crash_states(spark, tmp_path):
     assert recover_flat_relation(spark, tgt) == "discarded_uncommitted"
     assert rows_of(tgt) == {(5, "z")}
     assert not os.path.exists(tgt + "__compacting")
+
+
+def test_maintenance_lease_refuses_manual_compaction(spark, tmp_path):
+    """VERDICT r8 next-round #6: compact_flat_relation is manual-
+    callable against a path an active cadence owns, but its crash/
+    retry protocol is only sound inside the owner's serialization
+    point. With the lease held, a manual call refuses loudly; the
+    owner's own call (token presented) proceeds; release re-opens the
+    manual maintenance window."""
+    import os
+
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.sinks import (
+        acquire_maintenance_lease,
+        compact_flat_relation,
+        read_maintenance_lease,
+        release_maintenance_lease,
+    )
+
+    path = str(tmp_path / "leased")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "id long, v string"
+    ).repartition(4).write.parquet(path)
+
+    acquire_maintenance_lease(spark, path, "cadence-A")
+    assert read_maintenance_lease(spark, path) == "cadence-A"
+    # idempotent re-acquire (checkpoint restart), different owner refused
+    acquire_maintenance_lease(spark, path, "cadence-A")
+    with _pytest.raises(RuntimeError, match="already leased"):
+        acquire_maintenance_lease(spark, path, "cadence-B")
+
+    # manual compaction (no token) refused, data untouched
+    with _pytest.raises(RuntimeError, match="owned by an active"):
+        compact_flat_relation(spark, path)
+    assert spark.read.parquet(path).count() == 8
+
+    # the owner compacts fine
+    compact_flat_relation(spark, path, lease_token="cadence-A")
+    assert spark.read.parquet(path).count() == 8
+
+    # wrong-owner release refused; right-owner release opens the window
+    with _pytest.raises(RuntimeError, match="leased by"):
+        release_maintenance_lease(spark, path, "cadence-B")
+    release_maintenance_lease(spark, path, "cadence-A")
+    assert read_maintenance_lease(spark, path) is None
+    spark.createDataFrame([(99, "x")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    compact_flat_relation(spark, path)
+    assert spark.read.parquet(path).count() == 9
+    # releasing an unleased path is a no-op
+    release_maintenance_lease(spark, path, "anyone")
+    assert not os.path.exists(path + "__lease")
+
+
+def test_dim_upserter_cadence_takes_the_lease(spark, tmp_path):
+    """The upserter with compact_every leases its state path at
+    construction: manual compaction refuses while the cadence owns the
+    table, and a restart (same path) re-acquires without error."""
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.sinks import (
+        compact_flat_relation,
+        read_maintenance_lease,
+    )
+    from twitch_stream_data_pipeline_spark.streaming.dim_maintenance import (
+        DimUpserter,
+    )
+
+    state = str(tmp_path / "dim_state")
+    ddl = "user_id string, user_name string"
+    up = DimUpserter(
+        spark, state, ["user_id"], ddl, compact_every=2
+    )
+    assert read_maintenance_lease(spark, state) == f"DimUpserter:{state}"
+    up(spark.createDataFrame([("u1", "Ada")], ddl), 0)
+    with _pytest.raises(RuntimeError, match="owned by an active"):
+        compact_flat_relation(spark, state)
+    # checkpoint-restart analog: a new upserter on the same path
+    # re-acquires the same token idempotently
+    DimUpserter(spark, state, ["user_id"], ddl, compact_every=2)
+    # and the cadence itself still compacts on schedule (2nd append)
+    up(spark.createDataFrame([("u2", "Grace")], ddl), 1)
+    assert {r["user_id"] for r in spark.read.parquet(state).collect()} == {
+        "u1",
+        "u2",
+    }

@@ -485,8 +485,87 @@ def compact_partitions(
     )
 
 
+def _maintenance_lease_path(path: str) -> str:
+    return path.rstrip("/") + "__lease"
+
+
+def acquire_maintenance_lease(
+    spark: SparkSession, path: str, owner: str
+) -> None:
+    """Mark ``path`` as owned by an active maintenance cadence
+    (VERDICT r8 next-round #6). The cadence's serialization point is
+    what makes :func:`compact_flat_relation`'s resume protocol sound;
+    a MANUAL compaction issued while a stream owns the path runs
+    outside that point and can interleave with appends. The lease is a
+    marker file ``{path}__lease`` holding the owner token: acquiring
+    with the SAME owner is idempotent (checkpoint restarts re-acquire
+    without ceremony); a different owner raises. The lease is
+    deliberately NOT auto-released — streams have no reliable shutdown
+    hook — so decommissioning a cadence means calling
+    :func:`release_maintenance_lease` (or deleting the marker file,
+    which every refusal message names)."""
+    lease = _maintenance_lease_path(path)
+    current = read_maintenance_lease(spark, path)
+    if current is not None and current != owner:
+        raise RuntimeError(
+            f"acquire_maintenance_lease: {path} is already leased by "
+            f"{current!r}; release it (release_maintenance_lease or "
+            f"delete {lease}) before attaching a new cadence."
+        )
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jlease = hpath(lease)
+    fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jlease, True)
+    try:
+        out.write(bytearray(owner.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_maintenance_lease(spark: SparkSession, path: str) -> str | None:
+    """The current lease owner for ``path``, or None when unleased."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jlease = hpath(_maintenance_lease_path(path))
+    fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jlease):
+        return None
+    stream = fs.open(jlease)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+
+
+def release_maintenance_lease(
+    spark: SparkSession, path: str, owner: str
+) -> None:
+    """Release a lease taken with :func:`acquire_maintenance_lease`.
+    Refuses when a DIFFERENT owner holds it (releasing someone else's
+    lease re-opens exactly the race the lease exists to close); a
+    missing lease is a no-op."""
+    current = read_maintenance_lease(spark, path)
+    if current is None:
+        return
+    if current != owner:
+        raise RuntimeError(
+            f"release_maintenance_lease: {path} is leased by "
+            f"{current!r}, not {owner!r}."
+        )
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jlease = hpath(_maintenance_lease_path(path))
+    fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jlease, False)
+
+
 def compact_flat_relation(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    lease_token: str | None = None,
 ) -> None:
     """Small-file compaction for an UNPARTITIONED parquet relation —
     the flat twin of :func:`compact_partitions`, needed by the append-
@@ -534,7 +613,27 @@ def compact_flat_relation(
     the scratch and return, leaving an intact target the caller can
     simply re-compact); unequal counts mean appends interleaved with
     the crashed compaction — resuming would silently DROP them, so
-    refuse loudly and leave both copies for the operator."""
+    refuse loudly and leave both copies for the operator.
+
+    Ownership (VERDICT r8 next-round #6): when an active cadence holds
+    the maintenance lease on ``path``
+    (:func:`acquire_maintenance_lease` — the dim upserter takes one
+    whenever ``compact_every`` is set), a call that does not present
+    the owner's token as ``lease_token`` is REFUSED outright: a manual
+    compaction against a stream-owned path runs outside the cadence's
+    serialization point, and the crash/retry protocol above is only
+    sound inside it."""
+    owner = read_maintenance_lease(spark, path)
+    if owner is not None and lease_token != owner:
+        raise RuntimeError(
+            f"compact_flat_relation: {path} is owned by an active "
+            f"maintenance cadence ({owner!r} holds "
+            f"{_maintenance_lease_path(path)}). A manual compaction "
+            "would run outside the owner's serialization point and can "
+            "interleave with its appends. If the cadence is truly "
+            "gone, release the lease first "
+            "(release_maintenance_lease, or delete the lease file)."
+        )
     tmp = path.rstrip("/") + "__compacting"
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     jtmp = hpath(tmp)

@@ -63,6 +63,20 @@ class DimUpserter:
         self.compact_every = compact_every
         self.compact_target_files = compact_target_files
         self._appends_since_compact = 0
+        #: the maintenance-lease token (VERDICT r8 #6): when this
+        #: upserter owns the compaction cadence, it leases the state
+        #: path so a MANUAL compact_flat_relation call — which would
+        #: run outside the foreachBatch serialization point and can
+        #: interleave with the appends — is refused loudly instead of
+        #: silently racing. The token is stable per state path, so a
+        #: checkpoint restart re-acquires idempotently. The lease is
+        #: not auto-released (streams have no reliable shutdown hook);
+        #: decommissioning = sinks.release_maintenance_lease.
+        self._lease = f"DimUpserter:{state_path.rstrip('/')}"
+        if compact_every:
+            from ..sinks import acquire_maintenance_lease
+
+            acquire_maintenance_lease(spark, state_path, self._lease)
 
     def current_state(self) -> DataFrame:
         if os.path.exists(self.state_path):
@@ -112,6 +126,7 @@ class DimUpserter:
                     self.spark,
                     self.state_path,
                     target_files=self.compact_target_files,
+                    lease_token=self._lease,
                 )
                 self._appends_since_compact = 0
 
