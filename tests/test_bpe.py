@@ -419,3 +419,28 @@ def test_bpe_train_rejects_sub_one_limits(spark):
         bpe_train(df, n_merges=5, driver_vocab_limit=0, batch_limit=0)
     with _pytest.raises(ValueError, match="collect_limit"):
         bpe_train(df, n_merges=5, driver_vocab_limit=0, collect_limit=0)
+
+
+def test_bpe_train_matches_unrolled_sql_oracle(spark, duck):
+    """The second iterative operator stated relationally (the
+    pagerank_copresence playbook): bpe_oracle_sql unrolls the 20
+    catalog merges as chained MATERIALIZED CTEs over the documents
+    view — wrapped-string replace IS the greedy single-round fold, the
+    argmax is the trainer's exact (pf DESC, l, r) key, so the
+    comparison is EXACT: identical merge sequence and pair counts.
+    Staged for promotion into the bpe_train_merges registration via a
+    later round's graded-window swap (round 9's went to pagerank)."""
+    from twitch_stream_data_pipeline_spark.extensions.bpe import (
+        bpe_oracle_sql,
+    )
+    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
+
+    from .conftest import SF_SMOKE
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in CATALOG["bpe_train_merges"].fn(spark, SF_SMOKE).collect()
+    ]
+    want = duck.execute(bpe_oracle_sql(20)).fetchall()
+    assert len(got) == len(want) > 0
+    assert got == [tuple(r) for r in want]  # integer-exact, no tolerance

@@ -349,6 +349,117 @@ def bpe_train(
     )
 
 
+#: separator for the wrapped-symbol string representation the unrolled
+#: SQL oracle uses: ASCII unit separator, absent from whitespace-
+#: tokenized text (the house tokenize() splits on \s+ and the corpus
+#: contract is printable text; the differential test would catch a
+#: corpus violating it).
+_ORACLE_SEP = "\x1f"
+
+
+def bpe_oracle_sql(
+    n_merges: int,
+    min_pair_freq: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """ANSI-SQL statement of :func:`bpe_train`'s merge table, rounds
+    UNROLLED as chained CTEs — the DuckDB-runnable relational oracle
+    for the second iterative-fixed-unroll operator after
+    ``pagerank_copresence`` (same playbook: a data-dependent LOOP is
+    not statable in recursion-free SQL, but a FIXED round count
+    unrolls, and integer-exact arithmetic makes the unrolled form
+    BIT-identical, not approximate).
+
+    Round state is one wrapped string per word: every symbol is
+    individually fenced as ``SEP sym SEP`` and concatenated, so a
+    round's merge ``(l, r)`` is one plain ``replace()`` of
+    ``SEP l SEP SEP r SEP`` with ``SEP lr SEP`` — left-to-right,
+    non-overlapping, which is EXACTLY the greedy single-round fold of
+    :func:`_merge_fold` (after a merge fires its product cannot chain
+    into the next pair within the same round; ``A A A`` merges to
+    ``[AA, A]`` on both sides). Each round's pair counts re-split the
+    wrapped string; the argmax is ``ORDER BY pf DESC, l, r LIMIT 1``,
+    the trainer's exact tie-break. The final filter cuts at the first
+    round whose best pair is below ``min_pair_freq`` — exact, because
+    once the global max drops below the threshold no later round can
+    rise above it (new pairs inherit at most the merged pair's count).
+
+    Every chained CTE is ``MATERIALIZED``: ``v{{k-1}}`` is referenced
+    by BOTH ``p{{k}}`` and ``v{{k}}``, so DuckDB's default CTE
+    inlining would duplicate the chain exponentially (2^n copies of
+    the corpus scan — found the hard way as a fd-exhaustion blowup).
+
+    Registered-catalog status: STAGED (the ``bpe_train_merges``
+    registration keeps ``oracle=None``) — round 9's single permitted
+    graded-window swap went to ``pagerank_copresence``; this oracle is
+    differentially pinned in tests/test_bpe.py and queues for a later
+    round's swap, per the window-discipline gate in
+    tests/test_catalog_order.py."""
+    sep = _ORACLE_SEP
+    parts = [
+        f"""
+    words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower({text_col})), '\\s+'))
+                 AS word
+        FROM {table}
+      ) WHERE word <> '' GROUP BY word
+    )""",
+        f"""
+    v0 AS MATERIALIZED (
+      SELECT '{sep}' || array_to_string(
+               list_transform(chars[1:len(chars)-1],
+                              c -> c || '{sep}{sep}'),
+               '') || chars[len(chars)] || '{EOW}{sep}' AS sym,
+             freq
+      FROM (SELECT regexp_split_to_array(word, '') AS chars, freq
+            FROM words)
+    )""",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    p{k} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pf
+      FROM (SELECT string_split(trim(sym, '{sep}'), '{sep}{sep}') AS syms,
+                   freq
+            FROM v{k - 1}),
+           unnest(generate_series(1, len(syms) - 1)) t(i)
+      GROUP BY 1, 2
+    )""")
+        parts.append(
+            f"""
+    m{k} AS MATERIALIZED (
+      SELECT l, r, pf FROM p{k} ORDER BY pf DESC, l, r LIMIT 1
+    )"""
+        )
+        parts.append(f"""
+    v{k} AS MATERIALIZED (
+      SELECT replace(v.sym,
+                     '{sep}' || m.l || '{sep}{sep}' || m.r || '{sep}',
+                     '{sep}' || m.l || m.r || '{sep}') AS sym,
+             v.freq
+      FROM v{k - 1} v CROSS JOIN m{k} m
+    )""")
+    merges = " UNION ALL ".join(
+        f"SELECT {k - 1} AS rank, l, r, pf FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    allm AS ({merges})
+    SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+           pf AS pair_freq
+    FROM allm
+    WHERE rank < COALESCE(
+      (SELECT min(rank) FROM allm WHERE pf < {min_pair_freq}), {n_merges})
+    ORDER BY rank"""
+    )
+
+
 def _ranks_of(merge_list) -> dict:
     """Pair -> ASCENDING list of every rank it occupies in the merge
     list. A trained table CAN contain the same pair twice: after

@@ -4654,9 +4654,16 @@ def q_ivfpq_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "bpe_train_merges",
-    None,  # iterative, data-dependent merge loop — not relationally
-    # statable without recursion; the merge SEQUENCE is fully
-    # deterministic (integer counts, lexicographic tie-break) and is
+    None,  # iterative merge loop. A full DuckDB oracle now EXISTS —
+    # bpe.bpe_oracle_sql unrolls the 20 rounds as chained MATERIALIZED
+    # CTEs (wrapped-string replace == the greedy single-round fold),
+    # bit-exact, differentially pinned in
+    # tests/test_bpe.py::test_bpe_train_matches_unrolled_sql_oracle —
+    # but stays out of this registration until the entry can take a
+    # graded-window slot (round 9's permitted swap went to
+    # pagerank_copresence; the window-discipline gate in
+    # tests/test_catalog_order.py forbids an out-of-window oracle
+    # query with zero driver greens). The merge SEQUENCE is also
     # pinned exactly against an independent pure-Python BPE trainer in
     # tests/test_bpe.py (plus partition-independence and the
     # segmentation round-trip)
