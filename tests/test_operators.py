@@ -1624,3 +1624,28 @@ def test_build_lsh_index_executes_input_plan_once(spark, tmp_path):
         ),
     ).collect()
     assert {(r["query_id"], r["match_id"]) for r in hits} == {(9, 1)}
+
+
+def test_pack_groups_matches_recursive_sql_oracle(spark, duck):
+    """Third iterative operator stated relationally (pagerank/BPE
+    playbook, but data-dependent LENGTH handled by a genuine RECURSIVE
+    CTE — one linear-recursive row per item, the group-load list
+    carried as a BIGINT[] column): first-fit-decreasing reproduced
+    step-exactly (first fitting group, else new group under the limit,
+    else FIRST least-loaded — Python's argmin tie-break). Staged for a
+    later round's graded-window swap; pack_groups keeps oracle=None
+    until then."""
+    from twitch_stream_data_pipeline_spark.operators.packing import (
+        pack_oracle_sql,
+    )
+    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
+
+    from .conftest import SF_SMOKE
+
+    got = [
+        tuple(r) for r in CATALOG["pack_groups"].fn(spark, SF_SMOKE).collect()
+    ]
+    items = "SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS w FROM events GROUP BY user_id"
+    want = duck.execute(pack_oracle_sql(items)).fetchall()
+    assert len(got) == len(want) > 0
+    assert got == [tuple(r) for r in want]  # integer-exact

@@ -60,3 +60,72 @@ def pack_into_groups(
                 groups[i].append(k)
                 loads[i] += w
     return groups
+
+
+def pack_oracle_sql(
+    items_sql: str,
+    max_groups: int = 25,
+    cap_sql: str = "GREATEST(1, CAST((SUM(w) + 19) // 20 AS BIGINT))",
+) -> str:
+    """ANSI-SQL statement of :func:`pack_into_groups` as a DuckDB
+    RECURSIVE CTE — the third iterative operator stated relationally
+    (after the pagerank/BPE fixed-round unrolls; this one is
+    data-dependent in LENGTH, which plain recursion handles: one
+    linear-recursive row per item, state = the group-load list carried
+    as a ``BIGINT[]`` column).
+
+    Each step reproduces first-fit-decreasing exactly: items arrive in
+    the trainer's (weight DESC, key) order; ``fit`` is the FIRST group
+    whose load + w stays under cap (``list_position`` over a
+    ``list_transform`` predicate); else a new group while under
+    ``max_groups``; else the FIRST least-loaded group
+    (``list_position(loads, list_min(loads))`` — Python's
+    ``min(range, key=...)`` argmin tie-break). ``cap_sql`` defaults to
+    the catalog entry's ceil(total/20) integer form.
+
+    ``items_sql``: a SELECT producing ``k`` (key) and ``w`` (BIGINT
+    weight). Output: ``(group_id, n_keys, total_weight)`` in group-
+    creation order, the ``pack_groups`` catalog shape.
+
+    Registered-catalog status: STAGED (``pack_groups`` keeps
+    ``oracle=None``) — differentially pinned in
+    tests/test_operators.py, queued for a later round's single
+    graded-window swap per the window-discipline gate."""
+    return f"""
+    WITH RECURSIVE items AS MATERIALIZED (
+      SELECT k, w, row_number() OVER (ORDER BY w DESC, k) AS rnk
+      FROM ({items_sql})
+    ),
+    params AS MATERIALIZED (
+      SELECT {cap_sql} AS cap, COUNT(*) AS n FROM items
+    ),
+    step AS (
+      SELECT 0::BIGINT AS i, CAST([] AS BIGINT[]) AS loads,
+             0::INT AS g, 0::BIGINT AS w
+      UNION ALL
+      SELECT it.rnk,
+             CASE WHEN chosen <= len(s.loads)
+                  THEN list_transform(s.loads,
+                         (l, idx) -> CASE WHEN idx = chosen
+                                          THEN l + it.w ELSE l END)
+                  ELSE list_append(s.loads, it.w) END,
+             chosen::INT,
+             it.w
+      FROM step s
+      JOIN items it ON it.rnk = s.i + 1
+      CROSS JOIN params p
+      CROSS JOIN LATERAL (
+        SELECT CASE
+          WHEN fit > 0 THEN fit
+          WHEN len(s.loads) < {max_groups} THEN len(s.loads) + 1
+          ELSE list_position(s.loads, list_min(s.loads)) END AS chosen
+        FROM (SELECT coalesce(list_position(
+                list_transform(s.loads, l -> l + it.w <= p.cap),
+                true), 0) AS fit)
+      ) c
+    )
+    SELECT (g - 1)::INT AS group_id,
+           COUNT(*)::INT AS n_keys,
+           CAST(SUM(w) AS BIGINT) AS total_weight
+    FROM step WHERE i > 0
+    GROUP BY 1 ORDER BY 1"""

@@ -2289,7 +2289,15 @@ def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "pack_groups",
-    None,  # greedy bin-packing is iterative/procedural — not SQL-expressible
+    None,  # greedy bin-packing is iterative/procedural. A full DuckDB
+    # oracle now EXISTS — operators.packing.pack_oracle_sql states
+    # first-fit-decreasing as a genuine RECURSIVE CTE (one
+    # linear-recursive row per item, group loads carried as a BIGINT[]
+    # column), bit-exact, differentially pinned in
+    # tests/test_operators.py::test_pack_groups_matches_recursive_sql_oracle
+    # — but stays out of this registration until the entry can take a
+    # graded-window slot (window-discipline gate; round 9's single
+    # swap went to pagerank_copresence)
     ("driver", "A4", "packing"),
     "Greedy weighted bin-packing (SURVEY.md A4, "
     "scripts/other/create_category_group_messages.py:57-80): pack per-user "
