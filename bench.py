@@ -109,6 +109,14 @@ EXTENDED = (
     # cluster_balanced_sample is not timed separately — it IS a kmeans
     # run plus one partitioned window.
     "kmeans_clusters",
+    # round 9 (late): the two streaming-replay catalog entries — each
+    # timing records a REAL availableNow Structured Streaming run end
+    # to end (source listing, micro-batch execution, state store,
+    # complete-mode memory-sink materialization), not a batch plan.
+    # extended_total comparability: subtract these two vs
+    # BENCH_r08-and-earlier (see BENCHNOTES.md).
+    "stream_window_counts",
+    "stream_session_windows",
 )
 
 HEADLINE = BASELINE_HEADLINE + EXTENDED

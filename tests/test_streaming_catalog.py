@@ -1,0 +1,158 @@
+"""The streaming tier as a harness-gradable artifact (round 9, beyond
+the brief).
+
+``stream_window_counts`` is the first catalog entry whose callable runs
+a REAL Structured Streaming job (availableNow trigger, stream-static
+broadcast join, complete-mode windowed aggregate, memory sink) and
+returns the materialized final state for the driver to hash. These
+tests are the staging evidence — the same differential the driver would
+run once a graded-window slot opens for the staged oracle
+(``STREAMING_STAGED_ORACLES``), plus the two properties that make the
+result gradable at all:
+
+* **micro-batch-split independence** — replaying the same rows one file
+  per micro-batch (``maxFilesPerTrigger=1`` over a 4-file copy) yields
+  byte-identical final state to the single-batch replay, because
+  complete mode emits the final aggregate state, not per-batch deltas;
+* **empty-input totality** — the degenerate-partition contract every
+  catalog query honors (the wholesale check lives in the opt-in
+  full-catalog sweep; this is the fast always-on pin for the one query
+  whose execution path — a streaming runtime — is unlike all others).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitch_stream_data_pipeline_spark.plans.catalog import (
+    CATALOG,
+    STREAMING_STAGED_ORACLES,
+    _stream_session_windows,
+    _stream_window_counts,
+)
+
+from .conftest import SF_SMOKE
+from .test_oracle_parity import _normalize
+
+EXPECTED_COLS = {
+    "stream_window_counts": [
+        "window_start_s",
+        "event_type",
+        "hour",
+        "part_of_day",
+        "n",
+        "sum_value",
+    ],
+    "stream_session_windows": ["user_id", "n_sessions", "n_events"],
+}
+
+_IMPLS = {
+    "stream_window_counts": _stream_window_counts,
+    "stream_session_windows": _stream_session_windows,
+}
+
+
+@pytest.mark.parametrize("name", sorted(STREAMING_STAGED_ORACLES))
+def test_stream_query_matches_staged_oracle(spark, duck, name):
+    """The driver differential, staged: the streaming replay's final
+    state equals the DuckDB batch SQL over the same parquet."""
+    sdf = CATALOG[name].fn(spark, SF_SMOKE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(STREAMING_STAGED_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert [c.lower() for c in sdf.columns] == EXPECTED_COLS[name]
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in duck_cols
+    )
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _normalize(spark_rows, [c.lower() for c in sdf.columns]) == (
+        _normalize(duck_rows, [c.lower() for c in duck_cols])
+    )
+
+
+def test_stream_session_oracle_is_the_batch_twin():
+    """The staged streaming-session oracle must stay byte-identical to
+    the driver-green batch twin's registered oracle (modulo the final
+    ORDER BY the streaming entry adds) — that identity is the claim
+    'streaming equals the graded batch operator'."""
+    batch = CATALOG["session_window_native"].oracle
+    staged = STREAMING_STAGED_ORACLES["stream_session_windows"]
+    assert staged == batch + " ORDER BY 1", (staged, batch)
+
+
+@pytest.mark.parametrize("name", sorted(_IMPLS))
+def test_stream_result_is_micro_batch_split_independent(
+    spark, tmp_path, name
+):
+    """availableNow + maxFilesPerTrigger=1 over a 4-file copy of the
+    events table processes four micro-batches (one file each — the
+    Spark file-source contract); the complete-mode final state must be
+    byte-identical to the one-batch replay of the same rows. For the
+    session query this is the deep state-store property: sessions of a
+    user whose events arrive in DIFFERENT micro-batches must merge."""
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # events.parquet as a DIRECTORY of 4 files, like a real lake layout
+    src.repartition(4).write.parquet(str(tmp_path / "events.parquet"))
+    n_files = len(
+        [p for p in (tmp_path / "events.parquet").glob("*.parquet")]
+    )
+    assert n_files == 4
+
+    fn = _IMPLS[name]
+    split = fn(spark, str(tmp_path), max_files_per_trigger=1)
+    whole = fn(spark, str(tmp_path))
+    split_rows = sorted(tuple(r) for r in split.collect())
+    whole_rows = sorted(tuple(r) for r in whole.collect())
+    assert split.columns == whole.columns
+    assert len(split_rows) > 0
+    assert split_rows == whole_rows
+
+
+@pytest.mark.parametrize("name", sorted(_IMPLS))
+def test_stream_query_on_empty_events(spark, tmp_path, name):
+    """Zero-row input: the replay terminates, the memory table exists,
+    and the schema is the contracted one."""
+    empty = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(0)
+    empty.write.parquet(str(tmp_path / "events.parquet"))
+    out = CATALOG[name].fn(spark, str(tmp_path))
+    assert [c.lower() for c in out.columns] == EXPECTED_COLS[name]
+    assert out.count() == 0
+
+
+def test_stream_source_join_broadcasts_the_dim(spark):
+    """100 TB plan pin on the STREAMING side: the stream-static join to
+    the 96-row S9 dim must carry the broadcast strategy (a shuffle join
+    of the fact stream against a 96-row dim would be the classic
+    small-dim mistake, per micro-batch this time)."""
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        _events_stream,
+        dsum,
+    )
+    from twitch_stream_data_pipeline_spark.sources.generators import (
+        time_of_day_dim,
+    )
+
+    ev = _events_stream(spark, SF_SMOKE)
+    tod = time_of_day_dim(spark).select("time_of_day_id", "hour")
+    fact = ev.select(
+        F.timestamp_seconds(F.col("secs")).alias("event_time"),
+        F.concat(
+            F.lpad(F.expr("(secs % 86400) div 3600").cast("string"), 2, "0"),
+            F.lpad(
+                F.expr("((secs % 3600) div 60 div 15) * 15").cast("string"),
+                2,
+                "0",
+            ),
+        ).alias("time_of_day_id"),
+        "event_type",
+        "value",
+    )
+    joined = fact.join(F.broadcast(tod), "time_of_day_id")
+    # a streaming DataFrame cannot be batch-analyzed (optimizedPlan
+    # raises); the broadcast strategy hint is already pinned in the
+    # resolved LOGICAL plan, which needs no execution
+    plan = joined._jdf.queryExecution().logical().toString()
+    assert "broadcast" in plan.lower(), plan

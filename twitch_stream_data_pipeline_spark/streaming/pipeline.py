@@ -122,30 +122,32 @@ def windowed_popularity_stream(
     )
 
 
-def run_streams_replay(
-    spark: SparkSession,
-    raw_glob: str,
-    query_name: str = "curated_streams",
-    transform=curated_streams_stream,
+def replay_to_table(
+    stream: DataFrame,
+    query_name: str,
     output_mode: str = "append",
-    max_files_per_trigger: int | None = 100,
     timeout_sec: int = 120,
 ) -> DataFrame:
-    """Deterministic availableNow replay into a memory sink (tests /
-    backfills). Returns the materialized result DataFrame.
+    """Run ANY streaming DataFrame to completion with an availableNow
+    trigger into a memory sink and return the materialized table.
 
-    Use ``output_mode="complete"`` for windowed aggregates replayed in
-    a single trigger: in append mode a window only emits once the
-    watermark passes its end, which never happens when the replay data
-    stops inside the last window.
+    The deterministic-replay primitive every streaming test and the
+    streaming catalog queries share: ``availableNow`` bounds the run to
+    the data already on disk, the memory sink materializes the final
+    state, and the returned DataFrame is a plain batch relation over it
+    (collect-able, hash-able, oracle-comparable).
+
+    Use ``output_mode="complete"`` for windowed aggregates: in append
+    mode a window only emits once the watermark passes its end, which
+    never happens when the replay data stops inside the last window —
+    complete mode emits the FINAL aggregate state regardless of how
+    many micro-batches the trigger split the input into, which is what
+    makes the result micro-batch-split-independent.
 
     Raises ``TimeoutError`` if the replay doesn't finish within
     ``timeout_sec`` — a partially-populated memory table must never
     masquerade as a completed backfill.
     """
-    stream = transform(
-        stream_raw_streams(spark, raw_glob, max_files_per_trigger)
-    )
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
@@ -160,7 +162,25 @@ def run_streams_replay(
             f"streams replay {query_name!r} still running after {timeout_sec}s; "
             "memory table would be incomplete"
         )
-    return spark.table(query_name)
+    return stream.sparkSession.table(query_name)
+
+
+def run_streams_replay(
+    spark: SparkSession,
+    raw_glob: str,
+    query_name: str = "curated_streams",
+    transform=curated_streams_stream,
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = 100,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Deterministic availableNow replay of the RAW-LAYER pipeline into
+    a memory sink (tests / backfills): :func:`replay_to_table` over
+    ``transform(stream_raw_streams(...))``."""
+    stream = transform(
+        stream_raw_streams(spark, raw_glob, max_files_per_trigger)
+    )
+    return replay_to_table(stream, query_name, output_mode, timeout_sec)
 
 
 def stream_to_partitioned_lake(
