@@ -120,6 +120,41 @@ def test_stream_query_on_empty_events(spark, tmp_path, name):
     assert out.count() == 0
 
 
+def test_as_stream_dir_passthrough_and_stale_link_repair(tmp_path):
+    """_as_stream_dir hands directories through untouched; for a single
+    file it builds a symlink dir, and REPOINTS the link when a previous
+    run left it aimed at a different target (temp dirs collide across
+    runs on path-hash, and a broken/stale link would make the file
+    stream source list nothing — or worse, old data)."""
+    import os
+
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        _as_stream_dir,
+    )
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    assert _as_stream_dir(str(d)) == str(d)
+
+    f = tmp_path / "single" / "events.parquet"
+    f.parent.mkdir()
+    f.write_bytes(b"x")
+    out = _as_stream_dir(str(f))
+    link = os.path.join(out, "events.parquet")
+    assert os.path.islink(link)
+    assert os.path.realpath(link) == str(f.resolve())
+    # simulate a stale link from a colliding earlier run
+    stale = tmp_path / "other.bin"
+    stale.write_bytes(b"y")
+    os.unlink(link)
+    os.symlink(stale, link)
+    out2 = _as_stream_dir(str(f))
+    assert out2 == out
+    assert os.path.realpath(os.path.join(out2, "events.parquet")) == str(
+        f.resolve()
+    )
+
+
 def test_stream_source_join_broadcasts_the_dim(spark):
     """100 TB plan pin on the STREAMING side: the stream-static join to
     the 96-row S9 dim must carry the broadcast strategy (a shuffle join
