@@ -22,7 +22,11 @@ import time
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 from twitch_stream_data_pipeline_spark.session import get_spark
 
-#: the top-10 r8 full-query costs plus the iterative-clustering tier.
+#: the top-10 r8 full-query costs plus the iterative-clustering tier,
+#: plus (round 9, late) the two streaming-replay entries — their ratio
+#: measures how an availableNow replay's end-to-end cost (listing,
+#: micro-batch execution, state store, complete-mode materialization)
+#: grows with volume.
 HEAVIES = (
     "embedding_ingest",
     "dedup_ingest",
@@ -35,6 +39,8 @@ HEAVIES = (
     "winnow_near_dup",
     "dedup_clusters",
     "kmeans_clusters",
+    "stream_window_counts",
+    "stream_session_windows",
 )
 
 

@@ -23,6 +23,7 @@ result gradable at all:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans.catalog import (
     CATALOG,
@@ -118,6 +119,68 @@ def test_stream_query_on_empty_events(spark, tmp_path, name):
     out = CATALOG[name].fn(spark, str(tmp_path))
     assert [c.lower() for c in out.columns] == EXPECTED_COLS[name]
     assert out.count() == 0
+
+
+def test_stream_session_gap_boundary_triple_agreement(spark, tmp_path):
+    """The session boundary on a hand-built fixture, agreed three ways:
+    the ENGINE's merge rule (measured here, batch AND streaming) is
+    next-event <= previous + gap, so an event EXACTLY 1800 s after the
+    previous one still MERGES and only 1801 s splits. Streaming replay,
+    the batch twin, and the DuckDB oracle must all emit the same rows —
+    this fixture is what caught the original >= oracle as wrong about
+    the engine (latent: no driver testdata generation has contained an
+    exact-gap pair), and it keeps the three from ever drifting again."""
+    import duckdb
+
+    t0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC, inside the epoch contract
+    rows = []
+    eid = 0
+
+    def ev(user, offs):
+        nonlocal eid
+        for o in offs:
+            eid += 1
+            rows.append((eid, (t0 + o) * 1_000_000, user, "click", 1.0, "{}"))
+
+    ev(10, [0, 1800])          # exactly gap apart -> still ONE session
+    ev(11, [0, 1799])          # inside gap        -> 1 session
+    ev(12, [0, 900, 2699])     # chain of merges   -> 1 session
+    ev(13, [0, 1801, 3700])    # strictly past gap, twice -> 3 sessions
+    ev(14, [0, 1800, 3601])    # merge at the boundary, then split -> 2
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.col("ts_us") / 1_000_000).cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    expected = [(10, 1, 2), (11, 1, 2), (12, 1, 3), (13, 3, 3), (14, 2, 3)]
+    streamed = [
+        tuple(r)
+        for r in CATALOG["stream_session_windows"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert streamed == expected
+    batch = sorted(
+        tuple(r)
+        for r in CATALOG["session_window_native"].fn(spark, str(tmp_path)).collect()
+    )
+    assert batch == expected
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(
+        STREAMING_STAGED_ORACLES["stream_session_windows"]
+    ).fetchall()
+    assert [tuple(r) for r in oracle] == expected
 
 
 def test_as_stream_dir_passthrough_and_stale_link_repair(tmp_path):

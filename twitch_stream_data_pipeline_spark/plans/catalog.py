@@ -5163,7 +5163,7 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT user_id, secs,
              CASE WHEN lag(secs) OVER w IS NULL
-                       OR secs - lag(secs) OVER w >= 1800
+                       OR secs - lag(secs) OVER w > 1800
                   THEN 1 ELSE 0 END AS is_new
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs)
     ),
@@ -5183,12 +5183,18 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hand-rolled lag/cumsum sessionize re-implements): one "
     "groupBy(session_window(ts, '30 minutes'), user) aggregate — "
     "merging session state map-side — then a per-user rollup. "
-    "Boundary semantics differ from the lag formulation by design "
-    "and the oracle states THEM: a session's window is "
-    "[first, last + gap), so an event exactly gap seconds after the "
-    "previous STARTS A NEW SESSION (>= in the oracle's gap test, "
-    "vs the > of sessionize) — the documented reason both queries "
-    "stay in the catalog.",
+    "Boundary semantics, MEASURED on the engine (round 9, via the "
+    "streaming boundary differential in test_streaming_catalog.py): "
+    "sessions merge when the next event is <= previous-event + gap, "
+    "so an event EXACTLY gap seconds after the previous one still "
+    "MERGES and only a strictly-larger gap splits — the oracle's gap "
+    "test is therefore >, same rule as sessionize. (The registration "
+    "originally claimed >= from the [first, last+gap) window shape; "
+    "that was wrong about the merge rule and latent — no driver "
+    "testdata generation has contained an exact-gap pair — caught "
+    "when the round-9 streaming twin's hand-built boundary fixture "
+    "disagreed. The two queries remain distinct operators: native "
+    "session_window state vs hand-rolled lag/cumsum windowing.)",
 )
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -6287,9 +6293,10 @@ def _stream_session_windows(
     "sessions merge in the state store across micro-batches, complete "
     "mode emits the final merged state, and the per-user rollup is a "
     "batch aggregate over the replayed memory table (two stateful "
-    "aggregations cannot chain in one stream). Same [first, last+gap) "
-    "boundary semantics, same oracle text, so streaming=batch equality "
-    "is graded, not asserted.",
+    "aggregations cannot chain in one stream). Same merge-at-exact-gap "
+    "boundary semantics as the batch operator (pinned on a hand-built "
+    "boundary fixture), same oracle SQL object, so streaming=batch "
+    "equality is graded, not asserted.",
 )
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_session_windows(spark, sf_dir)
