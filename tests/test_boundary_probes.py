@@ -1,0 +1,341 @@
+"""Boundary-semantics probes for graded oracles (round 9).
+
+The ``session_window_native`` find (its ``>=`` oracle disagreed with
+the engine's merge-at-exact-gap rule, and stayed green only because no
+driver testdata generation contained an exact-gap pair — until sf0.1
+did) showed that random testdata does not exercise boundary conditions:
+exact ties, threshold equality, interval endpoints. These probes
+manufacture fixtures that sit EXACTLY on each documented boundary and
+run the full Spark-vs-DuckDB differential on them, so a latent
+engine/oracle disagreement fails here, years before the data happens to
+produce the boundary by chance.
+
+Each probe also hand-pins the expected rows where the registration
+documents a specific boundary rule — the differential alone proves the
+two formulations agree, the pins prove they agree on the RIGHT answer.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+from .conftest import SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture()
+def probe_dir(spark, tmp_path):
+    """A full sf-dir layout with ZERO-row copies of every table; each
+    probe overwrites just the table(s) it manufactures."""
+    for t in TABLES:
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").limit(0).write.parquet(
+            f"{tmp_path}/{t}.parquet"
+        )
+    return str(tmp_path)
+
+
+def write_events(spark, probe_dir: str, rows):
+    """rows: (event_id, secs, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(e, s * 1_000_000, u, t, v, "{}") for e, s, u, t, v in rows],
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.col("ts_us") / 1_000_000).cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.write.mode("overwrite").parquet(f"{probe_dir}/events.parquet")
+
+
+def run_differential(spark, probe_dir: str, name: str):
+    """Run the registered query AND its registered oracle on the probe
+    tables; assert value equality; return the Spark rows for pins."""
+    q = CATALOG[name]
+    sdf = q.fn(spark, probe_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{probe_dir}/{t}.parquet/*.parquet'"
+        )
+    res = con.execute(q.oracle)
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), (name, s_cols, d_cols)
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+    assert norm(s_rows, s_cols) == norm(d_rows, d_cols), name
+    return s_rows
+
+
+T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC (multiple of 86400)
+
+
+def test_nearest_slot_boundaries(spark, probe_dir):
+    """The documented rules, hit exactly: a half-slot tie (+450 s) goes
+    to the EARLIER slot; 23:52:59 < cutoff clamps; 23:53:00 (85980)
+    rolls to 0000; the last second of the day rolls too."""
+    rows = [
+        (1, T0 + 0, 1, "click", 1.0),       # slot start        -> 0000
+        (2, T0 + 449, 1, "click", 1.0),     # just under tie    -> 0000
+        (3, T0 + 450, 1, "click", 1.0),     # EXACT half-slot   -> 0000
+        (4, T0 + 451, 1, "click", 1.0),     # just past tie     -> 0015
+        (5, T0 + 85979, 1, "click", 1.0),   # 23:52:59, clamps  -> 2345
+        (6, T0 + 85980, 1, "click", 1.0),   # 23:53:00, rolls   -> 0000
+        (7, T0 + 86399, 1, "click", 1.0),   # last second       -> 0000
+    ]
+    write_events(spark, probe_dir, rows)
+    got = dict(run_differential(spark, probe_dir, "nearest_slot"))
+    # rows 1,2,3 round down to 0000; rows 6,7 roll over to 0000
+    assert got == {"0000": 5, "0015": 1, "2345": 1}
+
+
+def test_asof_join_equal_timestamp_and_tied_clicks(spark, probe_dir):
+    """A click at EXACTLY the purchase's timestamp attributes only when
+    its (ts, event_id) sorts at-or-before the purchase — and two clicks
+    tied on ts resolve by the event_id tiebreak (the later id wins the
+    last() over the (ts, event_id) ordering)."""
+    rows = [
+        # user 1: click id=10 at the same second as purchase id=11
+        # -> (ts,10) < (ts,11): the click attributes, gap 0
+        (10, T0 + 100, 1, "click", 1.0),
+        (11, T0 + 100, 1, "purchase", 1.0),
+        # user 2: purchase id=20 BEFORE click id=21 at the same second
+        # -> (ts,21) > (ts,20): click does NOT attribute
+        (20, T0 + 100, 2, "purchase", 1.0),
+        (21, T0 + 100, 2, "click", 1.0),
+        # user 3: two clicks tied on ts, purchase later: higher id wins
+        (30, T0 + 100, 3, "click", 1.0),
+        (31, T0 + 100, 3, "click", 1.0),
+        (32, T0 + 200, 3, "purchase", 1.0),
+    ]
+    write_events(spark, probe_dir, rows)
+    got = {
+        r[0]: (r[2], r[3])
+        for r in run_differential(
+            spark, probe_dir, "asof_join_click_attribution"
+        )
+    }
+    assert got[11] == (10, 0)
+    assert got[20] == (None, None)
+    assert got[32] == (31, 100 * 1_000_000)
+
+
+def test_funnel_window_boundary_inclusive_at_exactly_24h(spark, probe_dir):
+    """funnel_within_window: a step landing EXACTLY 86400 s after the
+    previous one converts (<= in both formulations); 86401 does not;
+    a click at the SAME second as the signup does not (strict >)."""
+    rows = [
+        # user 1: click exactly +86400 -> converts stage 2
+        (1, T0, 1, "signup", 1.0),
+        (2, T0 + 86400, 1, "click", 1.0),
+        # user 2: click +86401 -> does NOT convert
+        (3, T0, 2, "signup", 1.0),
+        (4, T0 + 86401, 2, "click", 1.0),
+        # user 3: click at the signup's second -> strict >, no convert
+        (5, T0, 3, "signup", 1.0),
+        (6, T0, 3, "click", 1.0),
+        # user 1 purchase exactly +86400 after the click -> stage 3
+        (7, T0 + 2 * 86400, 1, "purchase", 1.0),
+    ]
+    write_events(spark, probe_dir, rows)
+    got = {r[1]: r[2] for r in run_differential(
+        spark, probe_dir, "funnel_within_window"
+    )}
+    assert got == {"signup": 3, "click": 1, "purchase": 1}
+
+
+def test_trailing_hour_sum_range_frame_boundaries(spark, probe_dir):
+    """RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW: an event exactly
+    3600 s earlier is IN the frame, 3601 s is out — and CURRENT ROW in
+    RANGE mode includes ALL peers at the same second (the SQL-standard
+    peers rule both engines must share), including 'later' event_ids."""
+    rows = [
+        (1, T0, 1, "click", 1.0),
+        (2, T0 + 3600, 1, "click", 10.0),     # includes id 1 (exact 3600)
+        (3, T0 + 7201, 1, "click", 100.0),    # id 2 is 3601 out -> alone
+        (4, T0 + 7201, 1, "click", 1000.0),   # same-sec peer of id 3
+    ]
+    write_events(spark, probe_dir, rows)
+    got = dict(
+        (r[0], r[2])
+        for r in run_differential(spark, probe_dir, "trailing_hour_sum")
+    )
+    assert got[1] == 1.0
+    assert got[2] == 11.0
+    # peers: BOTH same-sec rows see the full peer sum, not a prefix
+    assert got[3] == 1100.0
+    assert got[4] == 1100.0
+
+
+def test_copresence_touching_intervals_excluded(spark, probe_dir):
+    """Interval overlap is STRICT (> 0): two users whose daily spans
+    touch at a single point (a.hi == b.lo) are NOT co-present; a 1-s
+    overlap is; zero-length intervals never pair. This is the exact
+    off-by-one the slot-bucketed reduction could get wrong."""
+    rows = [
+        # user 1: [0, 1000]; user 2: [1000, 2000] -> touching, excluded
+        (1, T0, 1, "click", 1.0),
+        (2, T0 + 1000, 1, "click", 1.0),
+        (3, T0 + 1000, 2, "click", 1.0),
+        (4, T0 + 2000, 2, "click", 1.0),
+        # user 3: [1999, 3000] -> overlaps user 2 by 1 s
+        (5, T0 + 1999, 3, "click", 1.0),
+        (6, T0 + 3000, 3, "click", 1.0),
+        # user 4: zero-length [500, 500] inside user 1's span -> never pairs
+        (7, T0 + 500, 4, "click", 1.0),
+    ]
+    write_events(spark, probe_dir, rows)
+    pairs = {
+        (r[1], r[2]): r[3]
+        for r in run_differential(spark, probe_dir, "copresence_pairs")
+    }
+    assert pairs == {(2, 3): 1}
+
+
+def test_range_join_bucket_edges(spark, probe_dir):
+    """(lo, hi] bucket semantics at the edges: quantity exactly 5 lands
+    in bucket 0 (hi inclusive), exactly 50 in bucket 9, exactly 0 joins
+    NO bucket (lo exclusive) and is dropped by the inner join."""
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").limit(3)
+    base = [tuple(r) for r in src.collect()]
+    assert len(base) == 3
+    qty_idx = src.columns.index("l_quantity")
+    price_idx = src.columns.index("l_extendedprice")
+    fixed = []
+    for row, qty in zip(base, (0.0, 5.0, 50.0)):
+        row = list(row)
+        row[qty_idx] = qty
+        row[price_idx] = 100.0
+        fixed.append(tuple(row))
+    spark.createDataFrame(fixed, src.schema).write.mode("overwrite").parquet(
+        f"{probe_dir}/lineitem.parquet"
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in run_differential(
+            spark, probe_dir, "range_join_quantity_buckets"
+        )
+    }
+    assert got == {0: (1, 100.0), 9: (1, 100.0)}
+
+
+def test_dq_expectations_null_fail_closed_and_range_edges(spark, probe_dir):
+    """A violation is a row where the predicate is NOT TRUE: NULLs fail
+    closed on every rule, and the range/threshold edges (quantity 1 and
+    50, discount exactly 0.05) PASS."""
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").limit(3)
+    cols = src.columns
+    base = [list(r) for r in src.collect()]
+    assert len(base) == 3
+
+    def set_(row, **kv):
+        row = list(row)
+        for k, v in kv.items():
+            row[cols.index(k)] = v
+        return tuple(row)
+
+    fixed = [
+        # all-edge PASS row
+        set_(
+            base[0],
+            l_quantity=1.0,
+            l_discount=0.05,
+            l_extendedprice=0.01,
+            l_returnflag="A",
+        ),
+        # other-edge PASS row
+        set_(base[1], l_quantity=50.0, l_discount=0.0, l_returnflag="R"),
+        # NULLs everywhere -> fails quantity/discount/price/shipdate/domain
+        set_(
+            base[2],
+            l_quantity=None,
+            l_discount=None,
+            l_extendedprice=None,
+            l_returnflag=None,
+            l_shipdate=None,
+        ),
+    ]
+    spark.createDataFrame(fixed, src.schema).write.mode("overwrite").parquet(
+        f"{probe_dir}/lineitem.parquet"
+    )
+    got = {
+        r[0]: r[1]
+        for r in run_differential(spark, probe_dir, "dq_expectations")
+    }
+    assert got == {
+        "quantity_in_range": 1,
+        "discount_max_5pct": 1,
+        "price_positive": 1,
+        "shipdate_not_null": 1,
+        "returnflag_domain": 1,
+    }
+
+
+def test_budget_select_exact_budget_and_tied_boundary_group(spark, probe_dir):
+    """The keep-rule at the budget edge: cumulative tokens may equal the
+    budget exactly (<=), and when the budget cuts INSIDE a group of
+    equal-score docs the tie breaks by ascending doc_id — the engine's
+    boundary-group sort must agree with the oracle's global cumsum."""
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cols = src.columns
+    # token counts: 4000 + 3000 = 7000; then three tied 1000-token docs
+    # cut by the 10000 budget after TWO of them (7000+1000+1000 = 9000,
+    # +1000 = 10000 exactly -> ALL three fit; then a 1-token doc busts).
+    docs = [
+        (1, 4000),
+        (2, 3000),
+        (10, 1000),
+        (11, 1000),
+        (12, 1000),
+        (20, 1),
+    ]
+    rows = []
+    for doc_id, n_tokens in docs:
+        text = " ".join(["w"] * n_tokens)
+        rows.append((doc_id, text, "en", "probe", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).select(*cols).write.mode("overwrite").parquet(
+        f"{probe_dir}/documents.parquet"
+    )
+    got = {r[0] for r in run_differential(spark, probe_dir, "budget_select")}
+    # 4000+3000+1000*3 = 10000 == budget exactly; the 1-token doc busts
+    assert got == {1, 2, 10, 11, 12}
+
+
+def test_budget_select_cut_inside_tied_group(spark, probe_dir):
+    """Same operator, budget cutting MID-group: three tied 2000-token
+    docs after 7000 leaves room for only one — the lowest doc_id of the
+    tied group is kept, the rest dropped."""
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cols = src.columns
+    docs = [(1, 4000), (2, 3000), (10, 2000), (11, 2000), (12, 2000)]
+    rows = []
+    for doc_id, n_tokens in docs:
+        text = " ".join(["w"] * n_tokens)
+        rows.append((doc_id, text, "en", "probe", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).select(*cols).write.mode("overwrite").parquet(
+        f"{probe_dir}/documents.parquet"
+    )
+    got = {r[0] for r in run_differential(spark, probe_dir, "budget_select")}
+    assert got == {1, 2, 10}
