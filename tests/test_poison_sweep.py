@@ -1,0 +1,175 @@
+"""Degenerate-CONTENT sweep (round 9).
+
+The empty sweep proves every query survives zero-row tables; this
+module proves the catalog survives — and stays oracle-correct on —
+pathological CONTENT the random driver generator never produces but a
+real 100 TB corpus certainly contains:
+
+* events: a constant-valued group (variance exactly 0 — under Spark's
+  default ANSI mode an unguarded z-score division THROWS), a group
+  with a single event (n=1, also zero variance), value 0.0 rows,
+  same-second duplicates;
+* documents: empty text, whitespace-only text, a single token, an
+  all-identical-token doc, exact duplicates, a near-identical pair;
+* embeddings: the all-zero vector (norm 0 — an unguarded cosine
+  divides by zero), a constant vector, exact duplicate vectors.
+
+Every oracle-bearing catalog query must (a) not raise and (b) still
+match its DuckDB oracle on this data; no-oracle queries must not
+raise. Failures are collected and reported together so one bad
+operator doesn't hide the rest.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+from .conftest import SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+
+
+def _poison_events(spark):
+    rows = []
+    eid = 0
+
+    def ev(secs, user, typ, value, props="{}"):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, secs * 1_000_000, user, typ, value, props))
+
+    # funnel chains with boundary-ish spacing
+    for u in (1, 2):
+        ev(T0 + u, u, "signup", 1.5, '{"k": 1}')
+        ev(T0 + 600 + u, u, "click", 2.5, '{"k": 2}')
+        ev(T0 + 1200 + u, u, "purchase", 3.5, '{"k": 3}')
+    # constant-valued group: every 'error' event is exactly 0.1
+    for i in range(10):
+        ev(T0 + 30 * i, 3 + (i % 3), "error", 0.1, '{"k": 0}')
+    # a group with a SINGLE event (n=1 -> variance 0)
+    ev(T0 + 5000, 9, "view", 7.25, '{"k": 87}')
+    # value exactly 0.0, and same-second duplicates
+    ev(T0 + 9000, 1, "click", 0.0, '{"k": 5}')
+    ev(T0 + 9000, 1, "click", 0.0, '{"k": 5}')
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.col("ts_us") / 1_000_000).cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _poison_documents(spark):
+    para = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the quiet green forest before dawn"
+    )
+    docs = [
+        (0, "", "en", "src0"),                      # empty text
+        (1, "   ", "en", "src1"),                   # whitespace only
+        (2, "a", "de", "src2"),                     # single char
+        (3, "hello", "fr", "src3"),                 # single token
+        (4, "spam " * 50, "en", "src4"),            # one repeated token
+        (5, para, "en", "src5"),                    # normal
+        (6, para, "en", "src6"),                    # exact duplicate of 5
+        (7, para + " indeed", "en", "src7"),        # near-dup of 5
+        (8, "zwei worte", "de", "src8"),
+        (9, para.upper(), "es", "src9"),            # case variant
+    ]
+    return spark.createDataFrame(
+        [(d, t, la, s, len(t)) for d, t, la, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def _poison_embeddings(spark):
+    def vec(f):
+        return [float(f(i)) for i in range(64)]
+
+    rows = [
+        (0, vec(lambda i: 0.0), 0),          # the all-zero vector
+        (1, vec(lambda i: 0.1), 0),          # constant vector
+        (2, vec(lambda i: 0.01 * i), 1),     # ramp
+        (3, vec(lambda i: 0.01 * i), 1),     # exact duplicate of 2
+        (4, vec(lambda i: 0.2 if i == 0 else -0.05), 2),
+    ] + [
+        (
+            5 + j,
+            vec(lambda i, j=j: ((i * 37 + j * 101) % 97 - 48) / 400.0),
+            j % 4,
+        )
+        for j in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def poison_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("poison_sf")
+    for t in TABLES:
+        src = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        if t == "events":
+            df = _poison_events(spark)
+        elif t == "documents":
+            df = _poison_documents(spark)
+        elif t == "embeddings":
+            df = _poison_embeddings(spark)
+        else:
+            df = src.limit(50)  # real rows; star tables aren't the target
+        df.write.parquet(f"{out}/{t}.parquet")
+    return str(out)
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+
+def test_poison_sweep_whole_catalog(spark, poison_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{poison_dir}/{t}.parquet/*.parquet'"
+        )
+    failures = []
+    for name, q in sorted(CATALOG.items()):
+        try:
+            sdf = q.fn(spark, poison_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001 - sweep reports wholesale
+            failures.append(f"{name}: ENGINE RAISED {e!r}"[:300])
+            continue
+        if q.oracle is None:
+            continue
+        try:
+            res = con.execute(q.oracle)
+            d_cols = [c[0].lower() for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: ORACLE RAISED {e!r}"[:300])
+            continue
+        s_cols = [c.lower() for c in sdf.columns]
+        if _norm(s_rows, s_cols) != _norm(d_rows, d_cols):
+            failures.append(
+                f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
+                f"{len(d_rows)} rows"
+            )
+    assert not failures, "\n".join(failures)

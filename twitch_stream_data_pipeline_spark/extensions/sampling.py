@@ -323,11 +323,18 @@ def weighted_sample(
     u = (md5_int(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1).cast(
         "double"
     ) / F.lit(float(1 << 60))
+    # ES inclusion probability is proportional to weight, so a
+    # weight-0 row can never be drawn — drop it BEFORE the priority
+    # projection: under Spark's default ANSI mode ln(u)/0 THROWS
+    # (round-9 poison-sweep find; an empty document is a legal row
+    # with token-weight 0).
     # round to 9 decimals: JVM StrictMath.log and libm log disagree by
     # 1 ULP on rare inputs; the sampling decision must not hang on that
-    priority = F.round(F.log(u) / weight, 9)
+    priority = F.round(F.log(u) / F.col("weight"), 9)
     return (
-        df.select(F.col(id_col), weight.alias("weight"), priority.alias("priority"))
+        df.select(F.col(id_col), weight.alias("weight"))
+        .filter(F.col("weight") > 0)
+        .select(F.col(id_col), F.col("weight"), priority.alias("priority"))
         .orderBy(F.desc("priority"), id_col)
         .limit(k)
     )

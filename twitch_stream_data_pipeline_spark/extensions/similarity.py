@@ -49,12 +49,24 @@ def _norm2(a: Column) -> Column:
     )
 
 
+def _safe_cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """``dot / sqrt(na * nb)`` with the zero-norm convention every
+    numpy path in this module already follows (:func:`_unit_rows`:
+    an all-zero vector scores cosine 0 against everything). The JVM
+    expression paths need the guard explicitly: under Spark's default
+    ANSI mode the unguarded division THROWS DIVIDE_BY_ZERO the moment
+    a zero vector appears — legal content the random testdata never
+    contains (caught by the round-9 poison sweep)."""
+    prod = na.cast("double") * nb.cast("double")
+    return F.when(prod > 0, dot.cast("double") / F.sqrt(prod)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def quantized_cosine(a: Column, b: Column) -> Column:
     """Deterministic cosine over quantized vectors (double output)."""
     qa, qb = quantized_embedding(a), quantized_embedding(b)
-    return _dot(qa, qb).cast("double") / F.sqrt(
-        _norm2(qa).cast("double") * _norm2(qb).cast("double")
-    )
+    return _safe_cosine(_dot(qa, qb), _norm2(qa), _norm2(qb))
 
 
 def cosine_knn(
@@ -114,7 +126,12 @@ def cosine_knn(
             denom = np.sqrt(
                 c_norm.astype(np.float64)[:, None] * q_norm.astype(np.float64)[None, :]
             )
-            cos = dots.astype(np.float64) / denom
+            # zero-norm convention (_unit_rows / _safe_cosine): a zero
+            # vector scores 0.0, never NaN
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(
+                    denom > 0, dots.astype(np.float64) / denom, 0.0
+                )
             n = len(ids)
             yield pd.DataFrame(
                 {
@@ -242,9 +259,10 @@ def lsh_bucketed_knn(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("q_vec"), F.col("c_vec")).cast("double")
-                / F.sqrt(F.col("q_norm").cast("double") * F.col("c_norm").cast("double"))
+            _safe_cosine(
+                _dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm"),
+                F.col("c_norm"),
             ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -375,15 +393,21 @@ def ivf_knn(
             c_mat = np.array(pdf["c_vec"].tolist(), dtype=np.int64)
             c_norm = (c_mat * c_mat).sum(axis=1)
             cf = c_mat.astype(np.float64)
-            cells = (
-                (cf / np.sqrt(c_norm.astype(np.float64))[:, None]) @ cent.T
-            ).argmax(axis=1)
+            # zero-norm convention (_unit_rows): a zero vector stays
+            # zero (cell argmax 0 deterministically), scores cosine 0.0
+            cn = np.sqrt(c_norm.astype(np.float64))[:, None]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                unit = np.where(cn > 0, cf / cn, 0.0)
+            cells = (unit @ cent.T).argmax(axis=1)
             dots = c_mat @ q_mat.T  # exact int64
             denom = np.sqrt(
                 c_norm.astype(np.float64)[:, None]
                 * q_norm.astype(np.float64)[None, :]
             )
-            cos = dots.astype(np.float64) / denom
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(
+                    denom > 0, dots.astype(np.float64) / denom, 0.0
+                )
             out_q, out_n, out_c = [], [], []
             for qi, qid in enumerate(q_ids):
                 mask = np.isin(cells, list(probes[qid]))
@@ -610,12 +634,14 @@ def ivf_index_knn(
     joined = cand.join(
         F.broadcast(qdf), F.array_contains(qdf.probe, cand.cell)
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = F.aggregate(
-        F.zip_with("c_vec", "q_vec", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.sqrt(
-        _norm2(F.col("c_vec")).cast("double") * _norm2(F.col("q_vec")).cast("double")
+    cos = _safe_cosine(
+        F.aggregate(
+            F.zip_with("c_vec", "q_vec", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        _norm2(F.col("c_vec")),
+        _norm2(F.col("q_vec")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (

@@ -80,12 +80,20 @@ def quality_columns(text: Column, toks: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?]"), 0))
+
+    # empty documents are legal rows: a 0-token (or 0-char) doc gets
+    # ratio 0.0 instead of a division — under Spark's default ANSI
+    # mode the unguarded x/0 THROWS mid-scan (round-9 poison-sweep
+    # find; the random driver testdata never contains an empty text)
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
     return {
         "n_chars_measured": n_chars,
         "n_tokens": n_tokens,
-        "chars_per_token": n_chars.cast("double") / n_tokens,
-        "stopword_ratio": n_stop.cast("double") / n_tokens,
-        "punct_ratio": n_punct.cast("double") / n_chars,
+        "chars_per_token": ratio(n_chars, n_tokens),
+        "stopword_ratio": ratio(n_stop, n_tokens),
+        "punct_ratio": ratio(n_punct, n_chars),
     }
 
 

@@ -968,19 +968,31 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     WITH t AS (
       SELECT doc_id, text,
              length(text) AS n_chars,
-             string_split_regex(trim(text), '\s+') AS toks
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
       FROM documents
     )
     SELECT doc_id,
            n_chars AS n_chars_measured,
            len(toks) AS n_tokens,
-           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
-           CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stopword_ratio,
-           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / n_chars AS punct_ratio
+           CASE WHEN len(toks) > 0
+                THEN CAST(n_chars AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS chars_per_token,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                          AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_chars > 0
+                THEN CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                          AS DOUBLE) / n_chars
+                ELSE 0.0 END AS punct_ratio
     FROM t
     """,
     ("text", "ext"),
-    "Quality scoring: length/token/stopword/punctuation statistics.",
+    "Quality scoring: length/token/stopword/punctuation statistics. "
+    "Empty/whitespace docs are legal rows: 0 tokens, every ratio 0.0 "
+    "(the unguarded divisions THREW under ANSI mode — round-9 "
+    "poison-sweep find).",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(_docs(spark, sf_dir))
@@ -1391,6 +1403,21 @@ _DOT = (
 _NORM = "CAST(CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT) AS DOUBLE)"
 
 
+def _ocos(a: str, b: str) -> str:
+    """DuckDB twin of ``similarity._safe_cosine``: quantized cosine
+    with the zero-norm convention (an all-zero vector scores 0.0
+    against everything — never NaN, never a division error). Every
+    cosine-computing oracle must use this macro so engine and oracle
+    can never diverge on a zero vector (round-9 poison-sweep find)."""
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return (
+        f"CASE WHEN {na} * {nb} > 0 "
+        f"THEN {_DOT.format(a=a, b=b)} / sqrt({na} * {nb}) "
+        f"ELSE 0.0 END"
+    )
+
+
 @_register(
     "cosine_knn",
     f"""
@@ -1398,7 +1425,7 @@ _NORM = "CAST(CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT) AS DOUBL
     c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+             {_ocos('qv', 'cv')} AS cosine
       FROM q, c WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -1422,7 +1449,7 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 200),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_DOT.format(a='a.qv', b='b.qv')} / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')}) AS cosine
+             {_ocos('a.qv', 'b.qv')} AS cosine
       FROM v a, v b WHERE a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
@@ -1594,7 +1621,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+             {_ocos('qv', 'cv')} AS cosine
       FROM q, c WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -1624,7 +1651,7 @@ def q_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+             {_ocos('qv', 'cv')} AS cosine
       FROM q, c WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -1673,7 +1700,7 @@ def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE vec_id >= 10),
     scored AS (
       SELECT q.vec_id, c.nearest_id,
-             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+             {_ocos('qv', 'cv')} AS cosine
       FROM q, c
     ),
     best AS (
@@ -1685,8 +1712,7 @@ def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_dup AS (
       SELECT DISTINCT b.vec_id
       FROM q a JOIN q b ON a.vec_id < b.vec_id
-      WHERE {_DOT.format(a='a.qv', b='b.qv')}
-              / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')})
+      WHERE {_ocos('a.qv', 'b.qv')}
             >= 0.38
     )
     SELECT vec_id, nearest_id, cosine AS nearest_cosine,
@@ -2854,7 +2880,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_id, e.event_type,
-           (value - mean) / sqrt(meansq - mean * mean) AS zscore
+           CASE WHEN meansq - mean * mean > 0
+                THEN (value - mean) / sqrt(meansq - mean * mean)
+                ELSE 0.0 END AS zscore
     FROM events e JOIN stats USING (event_type)
     """,
     ("agg", "join", "ext"),
@@ -2865,7 +2893,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relation broadcasts back onto the facts — no shuffle of the fact "
     "table at all. A Window.partitionBy(event_type) formulation would "
     "pin 100 TB onto ~5 unsplittable sort tasks; this shape scales "
-    "with input splits. Sums stay decimal-routed for bit-parity.",
+    "with input splits. Sums stay decimal-routed for bit-parity. "
+    "Zero-variance groups score 0.0 (the group_outliers_scalable "
+    "convention) — added in round 9: under Spark's default ANSI mode "
+    "the unguarded division THREW DIVIDE_BY_ZERO on any constant-"
+    "valued group (legal input the random testdata never produces; "
+    "caught by the degenerate-content probe).",
 )
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -2878,13 +2911,16 @@ def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("meansq"),
     )
+    var = F.col("meansq") - F.col("mean") * F.col("mean")
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        (
-            (F.col("value") - F.col("mean"))
-            / F.sqrt(F.col("meansq") - F.col("mean") * F.col("mean"))
-        ).alias("zscore"),
+        F.when(
+            var > 0,
+            (F.col("value") - F.col("mean")) / F.sqrt(var),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
     )
 
 
@@ -3093,6 +3129,7 @@ def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(CAST(h AS DOUBLE) / 1152921504606846976) / weight, 9)
              AS priority
     FROM scored
+    WHERE weight > 0
     ORDER BY priority DESC, doc_id
     LIMIT 100
     """,
@@ -3576,8 +3613,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops AS (
       SELECT DISTINCT b.vec_id AS dropped
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_DOT.format(a='a.qv', b='b.qv')}
-              / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')}) >= 0.3
+      WHERE {_ocos('a.qv', 'b.qv')} >= 0.3
     )
     SELECT e.vec_id, e.label,
            CAST(d.dropped IS NULL AS INT) AS keep
@@ -4700,7 +4736,7 @@ def q_ivfpq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             {_DOT.format(a='qv', b='cv')} / sqrt({_NORM.format(a='qv')} * {_NORM.format(a='cv')}) AS cosine
+             {_ocos('qv', 'cv')} AS cosine
       FROM q, c WHERE query_id != neighbor_id
     )
     SELECT query_id, neighbor_id, ROUND(cosine, 6) AS adc_cosine, rank FROM (
@@ -5869,8 +5905,7 @@ def q_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         drops AS (
           SELECT DISTINCT b.vec_id AS dropped
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE {_DOT.format(a='a.qv', b='b.qv')}
-                  / sqrt({_NORM.format(a='a.qv')} * {_NORM.format(a='b.qv')})
+          WHERE {_ocos('a.qv', 'b.qv')}
                 >= 0.3
         )
         SELECT dropped FROM drops
