@@ -14,6 +14,44 @@ ensure_protobuf()
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def normalize_rows(rows, columns):
+    """THE graded comparison normalization (sort columns by name, rows
+    by repr, NaN canonicalized) — every differential in the suite must
+    use this one helper so the sweeps can never diverge from the
+    oracle-parity semantics. ``test_oracle_parity._normalize`` is an
+    alias of this function."""
+    import math
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v!r}"
+        return repr(v)
+
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def make_duck_views(con, sf_dir: str, glob_parts: bool = False):
+    """Register the ten testdata tables as DuckDB views over
+    ``sf_dir`` — single-file driver layout by default, or Spark-written
+    directories-of-parts with ``glob_parts=True``."""
+    suffix = "/*.parquet" if glob_parts else ""
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf_dir}/{t}.parquet{suffix}'"
+        )
+    return con
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -25,12 +63,4 @@ def spark():
 def duck():
     import duckdb
 
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
-        )
-    yield con
+    yield make_duck_views(duckdb.connect(), SF_SMOKE)

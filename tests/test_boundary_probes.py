@@ -23,12 +23,7 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from .conftest import SF_SMOKE, TABLES, make_duck_views, normalize_rows
 
 
 @pytest.fixture()
@@ -66,22 +61,14 @@ def run_differential(spark, probe_dir: str, name: str):
     sdf = q.fn(spark, probe_dir)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'{probe_dir}/{t}.parquet/*.parquet'"
-        )
+    con = make_duck_views(duckdb.connect(), probe_dir, glob_parts=True)
     res = con.execute(q.oracle)
     d_cols = [c[0].lower() for c in res.description]
     d_rows = res.fetchall()
     assert sorted(s_cols) == sorted(d_cols), (name, s_cols, d_cols)
-
-    def norm(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        return sorted(tuple(repr(r[i]) for i in order) for r in rows)
-
-    assert norm(s_rows, s_cols) == norm(d_rows, d_cols), name
+    assert normalize_rows(s_rows, s_cols) == normalize_rows(
+        d_rows, d_cols
+    ), name
     return s_rows
 
 

@@ -7,28 +7,16 @@ the driver re-runs the same comparison at sf0.01.
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, normalize_rows
 
-
-def _normalize(rows, columns):
-    """Sort columns by name, rows by string repr — order-insensitive."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def norm_cell(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v!r}"
-        return repr(v)
-
-    normed = [tuple(norm_cell(row[i]) for i in order) for row in rows]
-    return sorted(normed)
+#: canonical name many sibling modules import; the implementation now
+#: lives in conftest so every differential (parity, dashboards,
+#: streaming, boundary probes, poison sweep) shares ONE normalization
+_normalize = normalize_rows
 
 
 ORACLE_QUERIES = [name for name, q in CATALOG.items() if q.oracle is not None]

@@ -28,12 +28,7 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from .conftest import SF_SMOKE, TABLES, make_duck_views, normalize_rows
 
 T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 
@@ -137,18 +132,8 @@ def poison_dir(spark, tmp_path_factory):
     return str(out)
 
 
-def _norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
-
-
 def test_poison_sweep_whole_catalog(spark, poison_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'{poison_dir}/{t}.parquet/*.parquet'"
-        )
+    con = make_duck_views(duckdb.connect(), poison_dir, glob_parts=True)
     failures = []
     for name, q in sorted(CATALOG.items()):
         try:
@@ -167,7 +152,7 @@ def test_poison_sweep_whole_catalog(spark, poison_dir):
             failures.append(f"{name}: ORACLE RAISED {e!r}"[:300])
             continue
         s_cols = [c.lower() for c in sdf.columns]
-        if _norm(s_rows, s_cols) != _norm(d_rows, d_cols):
+        if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
             failures.append(
                 f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
                 f"{len(d_rows)} rows"

@@ -216,41 +216,51 @@ def test_as_stream_dir_passthrough_and_stale_link_repair(tmp_path):
     assert os.path.realpath(os.path.join(out2, "events.parquet")) == str(
         f.resolve()
     )
+    # a REGULAR file squatting in the slot (leftover copy / planted in
+    # the predictable tmp path) must be replaced, never silently served
+    os.unlink(link)
+    with open(link, "wb") as fh:
+        fh.write(b"not the data")
+    out3 = _as_stream_dir(str(f))
+    assert os.path.islink(os.path.join(out3, "events.parquet"))
+    assert os.path.realpath(os.path.join(out3, "events.parquet")) == str(
+        f.resolve()
+    )
+
+
+def test_stream_replay_drops_previous_memory_view(spark):
+    """Replay view GC: a long session (bench reps, sweeps) must hold at
+    most ONE materialized memory-sink table per streaming entry — each
+    replay drops its predecessor's temp view."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        _STREAM_REPLAY_VIEWS,
+    )
+
+    CATALOG["stream_window_counts"].fn(spark, SF_SMOKE).collect()
+    first = _STREAM_REPLAY_VIEWS["stream_window_counts"]
+    CATALOG["stream_window_counts"].fn(spark, SF_SMOKE).collect()
+    second = _STREAM_REPLAY_VIEWS["stream_window_counts"]
+    assert first != second
+    live = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert second in live
+    assert first not in live
 
 
 def test_stream_source_join_broadcasts_the_dim(spark):
     """100 TB plan pin on the STREAMING side: the stream-static join to
     the 96-row S9 dim must carry the broadcast strategy (a shuffle join
     of the fact stream against a 96-row dim would be the classic
-    small-dim mistake, per micro-batch this time)."""
-    from pyspark.sql import functions as F
-
+    small-dim mistake, per micro-batch this time). Pinned on the
+    PRODUCTION pre-sink plan (_stream_window_counts_plan — the exact
+    DataFrame the replay sinks), so dropping the hint in the catalog
+    code fails here."""
     from twitch_stream_data_pipeline_spark.plans.catalog import (
-        _events_stream,
-        dsum,
-    )
-    from twitch_stream_data_pipeline_spark.sources.generators import (
-        time_of_day_dim,
+        _stream_window_counts_plan,
     )
 
-    ev = _events_stream(spark, SF_SMOKE)
-    tod = time_of_day_dim(spark).select("time_of_day_id", "hour")
-    fact = ev.select(
-        F.timestamp_seconds(F.col("secs")).alias("event_time"),
-        F.concat(
-            F.lpad(F.expr("(secs % 86400) div 3600").cast("string"), 2, "0"),
-            F.lpad(
-                F.expr("((secs % 3600) div 60 div 15) * 15").cast("string"),
-                2,
-                "0",
-            ),
-        ).alias("time_of_day_id"),
-        "event_type",
-        "value",
-    )
-    joined = fact.join(F.broadcast(tod), "time_of_day_id")
+    agg = _stream_window_counts_plan(spark, SF_SMOKE)
     # a streaming DataFrame cannot be batch-analyzed (optimizedPlan
     # raises); the broadcast strategy hint is already pinned in the
     # resolved LOGICAL plan, which needs no execution
-    plan = joined._jdf.queryExecution().logical().toString()
+    plan = agg._jdf.queryExecution().logical().toString()
     assert "broadcast" in plan.lower(), plan
