@@ -308,6 +308,66 @@ def test_budget_select_exact_budget_and_tied_boundary_group(spark, probe_dir):
     assert got == {1, 2, 10, 11, 12}
 
 
+def test_pareto_abc_exact_class_edges_and_revenue_tie(spark, probe_dir):
+    """ABC class assignment with cum_share landing EXACTLY on the 0.4
+    and 0.8 edges (<= keeps the boundary brand in the better class) and
+    a revenue TIE broken by brand name: revenues 40/40/20 of a 100
+    total put the tied brands at cum 0.4 ('A') and 0.8 ('B')."""
+    li_src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").limit(3)
+    part_src = spark.read.parquet(f"{SF_SMOKE}/part.parquet").limit(3)
+    li_cols, part_cols = li_src.columns, part_src.columns
+    parts = []
+    for row, (key, brand) in zip(
+        part_src.collect(), [(901, "PB1"), (902, "PB2"), (903, "PB3")]
+    ):
+        row = list(row)
+        row[part_cols.index("p_partkey")] = key
+        row[part_cols.index("p_brand")] = brand
+        parts.append(tuple(row))
+    spark.createDataFrame(parts, part_src.schema).write.mode(
+        "overwrite"
+    ).parquet(f"{probe_dir}/part.parquet")
+    lis = []
+    for row, (key, price) in zip(
+        li_src.collect(), [(901, 40.0), (902, 40.0), (903, 20.0)]
+    ):
+        row = list(row)
+        row[li_cols.index("l_partkey")] = key
+        row[li_cols.index("l_extendedprice")] = price
+        row[li_cols.index("l_discount")] = 0.0
+        lis.append(tuple(row))
+    spark.createDataFrame(lis, li_src.schema).write.mode(
+        "overwrite"
+    ).parquet(f"{probe_dir}/lineitem.parquet")
+    got = {
+        r[0]: (r[2], r[3])
+        for r in run_differential(spark, probe_dir, "pareto_abc")
+    }
+    assert got == {
+        "PB1": (0.4, "A"),   # tie with PB2, brand asc wins the A slot
+        "PB2": (0.8, "B"),   # exactly 0.8 -> still B (<=)
+        "PB3": (1.0, "C"),
+    }
+
+
+def test_skew_report_tie_at_the_top10_cut(spark, probe_dir):
+    """The top-10 LIMIT with a tie ACROSS the cut: 12 languages of one
+    doc each — ordering (n_rows DESC, lang asc) must keep exactly
+    l01..l10 on both sides, never an engine-dependent pick."""
+    langs = [f"l{i:02d}" for i in range(1, 13)]
+    rows = [
+        (i, f"doc text {i}", lang, f"src{i}", 10)
+        for i, lang in enumerate(langs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{probe_dir}/documents.parquet")
+    got = [r for r in run_differential(spark, probe_dir, "skew_report_lang")]
+    kept = sorted(r[0] for r in got)
+    assert kept == langs[:10]
+
+
 def test_budget_select_cut_inside_tied_group(spark, probe_dir):
     """Same operator, budget cutting MID-group: three tied 2000-token
     docs after 7000 leaves room for only one — the lowest doc_id of the
