@@ -132,6 +132,71 @@ def poison_dir(spark, tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def all_empty_docs_dir(spark, tmp_path_factory):
+    """documents where EVERY text is empty or whitespace — the
+    zero-shingle corpus: totals of zero, no n-grams anywhere, an LSH
+    index layout with no postings files at all."""
+    out = tmp_path_factory.mktemp("allempty_sf")
+    for t in TABLES:
+        src = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        if t == "documents":
+            rows = [
+                (
+                    i,
+                    "" if i % 2 == 0 else "   ",
+                    "en",
+                    f"src{i % 3}",
+                    0 if i % 2 == 0 else 3,
+                )
+                for i in range(8)
+            ]
+            df = spark.createDataFrame(
+                rows,
+                "doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint",
+            )
+        else:
+            df = src.limit(30)
+        df.write.parquet(f"{out}/{t}.parquet")
+    return str(out)
+
+
+def test_all_empty_corpus_document_queries(spark, all_empty_docs_dir):
+    """Every documents-reading query must run — and stay
+    oracle-correct — on a corpus whose every text is empty/whitespace
+    (this caught build_lsh_index's zero-postings layout failing schema
+    inference on the probe read)."""
+    con = make_duck_views(duckdb.connect(), all_empty_docs_dir, glob_parts=True)
+    failures = []
+    for name, q in sorted(CATALOG.items()):
+        oracle = q.oracle or ""
+        if "documents" not in oracle and "documents" not in name:
+            continue
+        try:
+            sdf = q.fn(spark, all_empty_docs_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001 - sweep reports wholesale
+            failures.append(f"{name}: ENGINE RAISED {e!r}"[:300])
+            continue
+        if q.oracle is None:
+            continue
+        try:
+            res = con.execute(q.oracle)
+            d_cols = [c[0].lower() for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: ORACLE RAISED {e!r}"[:300])
+            continue
+        s_cols = [c.lower() for c in sdf.columns]
+        if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
+            failures.append(
+                f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
+                f"{len(d_rows)} rows"
+            )
+    assert not failures, "\n".join(failures)
+
+
 def test_poison_sweep_whole_catalog(spark, poison_dir):
     con = make_duck_views(duckdb.connect(), poison_dir, glob_parts=True)
     failures = []

@@ -859,7 +859,7 @@ def append_to_lsh_index(
         # record anywhere and stay invisible — the pre-round-7
         # behavior, documented at the gate.
         (
-            spark.read.parquet(path)
+            _read_postings(spark, path)
             .filter(F.col("band") == 0)
             .select("doc_id")
             .distinct()
@@ -875,6 +875,26 @@ def append_to_lsh_index(
     )
     _write_lsh_ids(new_df, path, id_col, mode="append")
     return new_df
+
+
+#: file columns + the band partition column of the build_lsh_index
+#: postings layout (band_keys output, band partition-encoded)
+_POSTINGS_DDL = "doc_id bigint, band_hash string, band int"
+
+
+def _read_postings(spark, path: str) -> DataFrame:
+    """Read a postings layout, tolerating the EMPTY one: an index
+    built over a corpus with zero shingles (every doc shorter than the
+    shingle width, or all-empty text — legal content) writes the
+    partitioned root with no part files at all, so schema inference
+    fails with UNABLE_TO_INFER_SCHEMA; fall back to the known layout
+    schema and an empty scan (round-9 degenerate-corpus probe)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return spark.read.schema(_POSTINGS_DDL).parquet(path)
 
 
 def lsh_index_probe(
@@ -928,7 +948,7 @@ def lsh_index_probe(
     ).select(
         F.col("doc_id").alias("query_id"), "band", "band_hash"
     ).localCheckpoint(eager=False)
-    postings = spark.read.parquet(path).filter(F.col("band") < bands)
+    postings = _read_postings(spark, path).filter(F.col("band") < bands)
     touched = postings.join(
         F.broadcast(qb.select("band", "band_hash").distinct()),
         ["band", "band_hash"],
@@ -1034,7 +1054,7 @@ def dedup_ingest(
             # read: a transient/corrupt-read error must propagate,
             # not silently degrade the gate (review r7).
             indexed = (
-                spark.read.parquet(path)
+                _read_postings(spark, path)
                 .filter(F.col("band") == 0)
                 .select("doc_id")
             )
