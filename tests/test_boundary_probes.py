@@ -276,6 +276,54 @@ def test_dq_expectations_null_fail_closed_and_range_edges(spark, probe_dir):
     }
 
 
+def _write_ragged_embeddings(spark, probe_dir):
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(20)
+    ragged = spark.createDataFrame(
+        [(999, [0.1, 0.2, 0.3], 1), (998, [], 2)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    base.unionByName(ragged).write.mode("overwrite").parquet(
+        f"{probe_dir}/embeddings.parquet"
+    )
+
+
+def test_embedding_dim_check_locates_ragged_rows(spark, probe_dir):
+    """The boundary gate on a ragged corpus: the per-dim histogram
+    (engine vs the staged CONTRACT oracle) flags the 64-dim modal and
+    exposes the 0- and 3-dim strays."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CONTRACT_STAGED_ORACLES,
+    )
+
+    _write_ragged_embeddings(spark, probe_dir)
+    q = CATALOG["embedding_dim_check"]
+    sdf = q.fn(spark, probe_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = make_duck_views(duckdb.connect(), probe_dir, glob_parts=True)
+    res = con.execute(CONTRACT_STAGED_ORACLES["embedding_dim_check"])
+    d_rows = res.fetchall()
+    assert normalize_rows(s_rows, [c.lower() for c in sdf.columns]) == (
+        normalize_rows(d_rows, [c[0].lower() for c in res.description])
+    )
+    assert s_rows == [(0, 1, False), (3, 1, False), (64, 20, True)]
+
+
+def test_embedding_dim_contract_fails_loudly_on_ragged_corpus(
+    spark, probe_dir
+):
+    """The hot reader's bounded probe: any _emb-reading query on a
+    ragged corpus must fail with the NAMED contract error pointing at
+    the boundary gate — never an opaque numpy shape error deep inside
+    a worker."""
+    from twitch_stream_data_pipeline_spark.plans import catalog as cat
+
+    _write_ragged_embeddings(spark, probe_dir)
+    with pytest.raises(ValueError, match="embedding dimension contract"):
+        cat._emb(spark, probe_dir)
+    # the gate itself must still run on the same corpus (raw read)
+    assert CATALOG["embedding_dim_check"].fn(spark, probe_dir).count() == 3
+
+
 def test_budget_select_exact_budget_and_tied_boundary_group(spark, probe_dir):
     """The keep-rule at the budget edge: cumulative tokens may equal the
     budget exactly (<=), and when the budget cuts INSIDE a group of

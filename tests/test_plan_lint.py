@@ -88,6 +88,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "rfm_segments": "three ntile_scalable prefix-offset windows, each over its buckets-sized count table",
     "skew_report_lang": "cumulative share over the per-language aggregate (|langs| rows)",
     "pareto_abc": "cumulative revenue share over the per-brand aggregate (|brands| rows)",
+    "embedding_dim_check": "modal-dim first() over the per-dimension histogram (|distinct dims| rows, corpus-bounded)",
 }
 
 

@@ -102,9 +102,54 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
+_EMB_CONTRACT_OK: set[str] = set()
+
+
+def _check_embedding_dim_contract(path: str, emb: DataFrame) -> None:
+    """Bounded probe (min/max of size(embedding) over the first 1024
+    rows, memoized per path) that the corpus is fixed-dimension.
+
+    The whole similarity tier — quantized dot/norm expressions, Arrow
+    matrix batches, PQ codes, covariance partials — assumes one
+    dimension per corpus; a ragged row otherwise surfaces as an opaque
+    numpy 'inhomogeneous shape' error deep inside a worker (or worse,
+    a silently wrong padded product). The events table's epoch probe
+    is the same move for the same reason: validate the physical
+    contract ONCE per path, loudly, at the reader everyone shares.
+    A probe that proves nothing (empty table) is not memoized. Cost at
+    100 TB: one task reading one row group, once per process. Per-row
+    defects beyond the first 1024 rows are the boundary gate's job
+    (``embedding_dim_check``), not the hot reader's."""
+    if path in _EMB_CONTRACT_OK:
+        return
+    row = (
+        emb.select(F.size("embedding").alias("d"))
+        .limit(1024)
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .first()
+    )
+    lo = row["lo"] if row else None
+    hi = row["hi"] if row else None
+    if lo is None or hi is None:
+        return  # nothing provable — re-probe on the next read
+    if lo != hi:
+        raise ValueError(
+            f"embedding dimension contract violated for {path}: "
+            f"size(embedding) ranges [{lo}, {hi}] in the probe sample; "
+            "the similarity tier requires one fixed dimension per "
+            "corpus. Run the embedding_dim_check boundary gate to "
+            "locate the offending rows, and filter or re-embed them "
+            "before indexing."
+        )
+    _EMB_CONTRACT_OK.add(path)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table, spread across cores when the scan is narrow."""
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    _check_embedding_dim_contract(path, emb)
+    return _spread(emb, "vec_id")
 
 
 # Plausible-epoch bounds for the events data contract: decoded
@@ -6362,6 +6407,58 @@ def _stream_session_windows(
     )
 
 
+#: Full DuckDB oracle for embedding_dim_check, staged for promotion
+#: into the registration when a graded-window slot opens (window
+#: discipline). tests/test_boundary_probes.py runs the differential.
+CONTRACT_STAGED_ORACLES: dict[str, str] = {
+    "embedding_dim_check": """
+    WITH d AS (
+      SELECT len(embedding) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM embeddings GROUP BY 1
+    ),
+    m AS (
+      SELECT dim AS modal FROM d
+      ORDER BY n_vectors DESC, dim ASC LIMIT 1
+    )
+    SELECT CAST(dim AS INT) AS dim, n_vectors,
+           dim = (SELECT modal FROM m) AS is_modal
+    FROM d ORDER BY dim
+    """,
+}
+
+
+@_register(
+    "embedding_dim_check",
+    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
+    # discipline); differential pinned in tests/test_boundary_probes.py
+    ("quality", "similarity", "contract", "ext"),
+    "Embedding-dimension boundary gate (the dq_expectations pattern "
+    "applied to vectors): the per-dimension histogram of the corpus "
+    "with the modal dimension flagged (ties to the smaller dim). The "
+    "similarity tier assumes one fixed dimension per corpus — its hot "
+    "reader enforces that with a bounded memoized probe "
+    "(_check_embedding_dim_contract, the events epoch-contract move) "
+    "and THIS query is the full-scan locator a lake runs at the "
+    "promote boundary when the probe trips. Reads the table raw (no "
+    "probe): the gate must run exactly when the contract is broken.",
+)
+def q_embedding_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.groupBy(F.size("embedding").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    w = Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
+    return (
+        d.withColumn("modal", F.first("dim").over(w))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_vectors",
+            (F.col("dim") == F.col("modal")).alias("is_modal"),
+        )
+        .orderBy("dim")
+    )
+
+
 @_register(
     "stream_session_windows",
     None,  # full oracle STAGED in STREAMING_STAGED_ORACLES (window
@@ -6672,6 +6769,11 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # twin session_window_native.
     "stream_window_counts",
     "stream_session_windows",
+    # round 9 staged (the ragged-embedding probe's boundary gate):
+    # oracle=None for window discipline, full oracle in
+    # CONTRACT_STAGED_ORACLES, differential pinned in
+    # tests/test_boundary_probes.py.
+    "embedding_dim_check",
 )
 
 
