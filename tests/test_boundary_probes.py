@@ -308,6 +308,38 @@ def test_embedding_dim_check_locates_ragged_rows(spark, probe_dir):
     assert s_rows == [(0, 1, False), (3, 1, False), (64, 20, True)]
 
 
+def test_embedding_dim_check_reports_null_rows_as_dim_minus_one(
+    spark, probe_dir
+):
+    """NULL embeddings are an explicit dim -1 group (never a NULL dim
+    key, whose sort position differs between engines), and the probe
+    raises on them too — size(NULL) is NULL, which min/max skip."""
+    from twitch_stream_data_pipeline_spark.plans import catalog as cat
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CONTRACT_STAGED_ORACLES,
+    )
+
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(10)
+    nulls = spark.createDataFrame(
+        [(999, None, 1)], "vec_id bigint, embedding array<float>, label int"
+    )
+    base.unionByName(nulls).write.mode("overwrite").parquet(
+        f"{probe_dir}/embeddings.parquet"
+    )
+    sdf = CATALOG["embedding_dim_check"].fn(spark, probe_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert s_rows == [(-1, 1, False), (64, 10, True)]
+    con = make_duck_views(duckdb.connect(), probe_dir, glob_parts=True)
+    res = con.execute(CONTRACT_STAGED_ORACLES["embedding_dim_check"])
+    assert normalize_rows(s_rows, [c.lower() for c in sdf.columns]) == (
+        normalize_rows(
+            res.fetchall(), [c[0].lower() for c in res.description]
+        )
+    )
+    with pytest.raises(ValueError, match="NULL embedding row"):
+        cat._emb(spark, probe_dir)
+
+
 def test_embedding_dim_contract_fails_loudly_on_ragged_corpus(
     spark, probe_dir
 ):
@@ -322,6 +354,39 @@ def test_embedding_dim_contract_fails_loudly_on_ragged_corpus(
         cat._emb(spark, probe_dir)
     # the gate itself must still run on the same corpus (raw read)
     assert CATALOG["embedding_dim_check"].fn(spark, probe_dir).count() == 3
+
+
+def test_read_postings_empty_build_vs_stripped_layout(spark, tmp_path):
+    """The zero-postings fallback is gated on provable emptiness: an
+    index built over a zero-shingle corpus (all docs shorter than the
+    shingle width) has _ids and reads as an empty relation; a layout
+    whose band directories were STRIPPED out from under a surviving
+    _params (no _ids — the pre-_ids legacy shape) refuses loudly
+    instead of silently re-emitting every redelivered document."""
+    import shutil
+
+    from twitch_stream_data_pipeline_spark.extensions.dedup_text import (
+        _read_postings,
+        build_lsh_index,
+        lsh_index_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(4)], "doc_id bigint, text string"
+    )
+    built = str(tmp_path / "empty_idx")
+    build_lsh_index(docs, built)  # every doc < n words -> zero postings
+    assert _read_postings(spark, built).count() == 0
+    # and the probe path over the empty index returns no candidates
+    assert lsh_index_probe(spark, built, docs.limit(2)).count() == 0
+
+    stripped = str(tmp_path / "stripped_idx")
+    spark.read.parquet(f"{built}/_params").write.parquet(
+        f"{stripped}/_params"
+    )
+    with pytest.raises(RuntimeError, match="no _ids relation"):
+        _read_postings(spark, stripped)
+    shutil.rmtree(stripped, ignore_errors=True)
 
 
 def test_budget_select_exact_budget_and_tied_boundary_group(spark, probe_dir):

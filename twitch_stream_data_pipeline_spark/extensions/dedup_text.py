@@ -888,12 +888,32 @@ def _read_postings(spark, path: str) -> DataFrame:
     shingle width, or all-empty text — legal content) writes the
     partitioned root with no part files at all, so schema inference
     fails with UNABLE_TO_INFER_SCHEMA; fall back to the known layout
-    schema and an empty scan (round-9 degenerate-corpus probe)."""
+    schema and an empty scan (round-9 degenerate-corpus probe).
+
+    The fallback is gated on ``{path}/_ids`` existing: every modern
+    build/append writes that relation (non-partitioned, readable even
+    when empty), so no-part-files + _ids present is a PROVABLY empty
+    build — whereas no-part-files on a legacy layout (no _ids) means
+    the band directories were stripped out from under a surviving
+    _params, and silently treating that as an empty index would make
+    the ingest replay gate re-emit every redelivered document (the
+    r7-banned silent degrade). That case re-raises."""
     try:
         return spark.read.parquet(path)
     except Exception as e:
         if "UNABLE_TO_INFER_SCHEMA" not in str(e):
             raise
+        from .model_io import fs_path_exists
+
+        if not fs_path_exists(spark, f"{path}/_ids"):
+            raise RuntimeError(
+                f"LSH postings at {path} have no readable part files AND "
+                "no _ids relation: either the band directories were "
+                "stripped (restore them or rebuild the index) or this is "
+                "a pre-_ids legacy layout whose postings are gone. "
+                "Refusing to treat it as an empty index — the replay "
+                "gate would silently re-emit every redelivered document."
+            ) from e
         return spark.read.schema(_POSTINGS_DDL).parquet(path)
 
 

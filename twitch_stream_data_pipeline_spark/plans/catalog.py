@@ -125,13 +125,29 @@ def _check_embedding_dim_contract(path: str, emb: DataFrame) -> None:
     row = (
         emb.select(F.size("embedding").alias("d"))
         .limit(1024)
-        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .agg(
+            F.min("d").alias("lo"),
+            F.max("d").alias("hi"),
+            F.sum(F.col("d").isNull().cast("int")).alias("n_null"),
+        )
         .first()
     )
     lo = row["lo"] if row else None
     hi = row["hi"] if row else None
+    n_null = (row["n_null"] or 0) if row else 0
+    if n_null:
+        # size(NULL) is NULL, which min/max skip — an explicit count,
+        # or a corpus of ONLY null vectors would pass the range check
+        # and still crash the Arrow batches (review r9)
+        raise ValueError(
+            f"embedding dimension contract violated for {path}: "
+            f"{n_null} NULL embedding row(s) in the probe sample; the "
+            "similarity tier requires non-null fixed-dimension vectors. "
+            "Run the embedding_dim_check boundary gate to locate them "
+            "(NULL rows report dim -1)."
+        )
     if lo is None or hi is None:
-        return  # nothing provable — re-probe on the next read
+        return  # nothing provable (empty table) — re-probe next read
     if lo != hi:
         raise ValueError(
             f"embedding dimension contract violated for {path}: "
@@ -6413,7 +6429,8 @@ def _stream_session_windows(
 CONTRACT_STAGED_ORACLES: dict[str, str] = {
     "embedding_dim_check": """
     WITH d AS (
-      SELECT len(embedding) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      SELECT COALESCE(len(embedding), -1) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM embeddings GROUP BY 1
     ),
     m AS (
@@ -6444,9 +6461,13 @@ CONTRACT_STAGED_ORACLES: dict[str, str] = {
 )
 def q_embedding_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    d = emb.groupBy(F.size("embedding").alias("dim")).agg(
-        F.count(F.lit(1)).alias("n_vectors")
-    )
+    # NULL embeddings report dim -1: an explicit group instead of a
+    # NULL dim key, so the modal tie-break is engine-identical (Spark
+    # sorts NULLS FIRST in asc, DuckDB NULLS LAST) and is_modal can
+    # never be NULL on exactly the defective corpora this gate locates
+    d = emb.groupBy(
+        F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
     w = Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
     return (
         d.withColumn("modal", F.first("dim").over(w))
