@@ -55,6 +55,23 @@ def _poison_events(spark):
     # value exactly 0.0, and same-second duplicates
     ev(T0 + 9000, 1, "click", 0.0, '{"k": 5}')
     ev(T0 + 9000, 1, "click", 0.0, '{"k": 5}')
+    # degenerate props payloads (the JSON coercion matrix): malformed,
+    # empty object, wrong-typed, float, string-coded int, boolean,
+    # empty string, int overflow — from_json/variant are NULL-tolerant
+    # and the oracles must state the same totality, not raise or round
+    for i, props in enumerate(
+        [
+            "{bad",
+            "{}",
+            '{"k": "x"}',
+            '{"k": 7.9}',
+            '{"k": "7"}',
+            '{"k": true}',
+            "",
+            '{"k": 99999999999}',
+        ]
+    ):
+        ev(T0 + 12000 + 60 * i, 2, "click", 1.0, props)
     return spark.createDataFrame(
         rows,
         "event_id bigint, ts_us bigint, user_id bigint, "

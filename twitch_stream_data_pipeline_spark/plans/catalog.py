@@ -529,15 +529,26 @@ def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "validity_filter",
     """
-    SELECT event_id, user_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-    FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+    WITH x AS (
+      SELECT event_id, user_id,
+             CASE WHEN json_valid(props) AND regexp_matches(
+                    COALESCE(json_extract_string(props, '$.k'), ''),
+                    '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
+    SELECT event_id, user_id, k
+    FROM x WHERE k IS NOT NULL AND k % 2 = 0
     """,
     ("filter", "P6", "S7"),
-    "Validity filter (process_raw_streams_data.py:48-53): cast-null-check on a "
-    "JSON-extracted field instead of per-row try/except.",
+    "Validity filter (process_raw_streams_data.py:48-53): cast-null-"
+    "check on a JSON-extracted field instead of per-row try/except. "
+    "get_json_object + try_cast is NULL-tolerant on malformed JSON and "
+    "non-integer k; the oracle states the same totality (json_valid + "
+    "integer-regex gate — DuckDB's json_extract_string RAISES on "
+    "malformed input and bare TRY_CAST rounds '7.9' to the even 8, "
+    "both pinned by the round-9 poison matrix).",
 )
 def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -3118,18 +3129,30 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "json_props_stats",
     """
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                       AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                  THEN TRY_CAST(json_extract(props, '$.k') AS INT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
-             AS sum_k,
-           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
-                           THEN 1 END) AS BIGINT) AS n_high
-    FROM events GROUP BY 1
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
+    FROM x GROUP BY 1
     """,
     ("json", "P1", "ext"),
     "Semi-structured column extraction: typed from_json over the props "
     "JSON payload feeding a per-type aggregate — the column-level twin "
     "of the raw-layer envelope flattening (S1), all inside whole-stage "
-    "codegen (Jackson parse per row, no UDF).",
+    "codegen (Jackson parse per row, no UDF). from_json is "
+    "NULL-tolerant on degenerate payloads — malformed JSON, a "
+    "non-integer k (7.9, \"7\", true), int overflow — and the oracle "
+    "states the same totality (json_valid + json_type integer gate + "
+    "TRY_CAST): a bare json_extract CAST raised on exactly those rows "
+    "and TRY_CAST alone ROUNDS '7.9' where from_json returns NULL "
+    "(round-9 poison matrix).",
 )
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -3145,7 +3168,11 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH x AS (
       SELECT event_type,
-             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CASE WHEN json_valid(props) AND regexp_matches(
+                    COALESCE(json_extract_string(props, '$.k'), ''),
+                    '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
       FROM events
     ), c AS (
       SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n
@@ -3166,11 +3193,14 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 100 TB the scale answer to repeated json string parsing when "
     "the payload schema is open (from_json's fixed struct, the "
     "json_props_stats twin, is the closed-schema answer). The field is "
-    "extracted as STRING and try_cast to bigint — the exact semantics "
-    "of the oracle's json_extract_string + TRY_CAST on every "
-    "well-formed document (k=3.5 or k=true -> NULL on BOTH engines; a "
-    "direct try_variant_get(..., 'bigint') would instead truncate "
-    "doubles and coerce booleans, silently diverging).",
+    "extracted as STRING and try_cast to bigint — semantics the oracle "
+    "states with a json_valid + integer-regex gate (k=3.5 or k=true "
+    "-> NULL on BOTH engines, k=\"7\" -> 7 on both; a direct "
+    "try_variant_get(..., 'bigint') would truncate doubles and coerce "
+    "booleans, and DuckDB's bare TRY_CAST ROUNDS '7.9' where Spark's "
+    "try_cast returns NULL — both silent divergences, pinned by the "
+    "round-9 poison matrix). Malformed props rows are NULL on both "
+    "sides, never an oracle error.",
 )
 def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
