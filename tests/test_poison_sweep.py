@@ -102,6 +102,11 @@ def _poison_documents(spark):
         (7, para + " indeed", "en", "src7"),        # near-dup of 5
         (8, "zwei worte", "de", "src8"),
         (9, para.upper(), "es", "src9"),            # case variant
+        # unicode: CJK (no ASCII whitespace -> one giant token), emoji
+        # (surrogate-pair code point), combining accent (e + U+0301) —
+        # cross-engine UTF-8 hashing and code-point length semantics
+        (10, "héllo \U0001f600 你好 café niño", "zh", "src10"),
+        (11, "étude étude résumé", "fr", "src11"),
     ]
     return spark.createDataFrame(
         [(d, t, la, s, len(t)) for d, t, la, s in docs],

@@ -160,14 +160,23 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
     This is the video-pipeline *plumbing* — range arithmetic, binary
     slicing, per-frame fan-out — done entirely JVM-side as column
-    expressions (binary ``substring`` + ``md5``, whole-stage codegen);
-    only the per-frame *decode* (stubbed here, see :func:`decode_stub`)
-    would cross into Python, already batched one-frame-per-row. Chunk
-    size is exact integer ceil division, no float path.
+    expressions (whole-stage codegen); only the per-frame *decode*
+    (stubbed here, see :func:`decode_stub`) would cross into Python,
+    already batched one-frame-per-row. Chunk size is exact integer
+    ceil division, no float path.
+
+    ``frame_md5`` fingerprints the frame as ``md5(hex(frame_bytes))``
+    — bijective with the raw bytes, and computable identically in
+    engines whose md5 only accepts text (DuckDB's is VARCHAR-only, and
+    a byte range that splits a multi-byte character is not valid UTF-8
+    to cast; the round-9 unicode poison fixture caught the oracle's
+    earlier character-based slicing diverging from these byte offsets).
+    The hex is sliced at doubled offsets, so the frame grid itself
+    stays byte-addressed.
     """
     frames = df.select(
         "doc_id",
-        "payload",
+        F.hex("payload").alias("payload_hex"),
         F.octet_length("payload").alias("n_bytes"),
         F.expr(f"(octet_length(payload) + {n_frames} - 1) div {n_frames}").alias(
             "chunk"
@@ -178,9 +187,11 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
         "doc_id",
         "frame_idx",
         (F.col("frame_idx") * F.col("chunk")).cast("bigint").alias("byte_start"),
-        F.md5(F.expr("substring(payload, frame_idx * chunk + 1, chunk)")).alias(
-            "frame_md5"
-        ),
+        F.md5(
+            F.expr(
+                "substring(payload_hex, frame_idx * chunk * 2 + 1, chunk * 2)"
+            )
+        ).alias("frame_md5"),
     )
 
 

@@ -128,9 +128,11 @@ def tfidf_top_terms(
     Plan shape: two hash aggregations (doc×term tf, then term df — both
     with map-side partial counts), the df relation joined back onto tf,
     corpus size N as a broadcast 1-row cross join, then one per-doc
-    top-k window. The ln runs on an IEEE-correctly-rounded rational
-    (N+1)/(df+1), bit-identical across engines (checked against the
-    DuckDB oracle).
+    top-k window. The score is rounded to 9 decimals BEFORE ranking:
+    JVM StrictMath.log and libm log disagree by 1 ULP on rare
+    (N+1)/(df+1) inputs (found by the round-9 unicode poison fixture at
+    ln(13/4)), and neither the emitted score nor the rank may hang on
+    the last ULP — the same rule weighted_sample's priorities follow.
 
     Web-scale controls (mirroring the dedup tier's ``max_shingle_df``):
 
@@ -161,10 +163,20 @@ def tfidf_top_terms(
         + F.lit(1.0)
     )
     dfreq_side = F.broadcast(dfreq) if broadcast_df else dfreq
+    # round to 9 decimals BEFORE ranking (the weighted_sample rule):
+    # JVM StrictMath.log and libm log disagree by 1 ULP on rare
+    # (N+1)/(df+1) inputs — the driver corpus never hits one, but the
+    # round-9 unicode poison fixture did (ln(13/4)), and neither the
+    # score nor the rank may hang on the last ULP
     scored = (
         tf.join(dfreq_side, "term")
         .crossJoin(F.broadcast(n_docs))
-        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 9).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
     return (

@@ -2637,7 +2637,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT doc_id, term, tf,
-             tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0)
+             round(tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                            / CAST(df + 1 AS DOUBLE)) + 1.0), 9)
                AS tfidf
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
     ),
@@ -2652,7 +2653,9 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ("text", "ext"),
     "Top-3 characteristic terms per document by smoothed TF-IDF "
-    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing). The max_df cap "
+    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing; rounded to 9 "
+    "decimals before ranking on both sides — JVM and libm ln disagree "
+    "by 1 ULP on rare rationals, round-9 poison find). The max_df cap "
     "is active (web-scale vocab bound, mirrored by the oracle's "
     "HAVING); set far above any observed df so results are unchanged.",
 )
@@ -2735,25 +2738,30 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "frame_sample",
     r"""
-    -- the fixture corpus is ASCII (asserted by equal char/byte lengths),
-    -- so VARCHAR substring states the engine's BINARY byte-slicing exactly
+    -- BYTE-addressed frames: hex(encode(text)) is 2 chars per BYTE, so
+    -- slicing the hex at doubled offsets states the engine's binary
+    -- slicing exactly for ANY content (the earlier VARCHAR slicing was
+    -- character-addressed and diverged on unicode — round-9 poison find)
     WITH p AS (
-      SELECT doc_id, text AS payload, length(text) AS n_bytes,
-             (length(text) + 3) // 4 AS chunk
+      SELECT doc_id, hex(encode(text)) AS payload_hex,
+             octet_length(encode(text)) AS n_bytes,
+             (octet_length(encode(text)) + 3) // 4 AS chunk
       FROM documents
     ),
     f AS (SELECT p.*, unnest(generate_series(0, 3)) AS frame_idx FROM p)
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            CAST(frame_idx * chunk AS BIGINT) AS byte_start,
-           md5(substring(payload, CAST(frame_idx * chunk + 1 AS BIGINT),
-                         CAST(chunk AS BIGINT))) AS frame_md5
+           md5(substring(payload_hex,
+                         CAST(frame_idx * chunk * 2 + 1 AS BIGINT),
+                         CAST(chunk * 2 AS BIGINT))) AS frame_md5
     FROM f WHERE frame_idx * chunk < n_bytes
     """,
     ("multimodal", "ext"),
     "Evenly-spaced 4-frame byte-range sampling over binary payloads — "
-    "the video frame-split fan-out as pure JVM column expressions "
-    "(binary substring + md5); only per-frame decode would cross to "
-    "Python.",
+    "the video frame-split fan-out as pure JVM column expressions; "
+    "only per-frame decode would cross to Python. Frames fingerprint "
+    "as md5(hex(bytes)) (bijective; DuckDB md5 is VARCHAR-only and a "
+    "mid-codepoint byte slice is not castable text).",
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.multimodal import frame_sample
