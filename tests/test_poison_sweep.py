@@ -58,7 +58,15 @@ def _poison_events(spark):
     # degenerate props payloads (the JSON coercion matrix): malformed,
     # empty object, wrong-typed, float, string-coded int, boolean,
     # empty string, int overflow — from_json/variant are NULL-tolerant
-    # and the oracles must state the same totality, not raise or round
+    # and the oracles must state the same totality, not raise or round.
+    # ADVICE r9 additions: an int64-OVERFLOWING integer (as a JSON
+    # number AND as a string — regex-clean, so a bare CAST oracle
+    # raised where Spark's try_cast NULLs), whitespace-padded and
+    # sign-prefixed string ints (Spark's string-to-long cast trims
+    # chars <= 0x20 and accepts a leading +, so these rows are KEPT —
+    # '+8' is even — where the old '^-?[0-9]+$' oracle gate silently
+    # dropped them), and a tab/newline-padded escape ('\t6\n' via JSON
+    # \u-escapes) exercising the non-space trim set.
     for i, props in enumerate(
         [
             "{bad",
@@ -69,6 +77,13 @@ def _poison_events(spark):
             '{"k": true}',
             "",
             '{"k": 99999999999}',
+            '{"k": 10000000000000000000}',
+            '{"k": "10000000000000000000"}',
+            '{"k": "9223372036854775808"}',
+            '{"k": " 7 "}',
+            '{"k": "+8"}',
+            '{"k": "\\t6\\n"}',
+            '{"k": "+ 7"}',
         ]
     ):
         ev(T0 + 12000 + 60 * i, 2, "click", 1.0, props)

@@ -528,13 +528,15 @@ def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "validity_filter",
-    """
+    r"""
     WITH x AS (
       SELECT event_id, user_id,
              CASE WHEN json_valid(props) AND regexp_matches(
                     COALESCE(json_extract_string(props, '$.k'), ''),
-                    '^-?[0-9]+$')
-                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    '^[\x00-\x20]*[-+]?[0-9]+[\x00-\x20]*$')
+                  THEN TRY_CAST(regexp_extract(
+                         json_extract_string(props, '$.k'),
+                         '[-+]?[0-9]+', 0) AS BIGINT)
              END AS k
       FROM events
     )
@@ -548,7 +550,13 @@ def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "non-integer k; the oracle states the same totality (json_valid + "
     "integer-regex gate — DuckDB's json_extract_string RAISES on "
     "malformed input and bare TRY_CAST rounds '7.9' to the even 8, "
-    "both pinned by the round-9 poison matrix).",
+    "both pinned by the round-9 poison matrix). ADVICE r9: the gate is "
+    "exactly Spark's string-to-long cast — Spark trims every char "
+    "<= 0x20 (not just \\s) and accepts a leading +, so the regex "
+    "admits [\\x00-\\x20]-padded signed integers, and the cast is "
+    "TRY_CAST of the extracted digits so a uint64-range literal "
+    "(regex-clean, int64-overflowing) NULLs like Spark's try_cast "
+    "instead of raising — all pinned by the round-10 poison payloads.",
 )
 def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -3173,13 +3181,15 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "variant_topk_props",
-    """
+    r"""
     WITH x AS (
       SELECT event_type,
              CASE WHEN json_valid(props) AND regexp_matches(
                     COALESCE(json_extract_string(props, '$.k'), ''),
-                    '^-?[0-9]+$')
-                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    '^[\x00-\x20]*[-+]?[0-9]+[\x00-\x20]*$')
+                  THEN TRY_CAST(regexp_extract(
+                         json_extract_string(props, '$.k'),
+                         '[-+]?[0-9]+', 0) AS BIGINT)
              END AS k
       FROM events
     ), c AS (
@@ -3208,7 +3218,11 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "booleans, and DuckDB's bare TRY_CAST ROUNDS '7.9' where Spark's "
     "try_cast returns NULL — both silent divergences, pinned by the "
     "round-9 poison matrix). Malformed props rows are NULL on both "
-    "sides, never an oracle error.",
+    "sides, never an oracle error. ADVICE r9: the gate regex admits "
+    "[\\x00-\\x20]-padded signed integers (Spark's cast trims every "
+    "char <= 0x20 and accepts a leading +) and the cast is TRY_CAST "
+    "of the extracted digits, so uint64-range literals NULL instead "
+    "of raising — round-10 poison payloads pin all three.",
 )
 def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
