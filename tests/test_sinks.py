@@ -1064,6 +1064,58 @@ def test_maintenance_lease_refuses_manual_compaction(spark, tmp_path):
     assert not os.path.exists(path + "__lease")
 
 
+def test_maintenance_lease_acquire_is_atomic_under_race(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: acquisition was read-then-create-with-OVERWRITE — two
+    different owners racing could both pass the read and the second
+    create silently clobbered the first, so the lease didn't actually
+    serialize concurrent acquisition. Now the marker is created with
+    Hadoop's EXCLUSIVE create. Reproduce the race deterministically:
+    patch the pre-flight read to report 'unleased' (the stale view the
+    loser had before the winner's create landed) and assert the loser's
+    exclusive create fails over to re-read-and-refuse — or to silent
+    success when the racer was a retry of the SAME owner."""
+    import pytest as _pytest
+
+    import twitch_stream_data_pipeline_spark.sinks as sinks
+
+    path = str(tmp_path / "raced")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        path
+    )
+
+    sinks.acquire_maintenance_lease(spark, path, "cadence-A")
+
+    real_read = sinks.read_maintenance_lease
+    stale_once = {"armed": True}
+
+    def stale_read(s, p):
+        if stale_once["armed"]:
+            stale_once["armed"] = False
+            return None  # the loser's pre-create view: nobody leased
+        return real_read(s, p)
+
+    # different-owner race: B read None before A's create landed; B's
+    # exclusive create must FAIL and the refusal must name A, and A's
+    # token must survive untouched (the old overwrite clobbered it)
+    monkeypatch.setattr(sinks, "read_maintenance_lease", stale_read)
+    with _pytest.raises(RuntimeError, match="already leased by 'cadence-A'"):
+        sinks.acquire_maintenance_lease(spark, path, "cadence-B")
+    assert real_read(spark, path) == "cadence-A"
+
+    # same-owner race (a checkpoint-restart retry racing itself): the
+    # losing create resolves to silent success, not an error
+    stale_once["armed"] = True
+    sinks.acquire_maintenance_lease(spark, path, "cadence-A")
+    assert real_read(spark, path) == "cadence-A"
+    # (no free-threaded smoke: RawLocalFileSystem's exclusive create is
+    # itself check-then-act, so a true thread race on LOCAL disk can
+    # legitimately produce two passes — the exclusive-create contract
+    # this fix relies on is the HDFS/object-store one; the stale-read
+    # scenarios above pin the acquire-side logic deterministically)
+
+
 def test_dim_upserter_cadence_takes_the_lease(spark, tmp_path):
     """The upserter with compact_every leases its state path at
     construction: manual compaction refuses while the cadence owns the

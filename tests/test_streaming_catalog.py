@@ -228,6 +228,57 @@ def test_as_stream_dir_passthrough_and_stale_link_repair(tmp_path):
     )
 
 
+def test_as_stream_dir_refuses_untrusted_holder(tmp_path):
+    """ADVICE r9: the symlink-holder directory lives at a PREDICTABLE
+    path under world-writable /tmp, and ``mkdir(exist_ok=True)``
+    silently accepts a pre-existing directory of any owner/mode — a
+    pre-created open-mode (or attacker-owned) holder would let the
+    symlink be swapped to stream arbitrary files. The function must
+    stat what mkdir handed back and refuse anything that isn't ours
+    with zero group/other access (the tempfile.mkdtemp guarantee),
+    and refuse a symlink squatting where the holder should be."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        _as_stream_dir,
+    )
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x")
+    key = hashlib.md5(
+        f"{os.geteuid()}:{f.resolve()}".encode()
+    ).hexdigest()[:16]
+    holder = os.path.join(tempfile.gettempdir(), f"spark_stream_src_{key}")
+
+    # pre-created with group/other access (the planted-directory shape
+    # a same-uid test CAN produce; a foreign uid fails the same check)
+    shutil.rmtree(holder, ignore_errors=True)
+    os.mkdir(holder, mode=0o755)
+    os.chmod(holder, 0o755)  # mkdir mode is umask-filtered; force it
+    with pytest.raises(RuntimeError, match="no group/other bits"):
+        _as_stream_dir(str(f))
+
+    # a symlink squatting at the holder path (points somewhere ours and
+    # private, but the holder itself must be a real directory)
+    shutil.rmtree(holder, ignore_errors=True)
+    decoy = tmp_path / "decoy"
+    decoy.mkdir(mode=0o700)
+    os.symlink(decoy, holder)
+    with pytest.raises(RuntimeError, match="not a directory"):
+        _as_stream_dir(str(f))
+    os.unlink(holder)
+
+    # and the happy path still works after cleanup
+    out = _as_stream_dir(str(f))
+    assert os.path.islink(os.path.join(out, "events.parquet"))
+    st = os.lstat(out)
+    assert st.st_uid == os.geteuid()
+    assert (st.st_mode & 0o077) == 0
+
+
 def test_stream_replay_drops_previous_memory_view(spark):
     """Replay view GC: a long session (bench reps, sweeps) must hold at
     most ONE materialized memory-sink table per streaming entry — each

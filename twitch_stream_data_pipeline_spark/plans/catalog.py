@@ -316,6 +316,27 @@ def _as_stream_dir(path: str) -> str:
     key = hashlib.md5(f"{os.geteuid()}:{target}".encode()).hexdigest()[:16]
     d = Path(tempfile.gettempdir()) / f"spark_stream_src_{key}"
     d.mkdir(exist_ok=True, mode=0o700)
+    # exist_ok=True accepts a PRE-EXISTING directory of any owner/mode
+    # at this predictable world-writable-/tmp path — an attacker-owned
+    # holder would let the symlink below be swapped to stream arbitrary
+    # files. Verify what mkdir handed back gives the tempfile.mkdtemp
+    # guarantee: ours, and no group/other access (ADVICE r9).
+    st = os.stat(d, follow_symlinks=False)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"stream source holder {d} is not a directory; refusing to "
+            "stream through it"
+        )
+    if st.st_uid != os.geteuid() or (st.st_mode & 0o077):
+        raise RuntimeError(
+            f"stream source holder {d} is owned by uid {st.st_uid} with "
+            f"mode {_stat.S_IMODE(st.st_mode):#o}; expected own uid "
+            f"{os.geteuid()} and no group/other bits — a pre-created "
+            "directory at this predictable /tmp path cannot be trusted. "
+            "Remove it (or fix owner/mode) and retry."
+        )
     link = d / p.name
     if link.is_symlink() and link.resolve() == target:
         return str(d)

@@ -503,19 +503,41 @@ def acquire_maintenance_lease(
     deliberately NOT auto-released — streams have no reliable shutdown
     hook — so decommissioning a cadence means calling
     :func:`release_maintenance_lease` (or deleting the marker file,
-    which every refusal message names)."""
+    which every refusal message names). Acquisition is RACE-SAFE
+    (ADVICE r9): the marker is written with Hadoop's exclusive create
+    (``overwrite=false``), so two concurrent acquirers resolve to
+    exactly one winner; the loser re-reads and either tolerates its
+    own token (a racing retry of the same cadence) or raises."""
     lease = _maintenance_lease_path(path)
-    current = read_maintenance_lease(spark, path)
-    if current is not None and current != owner:
+
+    def refuse(holder):
         raise RuntimeError(
             f"acquire_maintenance_lease: {path} is already leased by "
-            f"{current!r}; release it (release_maintenance_lease or "
+            f"{holder!r}; release it (release_maintenance_lease or "
             f"delete {lease}) before attaching a new cadence."
         )
+
+    current = read_maintenance_lease(spark, path)
+    if current is not None:
+        if current != owner:
+            refuse(current)
+        return  # idempotent re-acquire: the marker already says us
+    # ADVICE r9: read-then-create-with-overwrite let two DIFFERENT
+    # owners both pass the read and the second silently clobber the
+    # first. Create EXCLUSIVELY (overwrite=false — atomic on
+    # filesystems supporting exclusive create, which includes
+    # local/HDFS); on "already exists", someone won the race since our
+    # read: re-read and compare, so exactly one acquirer proceeds.
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     jlease = hpath(lease)
     fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jlease, True)
+    try:
+        out = fs.create(jlease, False)
+    except Exception:
+        raced = read_maintenance_lease(spark, path)
+        if raced == owner:
+            return  # lost the race to our own retry — still leased
+        refuse(raced)
     try:
         out.write(bytearray(owner.encode("utf-8")))
     finally:
