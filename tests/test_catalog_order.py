@@ -184,17 +184,19 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_documented_r9_rotation():
-    """VERDICT r8 next-round #1/#2: the round-9 window is the round-8
+def test_window_is_documented_r10_rotation():
+    """VERDICT r9 next-round #1/#2: the round-10 window is the round-9
     window held STABLE — the 42 round-6 first-timers keep their exact
-    slots, ivfpq_index_exact holds for its third consecutive grade and
-    kmeans_assign_exact (one green, r08) for its second — with exactly
-    ONE permitted change: pagerank_copresence, whose unrolled-CTE
-    int64 fixed-point DuckDB oracle was staged in pytest during round
-    8, is promoted into the graded window and takes the slot of
-    winnow_near_dup, a retained query with four green rounds
-    (r05-r08); winnow_near_dup joins the rotated-out tail. This pins
-    the exact graded order for the r09 run."""
+    slots, ivfpq_index_exact holds (three greens r07-r09),
+    kmeans_assign_exact holds for its third grade (two greens r08/r09)
+    and pagerank_copresence (one green, r09) for its second — with
+    exactly ONE permitted change: stream_window_counts, whose
+    streaming-replay DuckDB oracle was staged in pytest during round
+    9, is promoted into the graded window (the first driver-graded
+    Structured Streaming query) and takes the slot of bpe_token_stats,
+    a retained query with five green rounds (r05-r09);
+    bpe_token_stats joins the rotated-out tail. This pins the exact
+    graded order for the r10 run."""
     expected = [
         # 1a flagship round-5 tiers
         "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
@@ -220,11 +222,12 @@ def test_window_is_documented_r9_rotation():
         # incremental ingest gates over both
         "ivf_index_knn", "lsh_index_probe", "dedup_ingest",
         "embedding_ingest",
-        # 2 retained (+ the r7 swap-in ivfpq_index_exact holding for
-        # its third grade, + the r8 swap-in kmeans_assign_exact
-        # holding for its second, + the one r9 swap-in
-        # pagerank_copresence)
-        "pagerank_copresence", "bpe_token_stats", "variant_topk_props",
+        # 2 retained (+ the r7 swap-in ivfpq_index_exact, + the r8
+        # swap-in kmeans_assign_exact, + the r9 swap-in
+        # pagerank_copresence holding for its second grade, + the one
+        # r10 swap-in stream_window_counts)
+        "pagerank_copresence", "stream_window_counts",
+        "variant_topk_props",
         "stratified_sample", "ivf_knn_exact", "multimodal_decode",
         "ivfpq_index_exact", "kmeans_assign_exact",
     ]
@@ -232,6 +235,7 @@ def test_window_is_documented_r9_rotation():
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
+        "bpe_token_stats",
         "winnow_near_dup",
         "trailing_hour_sum",
         "bm25_topk",
@@ -250,7 +254,7 @@ def test_window_is_documented_r9_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 45
+    assert len(rotated_out) == 46
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 

@@ -5,9 +5,10 @@ the brief).
 a REAL Structured Streaming job (availableNow trigger, stream-static
 broadcast join, complete-mode windowed aggregate, memory sink) and
 returns the materialized final state for the driver to hash. These
-tests are the staging evidence — the same differential the driver would
-run once a graded-window slot opens for the staged oracle
-(``STREAMING_STAGED_ORACLES``), plus the two properties that make the
+tests are the staging evidence — the same differential the driver runs
+(``stream_window_counts``'s oracle was promoted into its registration
+as round 10's window swap; ``stream_session_windows`` remains staged in
+``STREAMING_STAGED_ORACLES``), plus the two properties that make the
 result gradable at all:
 
 * **micro-batch-split independence** — replaying the same rows one file
@@ -53,13 +54,20 @@ _IMPLS = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(STREAMING_STAGED_ORACLES))
+def _stream_oracle(name: str) -> str:
+    """The differential SQL for a streaming entry: the registration's
+    oracle once promoted into the graded window (stream_window_counts,
+    round 10), else the staged one."""
+    return CATALOG[name].oracle or STREAMING_STAGED_ORACLES[name]
+
+
+@pytest.mark.parametrize("name", sorted(_IMPLS))
 def test_stream_query_matches_staged_oracle(spark, duck, name):
     """The driver differential, staged: the streaming replay's final
     state equals the DuckDB batch SQL over the same parquet."""
     sdf = CATALOG[name].fn(spark, SF_SMOKE)
     spark_rows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(STREAMING_STAGED_ORACLES[name])
+    res = duck.execute(_stream_oracle(name))
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     assert [c.lower() for c in sdf.columns] == EXPECTED_COLS[name]
@@ -295,6 +303,44 @@ def test_stream_replay_drops_previous_memory_view(spark):
     live = {t.name for t in spark.catalog.listTables() if t.isTemporary}
     assert second in live
     assert first not in live
+
+
+def test_stale_replay_handle_contract(spark, tmp_path):
+    """VERDICT r9 #7: what happens to the DataFrame a previous replay
+    invocation returned, after a re-invoke drops its temp view? The
+    contract (documented at _STREAM_REPLAY_VIEWS): nothing opaque — the
+    old handle's ANALYZED plan references its own epoch's memory sink
+    directly, so it keeps returning ITS OWN replay's rows. It is never
+    silently rebound to the newer replay's data and never becomes an
+    unexplained analysis error. Proven on two DIFFERENT inputs so
+    'still serves its own rows' is distinguishable from 'serves the
+    latest rows'."""
+    from pyspark.sql import functions as F
+
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        _STREAM_REPLAY_VIEWS,
+    )
+
+    # second input: a 1/10th subset written to a private dir, so the
+    # two replays produce visibly different row counts
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src.filter(F.col("event_id") % 10 == 0).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    first = CATALOG["stream_window_counts"].fn(spark, SF_SMOKE)
+    first_rows = sorted(tuple(r) for r in first.collect())
+    first_view = _STREAM_REPLAY_VIEWS["stream_window_counts"]
+
+    second = CATALOG["stream_window_counts"].fn(spark, str(tmp_path))
+    second_rows = sorted(tuple(r) for r in second.collect())
+    assert second_rows != first_rows  # different inputs, different state
+
+    # the stale handle still collects, and returns its OWN epoch's rows
+    assert sorted(tuple(r) for r in first.collect()) == first_rows
+    # while the catalog name backing it is genuinely gone
+    live = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert first_view not in live
 
 
 def test_stream_source_join_broadcasts_the_dim(spark):
