@@ -1010,6 +1010,29 @@ def test_recover_flat_relation_crash_states(spark, tmp_path):
     assert not os.path.exists(tgt + "__compacting")
 
 
+def test_session_scratch_keeps_repo_root_clean(spark):
+    """VERDICT r9 #9 (finishing r8 #8): the JVM's default drop zone for
+    `spark-warehouse/` (spark.sql.warehouse.dir) and `derby.log`
+    (derby.system.home) is the CURRENT DIRECTORY — the repo root for
+    every suite/bench run. get_spark must route both into a private
+    scratch dir at session creation so they never regenerate at the
+    repo root. Asserted on the live session's effective config and the
+    JVM system property Derby actually consults."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert wh, "warehouse dir unset"
+    assert not wh.replace("file:", "").startswith(repo), wh
+
+    derby_home = spark._jvm.java.lang.System.getProperty(
+        "derby.system.home"
+    )
+    assert derby_home, "derby.system.home not set on the driver JVM"
+    assert not str(derby_home).startswith(repo), derby_home
+
+
 def test_maintenance_lease_refuses_manual_compaction(spark, tmp_path):
     """VERDICT r8 next-round #6: compact_flat_relation is manual-
     callable against a path an active cadence owns, but its crash/

@@ -123,9 +123,27 @@ def get_spark(
         return active
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # Keep the working tree clean (VERDICT r8 #8 / r9 #9): by default
+    # the JVM drops `spark-warehouse/` (spark.sql.warehouse.dir) and
+    # `derby.log` (derby.system.home — written by the embedded-Derby
+    # JDBC sink tests) into the CURRENT DIRECTORY, i.e. the repo root
+    # for every suite/bench run. Route both into a private scratch dir
+    # instead: mkdtemp is 0700 and unpredictable, so this inherits none
+    # of the predictable-/tmp trust problems the stream-source holder
+    # had to guard against. Static confs, so they only apply on the
+    # CREATION path — a pre-existing session keeps writing wherever it
+    # was created to write (the reuse branch above warn-ignores them).
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_scratch_")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.sql.warehouse.dir", f"{scratch}/spark-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={scratch}",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
