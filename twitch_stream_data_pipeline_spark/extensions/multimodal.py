@@ -121,17 +121,32 @@ def extract_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads propagate as NULL outputs — the same semantics
+        # the JVM-side binary_meta has for free (octet_length(NULL) =
+        # md5(NULL) = NULL). A pandas batch hands the decoder None
+        # where the JVM sees a typed null, and len(None)/md5(None)
+        # RAISE (round-10 NULL poison sweep); Int32 is the NULLABLE
+        # pandas integer dtype Arrow maps back to a null int32.
+        def _null_safe(f):
+            return lambda b: None if b is None else f(b)
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "n_bytes": payloads.map(_null_safe(len)).astype(
+                        "Int32"
+                    ),
                     "payload_md5": payloads.map(
-                        lambda b: __import__("hashlib").md5(b).hexdigest()
+                        _null_safe(
+                            lambda b: __import__("hashlib")
+                            .md5(b)
+                            .hexdigest()
+                        )
                     ),
                     "features": payloads.map(
-                        lambda b: decode_stub(b, strict=strict)
+                        _null_safe(lambda b: decode_stub(b, strict=strict))
                     ),
                 }
             )

@@ -459,6 +459,15 @@ def interval_overlap_pairs(
     All arithmetic integer; output order-normalized to id order, which
     is independent of the cover/starter role split.
     """
+    # A NULL id cannot form a well-defined pair: the role-split
+    # tiebreak (c_id < s_id) is UNKNOWN on it, and Spark's
+    # least/greatest IGNORE nulls — so a NULL-id interval paired with
+    # user 5 would emit the self-pair (5, 5), an artifact no oracle
+    # states (round-10 NULL poison sweep: an anonymous event's
+    # user_id is NULL on a real corpus). Drop NULL-id intervals
+    # before replication; SQL comparison semantics (a < b) drop them
+    # on the oracle side for free.
+    iv = iv.filter(F.col(id_col).isNotNull())
     slot = lambda c: F.floor(c / F.lit(bucket_secs)).cast("long")  # noqa: E731
     cov = iv.select(
         F.col(id_col).alias("c_id"),

@@ -889,17 +889,25 @@ def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, event_id AS argmin_event, value AS min_value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY event_type
-                                   ORDER BY value, event_id) AS rn
+                                   ORDER BY value NULLS LAST, event_id) AS rn
       FROM events
     ) WHERE rn = 1
     """,
     ("aggregate", "A5"),
     "Argmin scalar aggregate (get_raw_categories_data.py:61-69) with "
-    "deterministic (value, event_id) tiebreak.",
+    "deterministic (value, event_id) tiebreak. NULLS LAST explicitly on "
+    "BOTH sides (round-10 NULL poison sweep): the engines' ascending "
+    "defaults DISAGREE — Spark sorts NULLS FIRST, DuckDB NULLS LAST — "
+    "so an unqualified ORDER BY value makes the argmin of any group "
+    "containing a NULL value pick different rows per engine; NULLS "
+    "LAST is also the argmin a user means (a missing measurement never "
+    "beats a real one; an all-NULL group still emits its lowest-id row).",
 )
 def q_argmin_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), F.col("event_id")
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -984,7 +992,8 @@ def q_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lhs AS (
       SELECT event_type, n,
-             row_number() OVER (ORDER BY n DESC, event_type) AS pos
+             row_number() OVER (ORDER BY n DESC, event_type NULLS LAST)
+               AS pos
       FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
     ),
     rhs AS (SELECT CAST(i + 1 AS BIGINT) AS pos, CAST(100 - 10 * i AS BIGINT) AS weight
@@ -994,7 +1003,13 @@ def q_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ("join", "J6"),
     "Positional (index-aligned) join (create_category_group_messages.py:111-114) "
-    "re-expressed with explicit row_number ordering.",
+    "re-expressed with explicit row_number ordering. The event_type "
+    "tiebreak carries NULLS LAST explicitly on BOTH sides (round-10 "
+    "NULL poison sweep): positional alignment is defined BY the order, "
+    "and the engines' ascending defaults disagree (Spark NULLS FIRST, "
+    "DuckDB NULLS LAST) — a NULL-typed group tying a named one on n "
+    "would land at a different position, silently receiving a "
+    "different weight.",
 )
 def q_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -1003,7 +1018,10 @@ def q_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") + 1).alias("rpos"), (100 - 10 * F.col("id")).alias("weight")
     )
     joined = positional_join(
-        counts, weights.orderBy("rpos"), [F.desc("n"), F.col("event_type")], [F.col("rpos")]
+        counts,
+        weights.orderBy("rpos"),
+        [F.desc("n"), F.col("event_type").asc_nulls_last()],
+        [F.col("rpos")],
     )
     return joined.select("event_type", "n", "weight")
 
@@ -3517,6 +3535,7 @@ def q_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
       FROM documents
+      WHERE text IS NOT NULL
     ),
     c AS (
       SELECT doc_id, n_tokens,
@@ -3531,7 +3550,13 @@ def q_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Token-budget corpus selection (keep the best docs until 10k "
     "tokens): engine side is a bounded score histogram + broadcast "
     "joins — only the single boundary score group is ever sorted; the "
-    "oracle states the same keep-rule as a naive global ordered cumsum.",
+    "oracle states the same keep-rule as a naive global ordered cumsum. "
+    "NULL-text docs are EXCLUDED from selection on both sides (round-10 "
+    "NULL poison sweep): the engine's NULL token count drops out of the "
+    "histogram equi-joins, while the oracle's SUM-ignores-NULL window "
+    "was silently KEEPING them with a free cum — the WHERE text IS NOT "
+    "NULL states the engine's (and the only sensible) semantics: a doc "
+    "with no text cannot spend token budget.",
 )
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.sampling import budget_select
@@ -5191,6 +5216,13 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="gram: string, n: long")
     class NGrams:
         def eval(self, doc_id: int, text: str):
+            if text is None:
+                # NULL text expands to no rows — the lateral join then
+                # drops the document exactly like the oracle's
+                # len(NULL toks) >= 2 gate (round-10 NULL poison sweep:
+                # a Python UDTF receives None where JVM tiers see a
+                # typed null, and .strip() on None RAISES)
+                return
             toks = text.strip().lower().split()
             from collections import Counter
 
