@@ -499,3 +499,70 @@ def test_budget_select_cut_inside_tied_group(spark, probe_dir):
     )
     got = {r[0] for r in run_differential(spark, probe_dir, "budget_select")}
     assert got == {1, 2, 10}
+
+
+def test_value_finite_check_locates_nonfinite_values(spark, probe_dir):
+    """The fact-column finiteness boundary gate (round 10, the third
+    contract locator after epoch and embedding-dim): on a corpus
+    carrying NaN / +Inf / -Inf / NULL values the classifier must agree
+    with its staged CONTRACT oracle and expose every class as its own
+    (type, class, n) row."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CONTRACT_STAGED_ORACLES,
+    )
+
+    t0 = 1_704_067_200
+    rows = [
+        (1, t0 + 1, 1, "click", 1.0),
+        (2, t0 + 2, 1, "click", float("nan")),
+        (3, t0 + 3, 2, "click", float("inf")),
+        (4, t0 + 4, 2, "view", float("-inf")),
+        (5, t0 + 5, 3, "view", None),
+        (6, t0 + 6, 3, "view", 2.5),
+        (7, t0 + 7, 4, None, float("nan")),
+    ]
+    write_events(spark, probe_dir, rows)
+    sdf = CATALOG["value_finite_check"].fn(spark, probe_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = make_duck_views(duckdb.connect(), probe_dir, glob_parts=True)
+    res = con.execute(CONTRACT_STAGED_ORACLES["value_finite_check"])
+    assert normalize_rows(s_rows, [c.lower() for c in sdf.columns]) == (
+        normalize_rows(
+            res.fetchall(), [c[0].lower() for c in res.description]
+        )
+    )
+    assert set(s_rows) == {
+        ("click", "finite", 1),
+        ("click", "nan", 1),
+        ("click", "inf", 1),
+        ("view", "-inf", 1),
+        ("view", "null", 1),
+        ("view", "finite", 1),
+        (None, "nan", 1),
+    }
+
+
+def test_dsum_masks_nonfinite_exactly_as_documented(spark):
+    """The behavior the finiteness contract exists to gate (pinned so
+    it is a stated fact, never a surprise): Spark's double->decimal
+    cast turns NaN/±Inf into NULL even under ANSI, so dsum SILENTLY
+    SKIPS them — while the identical DuckDB cast in _osum RAISES. A
+    corpus that fails value_finite_check therefore does not have
+    comparable decimal-routed aggregates at all; the locator, not the
+    sum, is the loud path."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import _osum, dsum
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan",),), (float("inf"),), (float("-inf"),), (2.0,)],
+        "v double",
+    )
+    [row] = df.select(dsum("v").alias("s")).collect()
+    assert row.s == 3.0  # 1.0 + 2.0: the three non-finite rows skipped
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (1.0), ('nan'::DOUBLE)) x(v)"
+    )
+    with pytest.raises(duckdb.Error):
+        con.execute(f"SELECT {_osum('v')} FROM t").fetchall()

@@ -413,13 +413,27 @@ def _events_stream(
 
 
 def dsum(c: Column | str) -> Column:
-    """Exact, order-independent sum of a double column (see module doc)."""
+    """Exact, order-independent sum of a double column (see module doc).
+
+    FINITENESS CONTRACT (round 10): the decimal route assumes FINITE
+    inputs. Spark's double->decimal cast turns NaN/±Inf into NULL even
+    under ANSI (probed on 4.1.2), so a non-finite value would be
+    SILENTLY SKIPPED by this sum — masking upstream corruption — while
+    DuckDB's identical cast RAISES, so the oracles cannot even state
+    that skip without guarding every sum. Instead of enshrining the
+    masking, non-finite doubles are declared OUT OF CONTRACT for fact
+    columns (like the events epoch contract and the embedding dim
+    contract): ``value_finite_check`` is the full-scan locator a lake
+    runs at the promote boundary, and
+    ``tests/test_boundary_probes.py`` pins both the locator and the
+    masking behavior this docstring documents.
+    """
     c = F.col(c) if isinstance(c, str) else c
     return F.sum(c.cast("decimal(25,6)")).cast("double")
 
 
 def _osum(expr: str) -> str:
-    """DuckDB twin of :func:`dsum`."""
+    """DuckDB twin of :func:`dsum` (same finiteness contract)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
 
 
@@ -6565,6 +6579,18 @@ CONTRACT_STAGED_ORACLES: dict[str, str] = {
            dim = (SELECT modal FROM m) AS is_modal
     FROM d ORDER BY dim
     """,
+    "value_finite_check": """
+    SELECT event_type,
+           CASE WHEN value IS NULL THEN 'null'
+                WHEN isnan(value) THEN 'nan'
+                WHEN value = 'infinity'::DOUBLE THEN 'inf'
+                WHEN value = '-infinity'::DOUBLE THEN '-inf'
+                ELSE 'finite' END AS value_class,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type NULLS LAST, value_class
+    """,
 }
 
 
@@ -6601,6 +6627,42 @@ def q_embedding_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dim") == F.col("modal")).alias("is_modal"),
         )
         .orderBy("dim")
+    )
+
+
+@_register(
+    "value_finite_check",
+    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
+    # discipline); differential pinned in tests/test_boundary_probes.py
+    ("quality", "events", "contract", "ext"),
+    "Fact-column finiteness boundary gate (the dq_expectations pattern "
+    "applied to doubles, round 10): classify every events.value as "
+    "finite / nan / inf / -inf / null and count per event type. The "
+    "decimal-routed sums (dsum/_osum, the engine's exact-aggregation "
+    "spine) assume FINITE inputs — Spark's double->decimal cast NULLs "
+    "NaN/±Inf even under ANSI, silently skipping them, while DuckDB's "
+    "raises — so non-finite doubles are OUT OF CONTRACT for fact "
+    "columns and THIS query is the full-scan locator a lake runs at "
+    "the promote boundary (the epoch-contract / embedding-dim-contract "
+    "move, third member). Groups explicitly, never masks: the row "
+    "(type, 'nan', n) IS the finding.",
+)
+def q_value_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    inf = float("inf")
+    cls = (
+        F.when(F.col("value").isNull(), "null")
+        .when(F.isnan("value"), "nan")
+        .when(F.col("value") == F.lit(inf), "inf")
+        .when(F.col("value") == F.lit(-inf), "-inf")
+        .otherwise("finite")
+    )
+    return (
+        ev.groupBy("event_type", cls.alias("value_class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("event_type").asc_nulls_last(), F.col("value_class")
+        )
     )
 
 
@@ -6933,6 +6995,11 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # CONTRACT_STAGED_ORACLES, differential pinned in
     # tests/test_boundary_probes.py.
     "embedding_dim_check",
+    # round 10 staged (the fact-column finiteness contract's locator —
+    # see dsum's docstring): oracle=None for window discipline, full
+    # oracle in CONTRACT_STAGED_ORACLES, differential pinned in
+    # tests/test_boundary_probes.py.
+    "value_finite_check",
 )
 
 
