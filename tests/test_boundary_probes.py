@@ -566,3 +566,47 @@ def test_dsum_masks_nonfinite_exactly_as_documented(spark):
     )
     with pytest.raises(duckdb.Error):
         con.execute(f"SELECT {_osum('v')} FROM t").fetchall()
+
+
+def test_embedding_finite_check_locates_nonfinite_vectors(
+    spark, probe_dir
+):
+    """The vector-side finiteness gate: NULL vectors, vectors with NULL
+    elements, NaN-bearing and Inf-bearing vectors each land in their own
+    class (engine vs the staged CONTRACT oracle), with the lowest
+    offending vec_id named per class."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CONTRACT_STAGED_ORACLES,
+    )
+
+    def vec(fill):
+        return [float(fill)] * 8
+
+    rows = [
+        (0, vec(0.5), 0),                                  # finite
+        (1, vec(-1.25), 0),                                # finite
+        (2, None, 1),                                      # null vector
+        (3, [0.5] * 7 + [None], 1),                        # null element
+        (4, [0.5] * 7 + [float("nan")], 2),                # nan element
+        (5, [float("-inf")] + [0.5] * 7, 2),               # -inf element
+        (6, [0.5, None, float("nan")] + [0.5] * 5, 3),     # null beats nan
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{probe_dir}/embeddings.parquet")
+
+    sdf = CATALOG["embedding_finite_check"].fn(spark, probe_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = make_duck_views(duckdb.connect(), probe_dir, glob_parts=True)
+    res = con.execute(CONTRACT_STAGED_ORACLES["embedding_finite_check"])
+    assert normalize_rows(s_rows, [c.lower() for c in sdf.columns]) == (
+        normalize_rows(
+            res.fetchall(), [c[0].lower() for c in res.description]
+        )
+    )
+    assert s_rows == [
+        ("finite", 2, 0),
+        ("nonfinite", 2, 4),
+        ("null", 1, 2),
+        ("null_element", 2, 3),
+    ]

@@ -6591,6 +6591,22 @@ CONTRACT_STAGED_ORACLES: dict[str, str] = {
     GROUP BY 1, 2
     ORDER BY event_type NULLS LAST, value_class
     """,
+    "embedding_finite_check": """
+    WITH c AS (
+      SELECT vec_id,
+             CASE WHEN embedding IS NULL THEN 'null'
+                  WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                    THEN 'null_element'
+                  WHEN len(list_filter(embedding,
+                           x -> isnan(x) OR NOT isfinite(x))) > 0
+                    THEN 'nonfinite'
+                  ELSE 'finite' END AS vector_class
+      FROM embeddings
+    )
+    SELECT vector_class, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(vec_id) AS first_vec_id
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
 }
 
 
@@ -6663,6 +6679,50 @@ def q_value_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("event_type").asc_nulls_last(), F.col("value_class")
         )
+    )
+
+
+@_register(
+    "embedding_finite_check",
+    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
+    # discipline); differential pinned in tests/test_boundary_probes.py
+    ("quality", "similarity", "contract", "ext"),
+    "Vector finiteness boundary gate (the value_finite_check of the "
+    "embedding tier): classify every vector as finite / nonfinite "
+    "(contains NaN or ±Inf) / null_element / null, counted with the "
+    "lowest offending vec_id per class. The similarity tier's int64 "
+    "quantization (F.round on the scaled element) turns a NaN element "
+    "into a NULL long Spark-side while the oracles' identical DuckDB "
+    "cast RAISES — the dsum/_osum divergence, element-wise — so "
+    "non-finite elements are OUT OF CONTRACT for embedding columns and "
+    "this full-scan locator is the promote-boundary gate (fourth "
+    "member of the contract family: epoch, embedding-dim, "
+    "value-finite, embedding-finite). Reads the table raw (no probe): "
+    "the gate must run exactly when the contract is broken. Class "
+    "order in the CASE matters: null elements are classified before "
+    "the finiteness scan so three-valued logic never reaches the "
+    "isnan/isfinite lambda.",
+)
+def q_embedding_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    inf = float("inf")
+    has_null_elem = F.exists("embedding", lambda x: x.isNull())
+    nonfinite = F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))
+    )
+    cls = (
+        F.when(F.col("embedding").isNull(), "null")
+        .when(has_null_elem, "null_element")
+        .when(nonfinite, "nonfinite")
+        .otherwise("finite")
+    )
+    return (
+        emb.groupBy(cls.alias("vector_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("first_vec_id"),
+        )
+        .orderBy("vector_class")
     )
 
 
@@ -7000,6 +7060,9 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # oracle in CONTRACT_STAGED_ORACLES, differential pinned in
     # tests/test_boundary_probes.py.
     "value_finite_check",
+    # round 10 staged (the vector-side finiteness locator, same
+    # contract family and staging discipline).
+    "embedding_finite_check",
 )
 
 
