@@ -9,8 +9,16 @@ never produces:
 
 * events: NULL ``user_id`` (an anonymous event), NULL ``event_type``,
   NULL ``value``, NULL ``props`` — each alone and one row with all
-  four NULL (``ts`` stays valid: event time is the one field the epoch
-  contract makes non-optional);
+  four NULL — plus NULL ``ts`` rows that INTERACT with the temporal
+  operators (a null-ts event for a user who also has real events, a
+  null-ts click for a user who purchases, a same-user null-ts pair):
+  an event without event time belongs to NO window / week / session /
+  as-of chain — Spark's native ``window()``/``session_window()`` drop
+  such rows, and every hand-rolled temporal operator and oracle must
+  state the same exclusion, because the engines' fallback defaults
+  genuinely differ (Spark sorts NULL orderings FIRST ascending, DuckDB
+  LAST — a null-ts row would land at opposite ends of every lag/last
+  chain);
 * documents: NULL ``text``, NULL ``lang``, NULL ``source``, NULL
   ``n_chars`` — plus enough normal rows that text/dedup queries still
   produce non-trivial output;
@@ -51,7 +59,16 @@ def _null_events(spark):
     def ev(secs, user, typ, value, props="{}"):
         nonlocal eid
         eid += 1
-        rows.append((eid, secs * 1_000_000, user, typ, value, props))
+        rows.append(
+            (
+                eid,
+                secs * 1_000_000 if secs is not None else None,
+                user,
+                typ,
+                value,
+                props,
+            )
+        )
 
     # a normal backbone: funnel chains + a few per-type groups so the
     # analytics queries still emit rows
@@ -72,6 +89,20 @@ def _null_events(spark):
     ev(T0 + 6000, 7, "view", None, '{"k": 8}')
     ev(T0 + 6060, 7, None, 1.0, '{"k": 9}')
     ev(T0 + 6060, 7, None, 1.0, '{"k": 9}')
+    # NULL ts rows that INTERACT with temporal operators (see module
+    # doc): for a user with real events (sessionize/lag chains), as a
+    # click for a user who purchases (as-of attribution), alone for a
+    # fresh user, and a same-user same-type pair (dedup/window keys)
+    ev(None, 1, "click", 4.0, '{"k": 10}')
+    ev(None, 3, "view", 0.25, '{"k": 11}')
+    ev(None, 20, "click", 1.0, '{"k": 12}')
+    # a purchase whose ONLY click is null-ts: the as-of chain must not
+    # attribute it (an undated click precedes nothing)
+    ev(None, 21, "click", 1.0, '{"k": 14}')
+    ev(T0 + 7000, 21, "purchase", 5.0, '{"k": 15}')
+    ev(None, 2, "view", 2.0, '{"k": 13}')
+    ev(None, 2, "view", 2.0, '{"k": 13}')
+    ev(None, None, None, None, None)
     return spark.createDataFrame(
         rows,
         "event_id bigint, ts_us bigint, user_id bigint, "

@@ -650,18 +650,27 @@ def q_language_dim_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type, event_id AS first_event_id, value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id) AS rn
+                                   ORDER BY ts NULLS LAST, event_id) AS rn
       FROM events
     ) WHERE rn = 1
     """,
     ("dedup", "A2", "W1"),
     "Deterministic keep-first dedup (drop_duplicates keep='first', "
-    "process_raw_streams_data.py:120) with explicit (ts, event_id) tiebreak.",
+    "process_raw_streams_data.py:120) with explicit (ts, event_id) "
+    "tiebreak. NULLS LAST explicitly on BOTH sides (round-10 NULL "
+    "poison sweep): an undated event must never beat a dated one as "
+    "'first' — and the engines' ascending defaults disagree (Spark "
+    "NULLS FIRST, DuckDB NULLS LAST), so without the qualifier the "
+    "survivor of any key whose group contains a null ts differs per "
+    "engine. A group of ONLY undated events still keeps its lowest "
+    "event_id.",
 )
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return dedup_keep_first(
-        ev, ["user_id", "event_type"], [F.col("ts_us"), F.col("event_id")]
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts_us").asc_nulls_last(), F.col("event_id")],
     ).select(
         "user_id", "event_type", F.col("event_id").alias("first_event_id"), "value"
     )
@@ -976,7 +985,8 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "window_15min",
     f"""
-    WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs, event_type, value FROM events)
+    WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs, event_type, value
+                  FROM events WHERE ts IS NOT NULL)
     SELECT (secs // 900) * 900 AS window_start_unix,
            event_type,
            COUNT(*) AS n_events,
@@ -985,7 +995,12 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ("streaming", "window", "A1"),
     "15-minute tumbling window aggregate — the batch statement of the "
-    "reference's micro-batch cadence (SURVEY.md §2.7).",
+    "reference's micro-batch cadence (SURVEY.md §2.7). The oracle "
+    "excludes null-ts rows because the ENGINE does: Spark's native "
+    "window() drops rows whose event time is NULL (an event without "
+    "event time belongs to no window — the round-10 temporal-null "
+    "family rule), where the oracle's integer grid would otherwise "
+    "keep a NULL window group.",
 )
 def q_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -2106,7 +2121,8 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     f"""
     WITH e AS (
-      SELECT user_id, event_id, {_OSECS.format(ts='ts')} AS secs FROM events
+      SELECT user_id, event_id, {_OSECS.format(ts='ts')} AS secs
+      FROM events WHERE ts IS NOT NULL
     ), gaps AS (
       SELECT user_id, event_id, secs,
              CASE WHEN lag(secs) OVER w IS NULL
@@ -2126,10 +2142,16 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     ("window", "sessionization"),
     "Sessionization via lag + gap cumsum (30-minute inactivity threshold) — "
-    "the batch twin of streaming session_window().",
+    "the batch twin of streaming session_window(). Null-ts rows are "
+    "excluded on BOTH sides (round-10 temporal-null family rule: an "
+    "event without event time belongs to no session, exactly what the "
+    "native session_window() operator does) — the hand-rolled lag "
+    "chain would otherwise place them at OPPOSITE ends per engine "
+    "(Spark sorts NULL orderings first ascending, DuckDB last), "
+    "merging them into different neighbors.",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("secs"), F.col("event_id"))
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gaps = ev.select(
@@ -2336,7 +2358,7 @@ _ASOF_WIN = (
     WITH ev AS (
         SELECT event_id, user_id, event_type,
                CAST(epoch_us(ts) AS BIGINT) AS ts_us
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), m AS (
         SELECT event_id, user_id, event_type, ts_us,
                LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
@@ -2353,10 +2375,15 @@ _ASOF_WIN = (
     "General as-of join (SURVEY.md J5's general pattern): attribute each "
     "purchase to the latest click at-or-before it per user. One shuffle on "
     "user_id (window), no join at all — the union+last() formulation scales "
-    "linearly and never explodes like a naive range join.",
+    "linearly and never explodes like a naive range join. Null-ts rows "
+    "are excluded on BOTH sides (round-10 temporal-null family rule): "
+    "an undated click precedes nothing and an undated purchase has no "
+    "'before' — and the last()-chain would otherwise place undated "
+    "clicks at opposite ends per engine (Spark NULLS FIRST ascending, "
+    "DuckDB NULLS LAST), attributing them in one engine only.",
 )
 def q_asof_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "event_id")
@@ -2574,8 +2601,13 @@ def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_into_groups
 
+    # anonymous events (NULL user_id) carry no routable shard key —
+    # and the packer's deterministic (weight, id) tiebreak needs
+    # comparable ids, so a None key raised inside the driver-side
+    # sort (round-10 NULL poison sweep)
     weights = (
         _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )
@@ -4249,7 +4281,7 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, week, sum_value,
            lag(sum_value) OVER (PARTITION BY event_type ORDER BY week)
@@ -4264,10 +4296,14 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calendar-bounded; the window never sees raw events). First week "
     "per type emits NULL prev/delta — the honest representation. "
     "Subtraction of two decimal-routed doubles is bit-portable where "
-    "a growth *ratio* would hang on division edge cases.",
+    "a growth *ratio* would hang on division edge cases. Null-ts rows "
+    "are excluded on BOTH sides (round-10 temporal-null family rule): "
+    "an undated event belongs to no week, and a NULL week group would "
+    "sit at opposite ends of the lag chain per engine (Spark NULLS "
+    "FIRST ascending, DuckDB NULLS LAST), shifting every delta.",
 )
 def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
     weekly = ev.groupBy(
         "event_type",
         F.floor(F.col("secs") / F.lit(604800)).cast("long").alias("week"),
@@ -5390,7 +5426,7 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     g AS (
       SELECT user_id, secs,
@@ -5426,7 +5462,10 @@ def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "testdata generation has contained an exact-gap pair — caught "
     "when the round-9 streaming twin's hand-built boundary fixture "
     "disagreed. The two queries remain distinct operators: native "
-    "session_window state vs hand-rolled lag/cumsum windowing.)",
+    "session_window state vs hand-rolled lag/cumsum windowing.) The "
+    "oracle excludes null-ts rows because the ENGINE does: "
+    "session_window() drops rows with NULL event time (round-10 "
+    "temporal-null family rule).",
 )
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -6421,6 +6460,8 @@ _STREAM_WINDOW_COUNTS_ORACLE = f"""
                   AS BIGINT) AS slot,
              event_type, value
       FROM events
+      WHERE ts IS NOT NULL  -- the engine's window() drops null event
+                            -- times (round-10 temporal-null rule)
     )
     SELECT window_start_s,
            event_type,
