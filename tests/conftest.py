@@ -53,6 +53,29 @@ def make_duck_views(con, sf_dir: str, glob_parts: bool = False):
     return con
 
 
+def graded_oracle(name: str) -> str | None:
+    """THE oracle the harness would grade ``name`` with: the
+    registration's when present, else the STAGED one queued for a
+    future window swap (dashboard / streaming / contract tiers).
+    Sweeps must use this resolver so a query's oracle is poison-tested
+    BEFORE the round that promotes it into the graded window, not
+    after. Returns None only for genuinely oracle-less queries
+    (iterative algorithms, rows-only driver history)."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CATALOG,
+        CONTRACT_STAGED_ORACLES,
+        DASHBOARD_STAGED_ORACLES,
+        STREAMING_STAGED_ORACLES,
+    )
+
+    return (
+        CATALOG[name].oracle
+        or DASHBOARD_STAGED_ORACLES.get(name)
+        or STREAMING_STAGED_ORACLES.get(name)
+        or CONTRACT_STAGED_ORACLES.get(name)
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=8, shuffle_partitions=8)

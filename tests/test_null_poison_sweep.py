@@ -47,7 +47,13 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE, TABLES, make_duck_views, normalize_rows
+from .conftest import (
+    SF_SMOKE,
+    TABLES,
+    graded_oracle,
+    make_duck_views,
+    normalize_rows,
+)
 
 T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 
@@ -176,10 +182,13 @@ def test_null_poison_whole_catalog(spark, null_poison_dir):
         except Exception as e:  # noqa: BLE001 - sweep reports wholesale
             failures.append(f"{name}: ENGINE RAISED {e!r}"[:300])
             continue
-        if q.oracle is None:
+        # staged oracles included: a queued promotion must be
+        # NULL-proven BEFORE the round that grades it
+        oracle = graded_oracle(name)
+        if oracle is None:
             continue
         try:
-            res = con.execute(q.oracle)
+            res = con.execute(oracle)
             d_cols = [c[0].lower() for c in res.description]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
