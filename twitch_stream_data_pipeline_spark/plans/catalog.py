@@ -970,10 +970,11 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n, {_osum('l_quantity')} AS sum_qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     ("aggregate", "rollup"),
     "Hierarchical rollup — the dashboard drill-up shape implied by the star "
-    "schema (SURVEY.md §2.5 note).",
+    "schema (SURVEY.md §2.5 note). On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
 )
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -2270,10 +2271,11 @@ def q_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_items
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     ("aggregate", "cube", "grouping_sets"),
     "CUBE grouping-sets aggregate (all 4 rollup levels in one pass) — "
-    "partial-agg friendly: Spark expands grouping sets map-side, one shuffle.",
+    "partial-agg friendly: Spark expands grouping sets map-side, one shuffle. On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
 )
 def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -4210,6 +4212,7 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0
     """,
     ("aggregate", "olap", "ext"),
     "GROUPING SETS aggregation (the general member of the "
@@ -4218,7 +4221,7 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark expands the sets into a single Expand + hash aggregate, "
     "one scan instead of three. grouping_id disambiguates NULL-as-"
     "aggregate from NULL-as-data, identical bitmask semantics in "
-    "both engines.",
+    "both engines. On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -4349,7 +4352,9 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT v.rule, v.n_violations, n.n_rows,
-           CAST(v.n_violations AS DOUBLE) / n.n_rows AS violation_frac
+           CASE WHEN n.n_rows = 0 THEN 0.0
+                ELSE CAST(v.n_violations AS DOUBLE) / n.n_rows
+           END AS violation_frac
     FROM v CROSS JOIN n
     """,
     ("quality", "aggregate", "ext"),
@@ -4360,7 +4365,10 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rule; the oracle's per-rule scans state the semantics, not the "
     "plan). A violation is a row where the predicate is NOT TRUE, so "
     "NULLs fail closed — the promote-gate a layered lake runs before "
-    "publishing.",
+    "publishing. On an EMPTY relation every rule reports frac 0.0 "
+    "(dq_check's documented fail-closed shape); the oracle states the "
+    "same CASE instead of 0/0, which DuckDB turns into NULL (round-10 "
+    "oracle-compared empty sweep).",
 )
 def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import dq_check
