@@ -76,6 +76,45 @@ def graded_oracle(name: str) -> str | None:
     )
 
 
+def sweep_differential(
+    spark, con, name: str, q, sf_dir: str, forbid_cols: set[str] = frozenset()
+) -> str | None:
+    """THE whole-catalog sweep body (poison / null / drift / empty):
+    run the engine query, resolve the graded oracle (staged included),
+    compare with :func:`normalize_rows`, and return a failure string —
+    or None when clean. Single-sourced here so a comparison-semantics
+    fix can never be applied to one sweep and missed in another.
+    ``forbid_cols``: column names that must not leak into either
+    side's output schema (the drift sweep's ``_drift_col``)."""
+    try:
+        sdf = q.fn(spark, sf_dir)
+        s_cols = [c.lower() for c in sdf.columns]
+        leaked = forbid_cols & set(s_cols)
+        if leaked:
+            return f"{name}: LEAKS {sorted(leaked)} into its output"
+        s_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001 - sweeps report wholesale
+        return f"{name}: ENGINE RAISED {e!r}"[:300]
+    oracle = graded_oracle(name)
+    if oracle is None:
+        return None
+    try:
+        res = con.execute(oracle)
+        d_cols = [c[0].lower() for c in res.description]
+        d_rows = res.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return f"{name}: ORACLE RAISED {e!r}"[:300]
+    leaked = forbid_cols & set(d_cols)
+    if leaked:
+        return f"{name}: ORACLE leaks {sorted(leaked)}"
+    if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
+        return (
+            f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
+            f"{len(d_rows)} rows"
+        )
+    return None
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=8, shuffle_partitions=8)

@@ -45,39 +45,19 @@ def main() -> int:
     # round 10: empty input is not only a no-raise contract — global
     # aggregates legitimately EMIT rows on it (a (0, 0) count row, a
     # NULL-sum row), and the engine and oracle must agree on which.
-    # Compare against the graded oracle (staged ones included).
+    # Compare against the graded oracle (staged ones included) via the
+    # single-sourced sweep body.
     import duckdb
 
-    from tests.conftest import graded_oracle, make_duck_views, normalize_rows
+    from tests.conftest import make_duck_views, sweep_differential
 
     con = make_duck_views(duckdb.connect(), out, glob_parts=True)
     bad = []
     for name, q in CATALOG.items():
-        try:
-            sdf = q.fn(spark, out)
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001 - reporting tool
-            bad.append((name, repr(e)[:200]))
-            print(f"  FAIL {name}: {e!r}"[:220])
-            continue
-        oracle = graded_oracle(name)
-        if oracle is None:
-            continue
-        try:
-            res = con.execute(oracle)
-            d_cols = [c[0].lower() for c in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            bad.append((name, f"ORACLE RAISED {e!r}"[:200]))
-            print(f"  FAIL {name}: ORACLE RAISED {e!r}"[:220])
-            continue
-        s_cols = [c.lower() for c in sdf.columns]
-        if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
-            bad.append((name, "empty-input oracle mismatch"))
-            print(
-                f"  FAIL {name}: MISMATCH engine {len(s_rows)} rows vs "
-                f"oracle {len(d_rows)} rows"
-            )
+        failure = sweep_differential(spark, con, name, q, out)
+        if failure:
+            bad.append((name, failure))
+            print(f"  FAIL {failure}"[:220])
     print(f"\n{len(CATALOG) - len(bad)}/{len(CATALOG)} queries clean on empty input")
     return 1 if bad else 0
 

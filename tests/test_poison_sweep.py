@@ -28,13 +28,7 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import (
-    SF_SMOKE,
-    TABLES,
-    graded_oracle,
-    make_duck_views,
-    normalize_rows,
-)
+from .conftest import SF_SMOKE, TABLES, make_duck_views, sweep_differential
 
 T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 
@@ -233,27 +227,9 @@ def test_all_empty_corpus_document_queries(spark, all_empty_docs_dir):
         if not reads_docs:
             continue
         n_selected += 1
-        try:
-            sdf = q.fn(spark, all_empty_docs_dir)
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001 - sweep reports wholesale
-            failures.append(f"{name}: ENGINE RAISED {e!r}"[:300])
-            continue
-        if q.oracle is None:
-            continue
-        try:
-            res = con.execute(q.oracle)
-            d_cols = [c[0].lower() for c in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: ORACLE RAISED {e!r}"[:300])
-            continue
-        s_cols = [c.lower() for c in sdf.columns]
-        if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
-            failures.append(
-                f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
-                f"{len(d_rows)} rows"
-            )
+        failure = sweep_differential(spark, con, name, q, all_empty_docs_dir)
+        if failure:
+            failures.append(failure)
     assert n_selected >= 45, n_selected  # the filter must stay broad
     # (49 documents-reading queries at the time of writing)
     assert not failures, "\n".join(failures)
@@ -261,30 +237,9 @@ def test_all_empty_corpus_document_queries(spark, all_empty_docs_dir):
 
 def test_poison_sweep_whole_catalog(spark, poison_dir):
     con = make_duck_views(duckdb.connect(), poison_dir, glob_parts=True)
-    failures = []
-    for name, q in sorted(CATALOG.items()):
-        try:
-            sdf = q.fn(spark, poison_dir)
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001 - sweep reports wholesale
-            failures.append(f"{name}: ENGINE RAISED {e!r}"[:300])
-            continue
-        # staged oracles included: a queued promotion must be
-        # poison-proven BEFORE the round that grades it (round 10)
-        oracle = graded_oracle(name)
-        if oracle is None:
-            continue
-        try:
-            res = con.execute(oracle)
-            d_cols = [c[0].lower() for c in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: ORACLE RAISED {e!r}"[:300])
-            continue
-        s_cols = [c.lower() for c in sdf.columns]
-        if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
-            failures.append(
-                f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
-                f"{len(d_rows)} rows"
-            )
+    failures = [
+        f
+        for name, q in sorted(CATALOG.items())
+        if (f := sweep_differential(spark, con, name, q, poison_dir))
+    ]
     assert not failures, "\n".join(failures)

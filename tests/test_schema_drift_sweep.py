@@ -29,13 +29,7 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import (
-    SF_SMOKE,
-    TABLES,
-    graded_oracle,
-    make_duck_views,
-    normalize_rows,
-)
+from .conftest import SF_SMOKE, TABLES, make_duck_views, sweep_differential
 
 
 @pytest.fixture(scope="module")
@@ -52,38 +46,13 @@ def drift_dir(spark, tmp_path_factory):
 
 def test_schema_drift_whole_catalog(spark, drift_dir):
     con = make_duck_views(duckdb.connect(), drift_dir, glob_parts=True)
-    failures = []
-    for name, q in sorted(CATALOG.items()):
-        try:
-            sdf = q.fn(spark, drift_dir)
-            s_cols = [c.lower() for c in sdf.columns]
-            if "_drift_col" in s_cols:
-                failures.append(
-                    f"{name}: LEAKS the drifted column into its output"
-                )
-                continue
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001 - sweep reports wholesale
-            failures.append(f"{name}: ENGINE RAISED {e!r}"[:300])
-            continue
-        # staged oracles included: a queued promotion must be
-        # drift-proven BEFORE the round that grades it
-        oracle = graded_oracle(name)
-        if oracle is None:
-            continue
-        try:
-            res = con.execute(oracle)
-            d_cols = [c[0].lower() for c in res.description]
-            d_rows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: ORACLE RAISED {e!r}"[:300])
-            continue
-        if "_drift_col" in d_cols:
-            failures.append(f"{name}: ORACLE leaks the drifted column")
-            continue
-        if normalize_rows(s_rows, s_cols) != normalize_rows(d_rows, d_cols):
-            failures.append(
-                f"{name}: MISMATCH engine {len(s_rows)} rows vs oracle "
-                f"{len(d_rows)} rows"
+    failures = [
+        f
+        for name, q in sorted(CATALOG.items())
+        if (
+            f := sweep_differential(
+                spark, con, name, q, drift_dir, forbid_cols={"_drift_col"}
             )
+        )
+    ]
     assert not failures, "\n".join(sorted(failures))

@@ -133,9 +133,15 @@ def get_spark(
     # had to guard against. Static confs, so they only apply on the
     # CREATION path — a pre-existing session keeps writing wherever it
     # was created to write (the reuse branch above warn-ignores them).
+    import atexit
+    import shutil
     import tempfile
 
     scratch = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+    # best-effort GC at interpreter exit so repeated runs don't
+    # accumulate scratch dirs in /tmp (review r10); ignore_errors
+    # because the JVM may still hold derby.log open during teardown
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -505,9 +505,13 @@ def acquire_maintenance_lease(
     :func:`release_maintenance_lease` (or deleting the marker file,
     which every refusal message names). Acquisition is RACE-SAFE
     (ADVICE r9): the marker is written with Hadoop's exclusive create
-    (``overwrite=false``), so two concurrent acquirers resolve to
-    exactly one winner; the loser re-reads and either tolerates its
-    own token (a racing retry of the same cadence) or raises."""
+    (``overwrite=false`` — atomic on HDFS and object stores;
+    best-effort on local disk, whose Hadoop create is itself
+    check-then-act), so two concurrent acquirers resolve to exactly
+    one winner; the loser re-reads (waiting out an in-flight token
+    write) and either tolerates its own token (a racing retry of the
+    same cadence) or raises; a create failure with NO marker present
+    propagates as itself, never as a bogus lease conflict."""
     lease = _maintenance_lease_path(path)
 
     def refuse(holder):
@@ -524,10 +528,12 @@ def acquire_maintenance_lease(
         return  # idempotent re-acquire: the marker already says us
     # ADVICE r9: read-then-create-with-overwrite let two DIFFERENT
     # owners both pass the read and the second silently clobber the
-    # first. Create EXCLUSIVELY (overwrite=false — atomic on
-    # filesystems supporting exclusive create, which includes
-    # local/HDFS); on "already exists", someone won the race since our
-    # read: re-read and compare, so exactly one acquirer proceeds.
+    # first. Create EXCLUSIVELY (overwrite=false): atomic on HDFS and
+    # object stores; on LOCAL disk Hadoop's exclusive create is itself
+    # check-then-act, so same-host serialization is best-effort there
+    # (pinned in tests/test_sinks.py). On "already exists", someone
+    # won the race since our read: re-read and compare, so exactly one
+    # acquirer proceeds.
     hpath = spark._jvm.org.apache.hadoop.fs.Path
     jlease = hpath(lease)
     fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -535,6 +541,21 @@ def acquire_maintenance_lease(
         out = fs.create(jlease, False)
     except Exception:
         raced = read_maintenance_lease(spark, path)
+        if raced is None:
+            # no marker exists: the create failed for a NON-race
+            # reason (permissions, transient IO) — the real cause
+            # must propagate, not a bogus "leased by None" diagnosis
+            raise
+        if raced == "":
+            # the winner created the marker but its token write is
+            # still in flight — bounded wait for the content
+            import time as _time
+
+            for _ in range(20):
+                _time.sleep(0.05)
+                raced = read_maintenance_lease(spark, path)
+                if raced:
+                    break
         if raced == owner:
             return  # lost the race to our own retry — still leased
         refuse(raced)
