@@ -191,6 +191,22 @@ def test_near_dup_verify_reference(spark):
     assert (1, 3) not in out
 
 
+def test_near_dup_verify_distance_unit_is_utf8_bytes(spark):
+    """The distance unit is UTF-8 BYTES, matching DuckDB's byte-based
+    levenshtein (round-10 fuzz-sweep finding): 'café' vs 'cafe' is 2
+    (é is a 2-byte sequence replaced by a 1-byte one: one substitution
+    + one deletion at the byte level), not the code-point 1 — and the
+    denominator is the byte length 5, not the character length 4."""
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "cafe")], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = near_dup_verify(docs, cands, max_dist_frac=1.0).collect()
+    assert len(out) == 1
+    assert out[0]["dist"] == 2
+    assert abs(out[0]["dist_frac"] - 2 / 5) < 1e-12
+
+
 def test_near_dup_verify_respects_char_cap(spark):
     """Differences past max_chars are invisible — the DP cost bound."""
     base = "x " * 300  # 600 chars

@@ -677,11 +677,23 @@ def near_dup_verify(
     lookups are plain equi-joins on the id key (document bodies move
     only for rows that are actually candidates). The per-pair DP cost
     is bounded by ``max_chars²`` regardless of document length; raise
-    it only with a corresponding executor-CPU budget. ``levenshtein``
-    is a JVM built-in with identical semantics in DuckDB — the oracle
-    recomputes it bit-for-bit.
+    it only with a corresponding executor-CPU budget.
+
+    Distance unit is UTF-8 BYTES, not code points: Spark's
+    ``levenshtein`` is code-point-based while DuckDB's is byte-based —
+    on non-ASCII text they disagree (found by the round-10 fuzz sweep
+    on unicode vocab). Byte-edit distance is the portable choice, and
+    it stays JVM-native: UTF-8 encode then ISO-8859-1 decode maps each
+    byte to exactly one code point, so the built-in DP scores bytes
+    without a Python UDF; lengths in the denominator are byte lengths
+    for the same reason. (Truncation stays code-point-based on both
+    sides — Spark ``substring`` == DuckDB ``substr`` — so no UTF-8
+    sequence is ever split mid-character.)
     """
-    t = F.substring(F.lower(F.col(text_col)), 1, max_chars)
+    t = F.decode(
+        F.encode(F.substring(F.lower(F.col(text_col)), 1, max_chars), "UTF-8"),
+        "ISO-8859-1",
+    )
     texts = df.select(F.col("doc_id"), t.alias("__t"))
     pairs = (
         candidates.join(

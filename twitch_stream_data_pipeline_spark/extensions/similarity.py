@@ -678,6 +678,12 @@ def group_outlier_scores(
     schema = f"{id_col} long, {label_col} int, dist double, zdist double"
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Deterministic under any input row order (round-10 order
+        # sweep): the group frame arrives in shuffle/file order, and
+        # numpy's pairwise reductions (mean/std) round differently
+        # per order — sort by the id key so every permutation of the
+        # input computes the identical float chain.
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         centroid = m.mean(axis=0)
         d = np.sqrt(((m - centroid) ** 2).sum(axis=1))
@@ -1322,7 +1328,17 @@ def pca_project(
                 continue
             ids = pdf["__id"].to_numpy(dtype=np.int64)
             Q = np.array(pdf["__qv"].tolist(), dtype=np.float64) - mu
-            P = Q @ comp
+            # NOT `Q @ comp`: BLAS picks its blocking (and therefore
+            # its summation order) from the BATCH shape, and batch
+            # composition follows input row order — the round-10
+            # order sweep caught per-row projections moving at the
+            # last ULP when the input files were row-permuted. A
+            # fixed dimension-order accumulation makes each output
+            # element's float order a function of nothing but d —
+            # same cost class (d fused row-vector FMAs per batch).
+            P = np.zeros((Q.shape[0], comp.shape[1]))
+            for i in range(comp.shape[0]):
+                P += Q[:, i : i + 1] * comp[i, :]
             yield pd.DataFrame({"__id": ids, "proj": list(P)})
 
     src = emb.select(

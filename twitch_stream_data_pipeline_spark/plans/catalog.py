@@ -373,12 +373,38 @@ def _decode_event_ts(raw: DataFrame, path: str):
                 "ts_us": F.expr("ts div 1000"),
             }
         )
-    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-        t = F.col("ts").cast("timestamp")
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # TIMESTAMP_NTZ (the driver's pyarrow `timestamp[us]`-no-tz
+        # layout since round 3) carries a WALL time; the oracle's
+        # `epoch(ts)` reads that wall time as UTC. Casting NTZ ->
+        # TIMESTAMP would interpret the wall time in the SESSION zone
+        # instead — correct only while the session runs UTC, and a
+        # silent +offset shift of every grid cell anywhere else (the
+        # round-10 config sweep caught 13 queries moving under
+        # Asia/Kathmandu). timestampdiff between NTZ values is pure
+        # wall-clock arithmetic — no session conf anywhere in the
+        # expression, same JVM codegen path.
+        us = (
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " ts)"
+        )
         ev = raw.withColumns(
             {
-                "secs": F.unix_seconds(t),
-                "ts_us": F.unix_micros(t),
+                # integral `div`, like the epoch-nanos branch; the
+                # epoch plausibility contract below guarantees the
+                # positive range where div == floor
+                "secs": F.expr(f"({us}) div 1000000"),
+                "ts_us": F.expr(us),
+            }
+        )
+    elif isinstance(ts_type, T.TimestampType):
+        # An instant-typed column (isAdjustedToUTC parquet metadata):
+        # unix_* read the internal UTC micros directly — already
+        # session-timezone-free, no cast needed.
+        ev = raw.withColumns(
+            {
+                "secs": F.unix_seconds(F.col("ts")),
+                "ts_us": F.unix_micros(F.col("ts")),
             }
         )
     else:
@@ -4173,16 +4199,16 @@ def q_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT doc_id, substr(lower(text), 1, 1000) AS tt FROM documents)
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS dist,
-           CASE WHEN greatest(length(a.tt), length(b.tt)) > 0
+           CASE WHEN greatest(strlen(a.tt), strlen(b.tt)) > 0
                 THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
-                     / greatest(length(a.tt), length(b.tt))
+                     / greatest(strlen(a.tt), strlen(b.tt))
                 ELSE 0.0 END AS dist_frac
     FROM cand c
     JOIN t a ON c.doc_a = a.doc_id
     JOIN t b ON c.doc_b = b.doc_id
-    WHERE CASE WHEN greatest(length(a.tt), length(b.tt)) > 0
+    WHERE CASE WHEN greatest(strlen(a.tt), strlen(b.tt)) > 0
                THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
-                    / greatest(length(a.tt), length(b.tt))
+                    / greatest(strlen(a.tt), strlen(b.tt))
                ELSE 0.0 END <= 0.4
     """,
     ("dedup", "ext", "llm"),
@@ -4191,8 +4217,12 @@ def q_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(normalized by the longer side, kept at <= 0.4) over the "
     "lowercased first 1000 chars. Bodies move only for actual "
     "candidates (two id-keyed joins); per-pair DP cost is capped at "
-    "max_chars^2 regardless of document length. JVM levenshtein == "
-    "DuckDB levenshtein, recomputed bit-for-bit by the oracle.",
+    "max_chars^2 regardless of document length. Distance unit is "
+    "UTF-8 bytes on BOTH sides: DuckDB's levenshtein/strlen are "
+    "byte-based, and the engine matches via the encode/ISO-8859-1 "
+    "byte-per-codepoint trick (see near_dup_verify) — Spark's native "
+    "code-point levenshtein diverges on non-ASCII text (fuzz-sweep "
+    "finding, round 10).",
 )
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup_text import near_dup_verify
@@ -4415,7 +4445,7 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
              CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     t AS (
       SELECT event_type, slot, sum_value,
@@ -4446,12 +4476,15 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PARTITIONED by type and ordered by the calendar-bounded slot "
     "grid; sums stay decimal-routed inside the frame so the zscore "
     "is bit-portable — the streaming twin is the same expression "
-    "over the watermarked windowed aggregate.",
+    "over the watermarked windowed aggregate. Temporal-null family "
+    "rule: an undated event belongs to no slot, so NULL-ts rows are "
+    "excluded on both sides (a NULL slot would sort first in Spark's "
+    "frame and last in the oracle's, shifting every trailing window).",
 )
 def q_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.event_analytics import anomaly_scores
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
     s = ev.groupBy(
         "event_type",
         F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
@@ -4669,8 +4702,19 @@ def _dash_star(spark: SparkSession, sf_dir: str):
     differential state the identical derivations."""
     ev = _events(spark, sf_dir)
     fact = ev.select(
-        F.date_format(
-            F.timestamp_seconds(F.col("secs")), "yyyyMMdd"
+        # NOT date_format(timestamp_seconds(secs)): that renders the
+        # instant in the SESSION timezone (the round-10 config sweep
+        # caught day_date_id shifting under Asia/Kathmandu for every
+        # event after 18:15 UTC). date_add on a DATE is pure day
+        # arithmetic and DATE->STRING is pure field rendering — no
+        # timezone anywhere in the expression.
+        F.translate(
+            F.expr(
+                "CAST(date_add(DATE'1970-01-01',"
+                " CAST(secs div 86400 AS INT)) AS STRING)"
+            ),
+            "-",
+            "",
         ).alias("day_date_id"),
         F.concat(
             F.lpad(
@@ -5086,7 +5130,8 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     list_zip(c, [CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(6000 AS BIGINT), CAST(6000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT)]), p -> p[1] * p[2]))
                   AS BIGINT) AS DOUBLE)
                / sqrt(CAST(list_sum(list_transform(c, x -> x * x))
-                           AS BIGINT) * 96000000.0) AS similarity
+                           AS BIGINT) * CAST(96000000 AS DOUBLE))
+               AS similarity
       FROM cc
     )
     SELECT event_type, slot, similarity
