@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""One-off engine-config-independence sweep: run EVERY catalog query
+under the tuned default session AND under hostile-but-legal engine
+configurations, then diff the sorted results. Two axes:
+
+``interpreted``
+    ``spark.sql.codegen.wholeStage=false`` +
+    ``spark.sql.codegen.factoryMode=NO_CODEGEN`` +
+    ``spark.sql.adaptive.enabled=false`` — every expression runs on the
+    interpreted path and every plan keeps its static shuffle layout.
+    Whole-stage codegen and the interpreted evaluator are separate
+    implementations of the same expression semantics; historically they
+    have diverged (overflow handling, null short-circuits, UDF batch
+    boundaries). A catalog whose results depend on WHICH evaluator ran
+    is silently broken on any cluster that flips these knobs (codegen
+    falls back on its own when generated code exceeds JVM limits, so
+    the interpreted path IS reachable in production without anyone
+    setting a conf).
+
+``tz``
+    ``spark.sql.session.timeZone=Asia/Kathmandu`` (UTC+05:45 — an
+    oddball offset that shifts every hour/day boundary). The catalog's
+    stated contract (plans/catalog.py header) is timezone-free epoch
+    arithmetic emitted as strings or bigints; a query whose output
+    moves with the session timezone would silently break DuckDB-oracle
+    parity (DuckDB runs in UTC) the day the engine is deployed in a
+    non-UTC environment.
+
+Like the determinism sweep, each pass runs in its OWN SparkSession
+(stopped between passes) because all three confs are session-creation
+semantics here; comparisons are on sorted reprs, same as the other
+sweeps.
+
+Usage: python tests/config_sweep.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from twitch_stream_data_pipeline_spark.plans import CATALOG
+from twitch_stream_data_pipeline_spark.session import get_spark
+
+VARIANTS: dict[str, dict[str, str]] = {
+    "interpreted": {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        "spark.sql.adaptive.enabled": "false",
+    },
+    "tz": {
+        "spark.sql.session.timeZone": "Asia/Kathmandu",
+    },
+}
+
+
+def run_all(sf: str, label: str, extra_conf: dict[str, str] | None) -> dict:
+    spark = get_spark(f"cfg-{label}", cpus=8, extra_conf=extra_conf)
+    # get_spark reuses a live session if one exists — that would make
+    # every variant run under the baseline confs and the sweep would
+    # compare the baseline with itself. Creation must be real.
+    for k, v in (extra_conf or {}).items():
+        got = spark.conf.get(k, None)
+        if got != v:
+            spark.stop()
+            raise RuntimeError(
+                f"variant conf {k}={v!r} did not take (got {got!r}); "
+                "a pre-existing SparkSession leaked into the sweep"
+            )
+    out = {}
+    for name, q in CATALOG.items():
+        try:
+            df = q.fn(spark, sf)
+            rows = [tuple(map(repr, r)) for r in df.collect()]
+            out[name] = (tuple(sorted(df.columns)), tuple(sorted(rows)))
+        except Exception as e:  # noqa: BLE001 - reporting tool
+            out[name] = ("ERR", repr(e)[:300])
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    sf = "/root/testdata/sf0.001"
+    if "--sf" in sys.argv:
+        sf = sys.argv[sys.argv.index("--sf") + 1]
+    only = None
+    if "--variant" in sys.argv:
+        only = sys.argv[sys.argv.index("--variant") + 1]
+    base = run_all(sf, "base", None)
+    bad = 0
+    for label, conf in VARIANTS.items():
+        if only and label != only:
+            continue
+        var = run_all(sf, label, conf)
+        diff = [n for n in base if base[n] != var[n]]
+        for n in diff:
+            b, v = base[n], var[n]
+            detail = ""
+            if b[0] == "ERR" or v[0] == "ERR":
+                detail = f" base={b[1] if b[0] == 'ERR' else 'ok'}" \
+                         f" {label}={v[1] if v[0] == 'ERR' else 'ok'}"
+            print(f"  DIFF[{label}] {n}{detail}")
+        bad += len(diff)
+        print(
+            f"{len(base) - len(diff)}/{len(base)} queries identical "
+            f"under {label} ({conf})"
+        )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

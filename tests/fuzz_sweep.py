@@ -1,0 +1,314 @@
+#!/usr/bin/env python
+"""Randomized-corpus differential sweep (round 10).
+
+The poison sweep proves the catalog on HAND-CRAFTED degenerate content;
+this sweep proves it on SEEDED-RANDOM content the builder never chose —
+the difference matters because crafted fixtures only cover failure
+modes someone thought of. Per seed it regenerates all ten tables and
+re-runs every catalog query against its graded oracle (staged oracles
+included, same resolver as every other sweep):
+
+* ``events``: random micro-timestamps over 30 days plus same-second
+  bursts, exact-24h pairs and exact-gap ladders at random anchors;
+  dyadic values (k/64 — exactly representable, so cross-engine float
+  comparison stays honest) with constant-valued groups and hot-key
+  skew; a props matrix mixing valid ``{"k": int}`` with the whole
+  malformed/overflow/padded-string family at random positions; rare
+  NULLs in every nullable column (the NULL sweep pins the all-NULL
+  extremes; here they land in otherwise-normal neighborhoods).
+* ``documents``: Zipf-ish lengths over a vocab with unicode tokens,
+  empty/whitespace docs, exact duplicates, one-token-mutated
+  near-duplicates, case variants, single-token spam runs.
+* ``embeddings``: dyadic 64-dim vectors with a zero vector, exact
+  duplicates, and SCALED copies (same direction — cosine ties, so
+  ranking tiebreaks must be deterministic, not luck).
+* star tables: seeded row subsets of the driver's sf0.001 (region and
+  nation kept whole; 60–90 % of customer/supplier/part/orders/
+  lineitem) — random FK breakage, so outer-join default paths and
+  empty-group aggregates get exercised with REAL values.
+
+Tables are written as single parquet files (pyarrow), the same layout
+the driver uses, so the DuckDB views need no glob.
+
+Usage: python tests/fuzz_sweep.py [--seeds N] [--seed-base B] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+DAY_US = 86_400 * 1_000_000
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error", "refund"]
+LANGS = ["en", "de", "fr", "es", "zh"]
+VOCAB = (
+    "the a of data query row table scan filter join group sort merge "
+    "window stream batch key value count sum spark duck plan stage task "
+    "shuffle broadcast hash range part order line item customer nation "
+    "fast slow small large"
+).split() + ["café", "你好", "naïve", "étude", "🙂ok"]
+
+PROPS_POISON = [
+    "{bad",
+    "{}",
+    '{"k": "x"}',
+    '{"k": 7.9}',
+    '{"k": "7"}',
+    '{"k": true}',
+    "",
+    '{"k": 99999999999}',
+    '{"k": 10000000000000000000}',
+    '{"k": "10000000000000000000"}',
+    '{"k": " 7 "}',
+    '{"k": "+8"}',
+    '{"k": null}',
+    '[1, 2]',
+    '{"j": 5}',
+]
+
+
+def _fuzz_events(rng: random.Random) -> pa.Table:
+    n_users = rng.randint(6, 18)
+    rows = []
+    eid = 0
+
+    def ev(ts_us, user, typ, value, props):
+        nonlocal eid
+        rows.append((eid, ts_us, user, typ, value, props))
+        eid += 1
+
+    def rnd_props():
+        r = rng.random()
+        if r < 0.78:
+            return '{"k": %d}' % rng.randint(0, 99)
+        if r < 0.88:
+            return rng.choice(PROPS_POISON)
+        if r < 0.94:
+            return '{"k": %d}' % rng.randint(-(2**40), 2**40)
+        return None
+
+    def rnd_val():
+        r = rng.random()
+        if r < 0.04:
+            return None
+        if r < 0.08:
+            return 0.0
+        if r < 0.12:
+            return rng.randint(1, 4) * 1024.0  # outliers
+        return rng.randint(0, 320 * 64) / 64.0  # dyadic: exact in both
+
+    # bulk: random micro-timestamps over 30 days
+    for _ in range(rng.randint(350, 500)):
+        ts = T0 + rng.randint(0, 30 * DAY_US)
+        user = rng.randint(0, n_users - 1) if rng.random() > 0.02 else None
+        ev(ts, user, rng.choice(EVENT_TYPES), rnd_val(), rnd_props())
+    # hot key: one user takes a burst (skew paths)
+    hot = rng.randint(0, n_users - 1)
+    burst_t = T0 + rng.randint(0, 25 * DAY_US)
+    for i in range(rng.randint(60, 120)):
+        ev(
+            burst_t + rng.randint(0, 3600) * 1_000_000,
+            hot,
+            rng.choice(EVENT_TYPES[:3]),
+            rnd_val(),
+            rnd_props(),
+        )
+    # same-second bursts (identical micro-ts: window/tiebreak stress)
+    for _ in range(rng.randint(3, 8)):
+        ts = T0 + rng.randint(0, 29 * DAY_US)
+        u = rng.randint(0, n_users - 1)
+        for _ in range(rng.randint(2, 5)):
+            ev(ts, u, rng.choice(EVENT_TYPES), rnd_val(), rnd_props())
+    # exact-24h retention pairs and exact-gap ladders at random anchors
+    for _ in range(rng.randint(2, 6)):
+        ts = T0 + rng.randint(0, 20 * DAY_US)
+        u = rng.randint(0, n_users - 1)
+        ev(ts, u, "signup", rnd_val(), rnd_props())
+        ev(ts + DAY_US, u, "click", rnd_val(), rnd_props())
+        ev(ts + 2 * DAY_US, u, "purchase", rnd_val(), rnd_props())
+    # constant-valued group: zero variance under a random type
+    ctype = rng.choice(EVENT_TYPES)
+    cval = rng.randint(0, 64) / 64.0
+    for i in range(rng.randint(5, 12)):
+        ev(
+            T0 + rng.randint(0, 30 * DAY_US),
+            rng.randint(0, n_users - 1),
+            ctype,
+            cval,
+            rnd_props(),
+        )
+    # a few NULL timestamps (the temporal-null family rule)
+    for _ in range(rng.randint(1, 4)):
+        ev(None, rng.randint(0, n_users - 1), rng.choice(EVENT_TYPES),
+           rnd_val(), rnd_props())
+    rng.shuffle(rows)
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+
+
+def _fuzz_documents(rng: random.Random) -> pa.Table:
+    n = rng.randint(120, 200)
+    texts: list[str | None] = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.03:
+            texts.append("")
+        elif r < 0.05:
+            texts.append(" " * rng.randint(1, 5))
+        elif r < 0.08:
+            texts.append((rng.choice(VOCAB) + " ") * rng.randint(10, 60))
+        else:
+            # Zipf-ish length
+            ln = max(1, int(rng.paretovariate(1.1)))
+            ln = min(ln, 120)
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(ln)))
+    # exact duplicates, near-duplicates, case variants of random docs
+    for _ in range(rng.randint(8, 16)):
+        texts.append(rng.choice(texts[:n]))
+    for _ in range(rng.randint(8, 16)):
+        base = rng.choice(texts[:n]) or "x"
+        toks = base.split()
+        if toks:
+            toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+        texts.append(" ".join(toks))
+    for _ in range(rng.randint(2, 6)):
+        texts.append((rng.choice(texts[:n]) or "y").upper())
+    # a rare NULL text
+    if rng.random() < 0.5:
+        texts.append(None)
+    rows = [
+        (
+            i,
+            t,
+            rng.choice(LANGS),
+            f"src{rng.randint(0, 19)}",
+            len(t) if t is not None else None,
+        )
+        for i, t in enumerate(texts)
+    ]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+
+
+def _fuzz_embeddings(rng: random.Random) -> pa.Table:
+    dim = 64
+
+    def vec():
+        return [rng.randint(-400, 400) / 512.0 for _ in range(dim)]
+
+    n = rng.randint(80, 140)
+    vecs = [vec() for _ in range(n)]
+    vecs[rng.randrange(n)] = [0.0] * dim  # the zero vector
+    # exact duplicates and scaled copies (cosine ties)
+    for _ in range(rng.randint(4, 10)):
+        vecs.append(list(rng.choice(vecs[:n])))
+    for _ in range(rng.randint(3, 8)):
+        base = rng.choice(vecs[:n])
+        scale = rng.choice([0.5, 2.0, 4.0])
+        vecs.append([x * scale for x in base])
+    rows = [(i, v, rng.randint(0, 9)) for i, v in enumerate(vecs)]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "vec_id": pa.array(cols[0], pa.int64()),
+            "embedding": pa.array(cols[1], pa.list_(pa.float32())),
+            "label": pa.array(cols[2], pa.int32()),
+        }
+    )
+
+
+def make_fuzz_dir(seed: int, out_dir: str, src_sf: str) -> str:
+    """Write the ten fuzz tables for ``seed`` into ``out_dir`` (driver
+    single-file layout) and return ``out_dir``."""
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    keep_whole = {"region", "nation"}
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        tbl = con.execute(
+            f"SELECT * FROM '{src_sf}/{t}.parquet'"
+        ).fetch_arrow_table()
+        if t not in keep_whole:
+            frac = rng.uniform(0.6, 0.9)
+            idx = sorted(
+                rng.sample(range(tbl.num_rows), int(tbl.num_rows * frac))
+            )
+            tbl = tbl.take(idx)
+        pq.write_table(tbl, f"{out_dir}/{t}.parquet")
+    pq.write_table(_fuzz_events(rng), f"{out_dir}/events.parquet")
+    pq.write_table(_fuzz_documents(rng), f"{out_dir}/documents.parquet")
+    pq.write_table(_fuzz_embeddings(rng), f"{out_dir}/embeddings.parquet")
+    return out_dir
+
+
+def main() -> int:
+    from tests.conftest import make_duck_views, sweep_differential
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+    from twitch_stream_data_pipeline_spark.session import get_spark
+
+    seeds = 2
+    seed_base = 1000
+    src_sf = "/root/testdata/sf0.001"
+    if "--seeds" in sys.argv:
+        seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
+    if "--seed-base" in sys.argv:
+        seed_base = int(sys.argv[sys.argv.index("--seed-base") + 1])
+    if "--sf" in sys.argv:
+        src_sf = sys.argv[sys.argv.index("--sf") + 1]
+
+    spark = get_spark("fuzz-sweep", cpus=8, shuffle_partitions=8)
+    total_fail = 0
+    total_run = 0
+    for s in range(seed_base, seed_base + seeds):
+        with tempfile.TemporaryDirectory(prefix=f"fuzz_sf_{s}_") as d:
+            make_fuzz_dir(s, d, src_sf)
+            con = make_duck_views(duckdb.connect(), d)
+            failures = []
+            for name, q in sorted(CATALOG.items()):
+                f = sweep_differential(spark, con, name, q, d)
+                total_run += 1
+                if f:
+                    failures.append(f)
+            for f in failures:
+                print(f"  SEED {s}: {f}")
+            total_fail += len(failures)
+            print(
+                f"seed {s}: {len(CATALOG) - len(failures)}/{len(CATALOG)} "
+                "queries clean on fuzzed corpus"
+            )
+    print(
+        f"\n{total_run - total_fail}/{total_run} query-runs clean across "
+        f"{seeds} fuzz seeds"
+    )
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -7,11 +7,17 @@ command re-verifies both counts independently:
 
     SPARK_GRAFT_FULL_SWEEPS=1 python -m pytest tests/test_full_sweeps.py -q -s
 
-Opt-in (skipped without the env var) for two reasons: together they run
-every catalog query three times (~10 min), and the determinism sweep
-necessarily STOPS its SparkSessions between the 7-partition and
-32-partition passes — safe in a dedicated pytest invocation, hostile to
-the session-scoped ``spark`` fixture the rest of the suite shares.
+Round 10 added three more axes behind the same flag: engine-config
+independence (``tests/config_sweep.py`` — interpreted evaluator +
+shifted session timezone), seeded-random corpora diffed against every
+graded oracle (``tests/fuzz_sweep.py``), and input row-order
+independence (``tests/order_sweep.py``).
+
+Opt-in (skipped without the env var) for two reasons: together the
+sweeps run every catalog query many times over (~25 min), and the
+determinism/config sweeps necessarily STOP their SparkSessions between
+passes — safe in a dedicated pytest invocation, hostile to the
+session-scoped ``spark`` fixture the rest of the suite shares.
 The representative always-on subsets stay where they were
 (``test_event_analytics.py::test_catalog_runs_on_empty_tables``,
 per-operator partition-independence pins).
@@ -45,6 +51,66 @@ def test_empty_sweep_whole_catalog(capsys):
     print(out)  # surface the N/N count in the test log
     assert rc == 0, f"empty-input failures:\n{out}"
     assert "queries clean on empty input" in out
+
+
+def test_config_sweep_whole_catalog(capsys):
+    """Every registered query must produce identical results under
+    hostile-but-legal engine configs: the fully INTERPRETED path
+    (whole-stage codegen off + NO_CODEGEN factory + AQE off — reachable
+    in production whenever generated code blows a JVM limit) and a
+    shifted session timezone (Asia/Kathmandu, +05:45 — the catalog's
+    epoch-arithmetic contract says no result may move with the session
+    zone). Separate sessions per variant, like the determinism sweep."""
+    from pyspark.sql import SparkSession
+
+    from . import config_sweep
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+    rc = config_sweep.main()
+    out = capsys.readouterr().out
+    print(out)
+    assert rc == 0, f"config-dependent queries:\n{out}"
+    assert "queries identical under interpreted" in out
+    assert "queries identical under tz" in out
+
+
+def test_fuzz_sweep_whole_catalog(capsys):
+    """Every registered query must stay oracle-correct on seeded-RANDOM
+    corpora (regenerated events/documents/embeddings + random star-table
+    subsets) — content the builder never chose, so fixture blind spots
+    don't survive. Two seeds by default; deterministic per seed."""
+    from pyspark.sql import SparkSession
+
+    from . import fuzz_sweep
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+    rc = fuzz_sweep.main()
+    out = capsys.readouterr().out
+    print(out)
+    assert rc == 0, f"fuzz-sweep failures:\n{out}"
+    assert "query-runs clean across 2 fuzz seeds" in out
+
+
+def test_order_sweep_whole_catalog(capsys):
+    """Every registered query must return identical results when every
+    input table's rows are rewritten in a seeded random permutation —
+    at 100 TB, row/file order is an accident of scheduling and
+    compaction, so any order dependence (keep-first without a
+    tiebreak, first()/limit without a total order) is a latent
+    cluster bug. Engine-vs-engine comparison, same session."""
+    from . import order_sweep
+
+    rc = order_sweep.main()
+    out = capsys.readouterr().out
+    print(out)
+    assert rc == 0, f"order-dependent queries:\n{out}"
+    assert "queries identical under a seed-77 row permutation" in out
 
 
 def test_determinism_sweep_whole_catalog(capsys):
