@@ -373,6 +373,40 @@ def test_motif_discovery_finds_planted_repeat(spark):
     assert r["similarity"] > 0.99
 
 
+def test_motif_discovery_null_head_windows_are_excluded(spark):
+    """SQL-NULL parity (round-10 fuzz find): a gap-filled series whose
+    first slots are NULL (nothing to forward-fill from) must behave as
+    if every window overlapping them were dropped — the SQL twin nulls
+    those windows' n2. Property: adding NULL head slots to a series
+    changes nothing about the chosen pair (before the fix, the NaNs
+    cast to garbage int64 and competed)."""
+    import random
+
+    from twitch_stream_data_pipeline_spark.operators.event_analytics import (
+        motif_discovery,
+    )
+
+    random.seed(11)
+    rows = []
+    for slot in range(5, 60):
+        v = 50.0 + random.uniform(-0.3, 0.3)
+        for start in (12, 42):
+            if start <= slot < start + 8:
+                v += 10 * [3, 9, 1, 7, 2, 8, 4, 6][slot - start]
+        rows.append(("A", slot, v))
+    base = spark.createDataFrame(
+        rows, "event_type string, slot long, sum_value double"
+    )
+    with_null_head = spark.createDataFrame(
+        [("A", s, None) for s in range(5)] + rows,
+        "event_type string, slot long, sum_value double",
+    )
+    got_base = motif_discovery(base, window_len=8).collect()
+    got_null = motif_discovery(with_null_head, window_len=8).collect()
+    assert len(got_base) == len(got_null) == 1
+    assert got_base[0].asDict() == got_null[0].asDict()
+
+
 def test_motif_discovery_too_short_group_emits_nothing(spark):
     from twitch_stream_data_pipeline_spark.operators.event_analytics import (
         motif_discovery,

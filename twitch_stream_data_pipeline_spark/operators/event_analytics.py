@@ -371,7 +371,17 @@ def motif_discovery(
         # Half-away-from-zero rounding (matches Spark F.round / DuckDB
         # round), NOT np.round's banker's rounding: 12.5 -> 13, -12.5 -> -13.
         v = pdf[value_col].to_numpy(dtype=np.float64) * quant_scale
-        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        # SQL-NULL parity (round-10 fuzz find): a gap-filled series
+        # whose FIRST observed slots sum to NULL keeps NULLs at the
+        # head (IGNORE NULLS has nothing to fill from); in the SQL
+        # twin a NULL q nulls the window sum, then n2, so every
+        # window overlapping it drops via n2 > 0. numpy instead casts
+        # the NaN to garbage int64 — mask those slots and exclude any
+        # window overlapping one, which is exactly the SQL outcome.
+        nanmask = np.isnan(v)
+        q = np.where(
+            nanmask, 0, np.sign(v) * np.floor(np.abs(v) + 0.5)
+        ).astype(np.int64)
         n = len(q) - L + 1
         if n < L + 1:  # no room for two non-overlapping windows
             return pd.DataFrame(
@@ -387,8 +397,17 @@ def motif_discovery(
         n2 = np.diag(G).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             corr = G.astype(np.float64) / np.sqrt(n2[:, None] * n2[None, :])
+        badw = np.lib.stride_tricks.sliding_window_view(nanmask, L).any(
+            axis=1
+        )
         ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-        valid = (jj >= ii + L) & (n2[ii] > 0) & (n2[jj] > 0)
+        valid = (
+            (jj >= ii + L)
+            & (n2[ii] > 0)
+            & (n2[jj] > 0)
+            & ~badw[ii]
+            & ~badw[jj]
+        )
         if not valid.any():
             return pd.DataFrame(
                 columns=["g", "slot_a", "slot_b", "similarity"]

@@ -6,7 +6,13 @@ Determinism rules that make Spark and DuckDB hash-identical:
 
 - **Sums/avgs of doubles** go through ``DECIMAL(25,6)`` (exact,
   order-independent) and cast back to double — both engines produce
-  the same bits regardless of partial-aggregation order.
+  the same bits regardless of partial-aggregation order. On the
+  DuckDB side the cast back is ``CAST(CAST(x AS VARCHAR) AS DOUBLE)``:
+  DuckDB's direct DECIMAL->DOUBLE cast double-rounds (int128 ->
+  double, then a multiply by the scale) and can land 1 ULP off the
+  correctly-rounded value Spark's BigDecimal route produces — the
+  round-10 fuzz sweep caught a real instance. Decimal->VARCHAR is
+  exact digits and VARCHAR->DOUBLE is strtod, i.e. correctly rounded.
 - **Timestamps never appear in output**; date/slot derivations are
   epoch arithmetic (timezone-free), emitted as strings or bigints.
 - **All hashes are md5-derived** (``conv(substr(md5(x),1,15),16,10)``
@@ -460,7 +466,7 @@ def dsum(c: Column | str) -> Column:
 
 def _osum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` (same finiteness contract)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
 
 
 # epoch arithmetic helpers (timezone-free on both engines)
@@ -1749,21 +1755,20 @@ def q_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
       SELECT label, dim,
-             CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS c
+             CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
       FROM dims GROUP BY 1, 2
     ),
     d AS (
       SELECT dims.vec_id, dims.label,
-             sqrt(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(25,6)))
-                       AS DOUBLE)) AS dist
+             sqrt(CAST(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)) AS dist
       FROM dims JOIN cent ON dims.label = cent.label AND dims.dim = cent.dim
       GROUP BY 1, 2
     ),
     stats AS (
       SELECT label,
-             CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS mean_d,
-             CAST(SUM(CAST(dist * dist AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(dist * dist AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS meansq_d
       FROM d GROUP BY 1
     )
@@ -2116,10 +2121,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS running_spent
     FROM orders WHERE o_custkey < 100
     """,
@@ -2530,8 +2535,8 @@ def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cust_avg, 6) AS cust_avg
     FROM (
         SELECT o_orderkey, o_custkey, o_totalprice,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
         FROM orders
     )
@@ -2582,7 +2587,8 @@ def q_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
         FROM part_v
         WHERE p_retailprice >
-              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6)))
+                           AS DOUBLE)
                       / COUNT(*) * 1.2
                FROM part_v)
         """
@@ -3090,9 +3096,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS mean,
-             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS meansq
       FROM events GROUP BY event_type
     )
@@ -3412,7 +3418,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT q.query_id, tf.doc_id,
-             CAST(SUM(CAST(
+             CAST(CAST(SUM(CAST(
                ln(CAST(1.0 AS DOUBLE)
                   + (n_docs - df + CAST(0.5 AS DOUBLE))
                     / (df + CAST(0.5 AS DOUBLE)))
@@ -3421,7 +3427,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
                           + CAST(0.75 AS DOUBLE)
                             * (len_d / (CAST(total_len AS DOUBLE) / n_docs))))
-               AS DECIMAL(25,6))) AS DOUBLE) AS score
+               AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS score
       FROM tf
       JOIN qterms q USING (term)
       JOIN dfreq USING (term)
@@ -3541,10 +3547,9 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trailing_hour_sum",
     """
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
                   PARTITION BY user_id ORDER BY secs
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS trailing_sum
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_sum
     FROM (SELECT event_id, user_id, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
           FROM events) t
@@ -3684,8 +3689,8 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM vocab)
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           CAST(SUM(CAST(tf * ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE))
-                         AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(tf * ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE))
+                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
              / CAST(SUM(tf) AS BIGINT) AS logprob
     FROM tf JOIN vocab USING (term) CROSS JOIN tot
     GROUP BY 1
@@ -3812,8 +3817,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM dtf GROUP BY 1),
     matched AS (
       SELECT doc_id, label,
-             CAST(SUM(CAST(tf * ln(CAST(cnt + 1 AS DOUBLE))
-                           AS DECIMAL(25,6))) AS DOUBLE) AS m
+             CAST(CAST(SUM(CAST(tf * ln(CAST(cnt + 1 AS DOUBLE))
+                           AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS m
       FROM dtf JOIN model USING (term) GROUP BY 1, 2
     ),
     scored AS (
@@ -4074,8 +4079,8 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(tf * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
-                         AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(tf * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
              / CAST(SUM(tf) AS BIGINT) AS bigram_logprob
     FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
     GROUP BY 1
@@ -4165,7 +4170,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT event_type AS g,
                       CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                         AS sum_value
                FROM events GROUP BY 1, 2),
     r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
@@ -4313,7 +4318,7 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, week, sum_value,
@@ -4444,15 +4449,14 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     t AS (
       SELECT event_type, slot, sum_value,
-             CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             CAST(CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE)
                AS wsum,
-             CAST(SUM(CAST(sum_value * sum_value AS DECIMAL(25,6))) OVER w
-                  AS DOUBLE) AS wsumsq,
+             CAST(CAST(SUM(CAST(sum_value * sum_value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS wsumsq,
              COUNT(*) OVER w AS n
       FROM s
       WINDOW w AS (PARTITION BY event_type ORDER BY slot
@@ -4775,7 +4779,7 @@ DASHBOARD_STAGED_ORACLES: dict[str, str] = {
       FROM events
     )
     SELECT c.category_name,
-           CAST(SUM(CAST(f.hours_watched AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(f.hours_watched AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
              AS hours_watched,
            CAST(SUM(f.viewer_count) AS BIGINT) AS viewers
     FROM fact f JOIN categories c USING (category_id)
@@ -5102,7 +5106,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT event_type AS g,
                       CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                         AS sum_value
                FROM events GROUP BY 1, 2),
     r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
@@ -5165,11 +5169,11 @@ def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (SELECT event_type,
                       CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                         AS sum_value
                FROM events GROUP BY 1, 2),
     b AS (SELECT event_type, slot % 96 AS slot_of_day,
-                 CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) AS DOUBLE)
+                 CAST(CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                    / COUNT(*) AS baseline
           FROM s GROUP BY 1, 2)
     SELECT s.event_type, s.slot, s.sum_value, b.baseline,
@@ -5403,7 +5407,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT event_type AS g,
                       CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                         AS sum_value
                FROM events GROUP BY 1, 2),
     r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
@@ -5580,8 +5584,8 @@ def q_skew_report_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e
       FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
     )
-    SELECT CAST(SUM(CAST((obs - e) * (obs - e) / e
-                         AS DECIMAL(25,6))) AS DOUBLE) AS chi2,
+    SELECT CAST(CAST(SUM(CAST((obs - e) * (obs - e) / e
+                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS chi2,
            CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
              * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
            CAST(COUNT(*) AS BIGINT) AS n_cells
@@ -5639,21 +5643,16 @@ def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sq,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sp,
-             CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sd,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
-                  AS DOUBLE) AS sqq,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                           AS DECIMAL(25,6))) AS DOUBLE) AS spp,
-             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,6)))
-                  AS DOUBLE) AS sdd,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6)))
-                  AS DOUBLE) AS sqp,
-             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,6)))
-                  AS DOUBLE) AS sqd,
-             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
-                  AS DOUBLE) AS spd
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sp,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sd,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS spp,
+             CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sdd,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sqp,
+             CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sqd,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS spd
       FROM lineitem
     )
     SELECT 'quantity_price' AS pair,
@@ -5779,13 +5778,13 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1
     ),
-    t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS DOUBLE)
+    t AS (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
             AS total FROM r),
     c AS (
       SELECT p_brand, revenue,
-             CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER (
+             CAST(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER (
                ORDER BY revenue DESC, p_brand
-               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+               ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) / total AS cum_share
       FROM r CROSS JOIN t
     )
     SELECT p_brand, revenue, cum_share,
@@ -6521,7 +6520,7 @@ _STREAM_WINDOW_COUNTS_ORACLE = f"""
            CAST(slot // 4 AS INT) AS hour,
            {_PART_OF_DAY_SQL} AS part_of_day,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM slotted
     GROUP BY window_start_s, event_type, slot
     ORDER BY window_start_s, event_type
