@@ -26,12 +26,22 @@ configurations, then diff the sorted results. Two axes:
     parity (DuckDB runs in UTC) the day the engine is deployed in a
     non-UTC environment.
 
+``tiny-splits``
+    ``spark.sql.files.maxPartitionBytes=64K`` — every table scan
+    arrives as MANY input splits, the layout a 1000-executor cluster
+    produces and a single-file local read never does.
+
+``small-batches``
+    ``spark.sql.execution.arrow.maxRecordsPerBatch=16`` — every
+    pandas/arrow UDF sees reshaped batches; results must not depend
+    on how rows happen to be batched.
+
 Like the determinism sweep, each pass runs in its OWN SparkSession
-(stopped between passes) because all three confs are session-creation
+(stopped between passes) because these confs are session-creation
 semantics here; comparisons are on sorted reprs, same as the other
 sweeps.
 
-Usage: python tests/config_sweep.py [--sf DIR]
+Usage: python tests/config_sweep.py [--sf DIR] [--variant NAME]
 """
 
 from __future__ import annotations
@@ -52,6 +62,25 @@ VARIANTS: dict[str, dict[str, str]] = {
     },
     "tz": {
         "spark.sql.session.timeZone": "Asia/Kathmandu",
+    },
+    # Scan-split independence: 64 KB splits turn every single-file
+    # local read into the many-partition layout a 1000-executor
+    # cluster sees (the local[8] default reads each driver table as
+    # ONE split, so split-boundary behavior is otherwise never
+    # exercised). openCostInBytes=0 keeps tiny files from being
+    # glued back together.
+    "tiny-splits": {
+        "spark.sql.files.maxPartitionBytes": "65536",
+        "spark.sql.files.openCostInBytes": "0",
+    },
+    # Arrow-batch-shape independence: 16-row batches reshape every
+    # pandas/arrow UDF invocation (mapInPandas, grouped-map, UDTF) —
+    # any op whose float order or logic depends on how rows happen to
+    # be batched diverges here (the order sweep caught pca_project's
+    # batch-shaped BLAS matmul; this axis pins the whole UDF surface
+    # against the same class).
+    "small-batches": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "16",
     },
 }
 

@@ -116,6 +116,28 @@ def test_decode_branch_matches_parquet_footer(spark):
     assert _EPOCH_LO <= row[0] <= _EPOCH_HI
 
 
+def test_ntz_decode_reads_wall_time_as_utc(spark):
+    """The NTZ branch's wall-as-UTC contract, pinned at the expression
+    level (the opt-in config sweep proves the whole catalog under a
+    shifted session zone; this always-on pin catches a regression of
+    the decode itself): a TIMESTAMP_NTZ wall time must map to the
+    epoch seconds of that wall time READ AS UTC — never through the
+    session timezone. The expected constants are hand-computed, so
+    this test is correct in any session zone."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        _decode_event_ts,
+    )
+
+    raw = spark.sql(
+        "SELECT 1 AS event_id, TIMESTAMP_NTZ'2024-01-01 06:00:00' AS ts"
+    )
+    ev, _ = _decode_event_ts(raw, "<inline>")
+    row = ev.select("secs", "ts_us").first()
+    # 2024-01-01 06:00:00 UTC == 1704088800 epoch seconds
+    assert row["secs"] == 1_704_088_800
+    assert row["ts_us"] == 1_704_088_800 * 1_000_000
+
+
 @pytest.mark.parametrize("unit", ["ns", "us"])
 def test_encodings_decode_identically(spark, tmp_path, unit):
     """Both historical encodings of the same instants produce the same

@@ -57,10 +57,12 @@ def test_config_sweep_whole_catalog(capsys):
     """Every registered query must produce identical results under
     hostile-but-legal engine configs: the fully INTERPRETED path
     (whole-stage codegen off + NO_CODEGEN factory + AQE off — reachable
-    in production whenever generated code blows a JVM limit) and a
+    in production whenever generated code blows a JVM limit), a
     shifted session timezone (Asia/Kathmandu, +05:45 — the catalog's
     epoch-arithmetic contract says no result may move with the session
-    zone). Separate sessions per variant, like the determinism sweep."""
+    zone), 64 KB scan splits (the many-partition layout of a real
+    cluster), and 16-row Arrow batches (reshaped pandas-UDF input).
+    Separate sessions per variant, like the determinism sweep."""
     from pyspark.sql import SparkSession
 
     from . import config_sweep
@@ -75,6 +77,8 @@ def test_config_sweep_whole_catalog(capsys):
     assert rc == 0, f"config-dependent queries:\n{out}"
     assert "queries identical under interpreted" in out
     assert "queries identical under tz" in out
+    assert "queries identical under tiny-splits" in out
+    assert "queries identical under small-batches" in out
 
 
 def test_fuzz_sweep_whole_catalog(capsys):
