@@ -568,6 +568,42 @@ def test_dsum_masks_nonfinite_exactly_as_documented(spark):
         con.execute(f"SELECT {_osum('v')} FROM t").fetchall()
 
 
+def test_osum_decimal_to_double_is_correctly_rounded(spark):
+    """THE decimal->double boundary case behind the round-10 _osum
+    VARCHAR-route rule, pinned deterministically (the fuzz sweep found
+    it statistically): the exact decimal 18973655509895.223819 lies
+    where DuckDB's direct DECIMAL->DOUBLE cast double-rounds to
+    ...227 while the correctly-rounded double (Python float, Java
+    BigDecimal, strtod) is ...223. _osum must produce the correctly
+    rounded value — i.e. bit-equal to Spark's dsum — and the direct
+    cast must KEEP being wrong for this probe to stay meaningful (if
+    a DuckDB upgrade fixes it, this assert flags that the VARCHAR hop
+    became removable)."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import _osum, dsum
+
+    correct = float(__import__("decimal").Decimal("18973655509895.223819"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES "
+        "(18973655509895.0), (0.223819)) x(v)"
+    )
+    [(via_osum,)] = con.execute(f"SELECT {_osum('v')} FROM t").fetchall()
+    assert via_osum == correct
+    [(direct,)] = con.execute(
+        "SELECT CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) FROM t"
+    ).fetchall()
+    assert direct != correct, (
+        "DuckDB's direct DECIMAL->DOUBLE cast became correctly rounded "
+        "— the _osum VARCHAR hop is now removable (keep it anyway for "
+        "older DuckDBs, but update the catalog docstring)"
+    )
+    df = spark.createDataFrame(
+        [(18973655509895.0,), (0.223819,)], "v double"
+    )
+    [row] = df.select(dsum("v").alias("s")).collect()
+    assert row.s == correct
+
+
 def test_embedding_finite_check_locates_nonfinite_vectors(
     spark, probe_dir
 ):
