@@ -22,6 +22,20 @@ _normalize = normalize_rows
 ORACLE_QUERIES = [name for name, q in CATALOG.items() if q.oracle is not None]
 NO_ORACLE_QUERIES = [name for name, q in CATALOG.items() if q.oracle is None]
 
+#: Queries allowed to return ZERO rows on the driver testdata — a
+#: 0-row oracle compare is vacuously green, so emptiness must be a
+#: stated, explained exception, not an accident (round-10 audit found
+#: scalar_subquery_filter had been vacuous for ten rounds: its old
+#: >1.2x-mean filter cleared the generator's whole 900-1000 price
+#: band). Every entry here must say where its NON-vacuous evidence
+#: lives.
+EMPTY_OK = {
+    # generator gives (almost) every customer an order; real rows come
+    # from the fuzz sweep's random orders subsets (10-40% orphaned
+    # customers per seed)
+    "anti_join_customers",
+}
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
@@ -29,6 +43,13 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = q.fn(spark, SF_SMOKE)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
+
+    if name not in EMPTY_OK:
+        assert spark_rows, (
+            f"{name}: ZERO rows on the smoke testdata — the oracle "
+            "compare is vacuous; make the query select rows or add it "
+            "to EMPTY_OK with a pointer to its non-vacuous evidence"
+        )
 
     res = duck.execute(q.oracle)
     duck_cols = [d[0] for d in res.description]
