@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Two axes:
+configurations, then diff the sorted results. Five axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -25,6 +25,13 @@ configurations, then diff the sorted results. Two axes:
     moves with the session timezone would silently break DuckDB-oracle
     parity (DuckDB runs in UTC) the day the engine is deployed in a
     non-UTC environment.
+
+``tz-dst``
+    ``spark.sql.session.timeZone=America/New_York`` — a DST zone, the
+    failure class a fixed offset cannot catch: two dates of the same
+    column can sit on different offsets, so same-column epoch
+    differences stop cancelling (caught rfm_segments' recency
+    arithmetic after Kathmandu passed it).
 
 ``tiny-splits``
     ``spark.sql.files.maxPartitionBytes=64K`` — every table scan
@@ -51,7 +58,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from twitch_stream_data_pipeline_spark.plans import CATALOG
 from twitch_stream_data_pipeline_spark.session import get_spark
 
 VARIANTS: dict[str, dict[str, str]] = {
@@ -62,6 +68,16 @@ VARIANTS: dict[str, dict[str, str]] = {
     },
     "tz": {
         "spark.sql.session.timeZone": "Asia/Kathmandu",
+    },
+    # A DST zone is a DIFFERENT failure class from Kathmandu's fixed
+    # +05:45: a constant offset cancels in any same-column epoch
+    # difference, while a DST zone puts two dates of the same column
+    # on different offsets (the 1992-1998 order/ship dates straddle
+    # dozens of transitions) — this axis caught rfm_segments' NTZ
+    # cast+unix_timestamp recency arithmetic after Kathmandu passed
+    # it (round-10 review find).
+    "tz-dst": {
+        "spark.sql.session.timeZone": "America/New_York",
     },
     # Scan-split independence: 64 KB splits turn every single-file
     # local read into the many-partition layout a 1000-executor
@@ -86,6 +102,8 @@ VARIANTS: dict[str, dict[str, str]] = {
 
 
 def run_all(sf: str, label: str, extra_conf: dict[str, str] | None) -> dict:
+    from tests.conftest import collect_catalog_snapshot
+
     spark = get_spark(f"cfg-{label}", cpus=8, extra_conf=extra_conf)
     # get_spark reuses a live session if one exists — that would make
     # every variant run under the baseline confs and the sweep would
@@ -98,14 +116,7 @@ def run_all(sf: str, label: str, extra_conf: dict[str, str] | None) -> dict:
                 f"variant conf {k}={v!r} did not take (got {got!r}); "
                 "a pre-existing SparkSession leaked into the sweep"
             )
-    out = {}
-    for name, q in CATALOG.items():
-        try:
-            df = q.fn(spark, sf)
-            rows = [tuple(map(repr, r)) for r in df.collect()]
-            out[name] = (tuple(sorted(df.columns)), tuple(sorted(rows)))
-        except Exception as e:  # noqa: BLE001 - reporting tool
-            out[name] = ("ERR", repr(e)[:300])
+    out = collect_catalog_snapshot(spark, sf)
     spark.stop()
     return out
 

@@ -40,6 +40,27 @@ def normalize_rows(rows, columns):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def collect_catalog_snapshot(spark, sf_dir: str) -> dict:
+    """THE engine-vs-engine sweep collector (config / order sweeps):
+    run every catalog query and return ``{name: (sorted_columns,
+    sorted_row_reprs)}``, with ``("ERR", message)`` for a raise.
+    Single-sourced here — like :func:`normalize_rows` — so a
+    comparison-semantics fix can never be applied to one sweep and
+    missed in another."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    out = {}
+    for name, q in sorted(CATALOG.items()):
+        try:
+            df = q.fn(spark, sf_dir)
+            rows = [tuple(r) for r in df.collect()]
+            cols = [c.lower() for c in df.columns]
+            out[name] = (tuple(sorted(cols)), tuple(normalize_rows(rows, cols)))
+        except Exception as e:  # noqa: BLE001 - sweeps report wholesale
+            out[name] = ("ERR", repr(e)[:300])
+    return out
+
+
 def make_duck_views(con, sf_dir: str, glob_parts: bool = False):
     """Register the ten testdata tables as DuckDB views over
     ``sf_dir`` — single-file driver layout by default, or Spark-written

@@ -60,17 +60,9 @@ def make_permuted_dir(src_sf: str, out_dir: str, seed: int) -> str:
 
 
 def run_all(spark, sf: str) -> dict:
-    from twitch_stream_data_pipeline_spark.plans import CATALOG
+    from tests.conftest import collect_catalog_snapshot
 
-    out = {}
-    for name, q in sorted(CATALOG.items()):
-        try:
-            df = q.fn(spark, sf)
-            rows = [tuple(map(repr, r)) for r in df.collect()]
-            out[name] = (tuple(sorted(df.columns)), tuple(sorted(rows)))
-        except Exception as e:  # noqa: BLE001 - reporting tool
-            out[name] = ("ERR", repr(e)[:300])
-    return out
+    return collect_catalog_snapshot(spark, sf)
 
 
 def main() -> int:

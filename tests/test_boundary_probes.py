@@ -568,6 +568,48 @@ def test_dsum_masks_nonfinite_exactly_as_documented(spark):
         con.execute(f"SELECT {_osum('v')} FROM t").fetchall()
 
 
+def test_null_head_series_window_parity(spark, probe_dir):
+    """Adversarial NULL-head fixture (round-10 review find): when a
+    group's FIRST observed slots sum to NULL, the gap-filled series
+    keeps a NULL head, and windows overlapping it must be dropped by
+    BOTH sides. Spark drops them via `+`-chain NULL propagation;
+    DuckDB's list_sum IGNORES NULLs, so before the explicit
+    any-NULL-drops gate the oracle kept those windows with partial
+    sums — on this flat-then-step shape a head-overlapping window
+    outscored every legitimate pair and the motif/pattern oracles
+    disagreed with their engines."""
+    # Sharpness verified against the PRE-FIX oracle gate (WHERE wv[8]
+    # IS NOT NULL): on this exact pulse shape the old motif oracle
+    # picks a head-overlapping pair at similarity 0.935 (a window with
+    # a single non-NULL element correlates ±1-ish through the partial
+    # zip-product) while the engine picks a legitimate pair at -0.218,
+    # and the old ts_pattern_search top-10 membership shifts — so this
+    # test FAILS if the any-NULL-drops gate regresses.
+    rows = []
+    eid = 0
+    for i in range(7):  # head slots whose only event has NULL value
+        rows.append((eid, T0 + i * 900, 1, "view", None)); eid += 1
+    for i in range(7, 15):  # nonzero flat
+        rows.append((eid, T0 + i * 900, 1, "view", 50.0)); eid += 1
+    for i in range(15, 20):  # pulse up
+        rows.append((eid, T0 + i * 900, 1, "view", 100.0)); eid += 1
+    for i in range(20, 26):  # back down
+        rows.append((eid, T0 + i * 900, 1, "view", 50.0)); eid += 1
+    write_events(spark, probe_dir, rows)
+    base_slot = T0 // 900
+    # motif emits (event_type, slot_a, slot_b, similarity); the pattern
+    # search emits (event_type, slot, similarity). No emitted window
+    # start may fall inside the NULL head (slots base..base+6).
+    motif = run_differential(spark, probe_dir, "motif_discovery")
+    assert motif, "expected a motif pair on the step shape"
+    assert all(
+        r[1] >= base_slot + 7 and r[2] >= base_slot + 7 for r in motif
+    ), motif
+    pat = run_differential(spark, probe_dir, "ts_pattern_search")
+    assert pat, "expected pattern matches on the step shape"
+    assert all(r[1] >= base_slot + 7 for r in pat), pat
+
+
 def test_osum_decimal_to_double_is_correctly_rounded(spark):
     """THE decimal->double boundary case behind the round-10 _osum
     VARCHAR-route rule, pinned deterministically (the fuzz sweep found

@@ -76,7 +76,10 @@ def test_config_sweep_whole_catalog(capsys):
     print(out)
     assert rc == 0, f"config-dependent queries:\n{out}"
     assert "queries identical under interpreted" in out
-    assert "queries identical under tz" in out
+    assert "queries identical under tz " in out or (
+        "queries identical under tz (" in out
+    )
+    assert "queries identical under tz-dst" in out
     assert "queries identical under tiny-splits" in out
     assert "queries identical under small-batches" in out
 

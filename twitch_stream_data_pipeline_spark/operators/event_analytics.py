@@ -172,9 +172,17 @@ def gapfill_forward(
     the grid is ``sequence(min_slot, max_slot)`` exploded per group —
     calendar-bounded (a year of 15-min slots is 35k rows per group),
     never event-volume-bounded; the fill is ``last(value, ignorenulls)``
-    over a window partitioned by group and ordered by the grid. The
-    first slot of every group is observed by construction, so the
-    filled value is never NULL.
+    over a window partitioned by group and ordered by the grid.
+
+    NULL CONTRACT (round 10): the first slot of every group is
+    observed by construction, but an observed slot's SUM is itself
+    NULL when every contributing ``value`` is NULL — so a series can
+    carry a NULL HEAD (nothing earlier to fill from) that downstream
+    consumers must handle explicitly. SQL consumers inherit the right
+    behavior from NULL propagation (a window sum over a NULL element
+    is NULL); numpy consumers must mask — casting the NaN to int64 is
+    garbage, the exact bug the round-10 fuzz sweep caught in
+    motif_discovery.
     """
     slot = F.floor(F.col(ts_col) / F.lit(slot_secs)).cast("long")
     observed = (

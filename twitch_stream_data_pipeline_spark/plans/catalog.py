@@ -5135,9 +5135,13 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd AS (SELECT g, slot, CAST(round(v * 1000) AS BIGINT) AS q FROM filled),
     ld AS (SELECT g, slot, [lead(q, 0) OVER w, lead(q, 1) OVER w, lead(q, 2) OVER w, lead(q, 3) OVER w, lead(q, 4) OVER w, lead(q, 5) OVER w, lead(q, 6) OVER w, lead(q, 7) OVER w] AS wv
            FROM qd WINDOW w AS (PARTITION BY g ORDER BY slot)),
+    -- ANY-NULL windows drop (tail + NULL-head gap-fill slots): the
+    -- engine's int64 `+` chain NULL-propagates s/n2, while DuckDB's
+    -- list_sum ignores NULLs — state the drop, don't rely on n2
+    -- (round-10 review find, same family as motif_discovery).
     ok AS (SELECT g, slot, wv,
                   CAST(list_sum(wv) AS BIGINT) AS s
-           FROM ld WHERE wv[8] IS NOT NULL),
+           FROM ld WHERE len(list_filter(wv, x -> x IS NULL)) = 0),
     cc AS (SELECT g, slot,
                   list_transform(wv, x -> 8 * x - s) AS c
            FROM ok),
@@ -5442,8 +5446,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd AS (SELECT g, slot, CAST(round(v * 1000) AS BIGINT) AS q FROM rstr),
     ld AS (SELECT g, slot, [lead(q, 0) OVER w, lead(q, 1) OVER w, lead(q, 2) OVER w, lead(q, 3) OVER w, lead(q, 4) OVER w, lead(q, 5) OVER w, lead(q, 6) OVER w, lead(q, 7) OVER w] AS wv
            FROM qd WINDOW w AS (PARTITION BY g ORDER BY slot)),
+    -- a window with ANY NULL element is no window (drops both the
+    -- series tail and NULL-head gap-fill slots). Spark's `+` chain
+    -- NULL-propagates the window sum so those rows die at n2 > 0;
+    -- DuckDB's list_sum IGNORES NULLs (round-10 review find), so the
+    -- drop must be stated explicitly here, not left to n2.
     ok AS (SELECT g, slot, wv, CAST(list_sum(wv) AS BIGINT) AS s
-           FROM ld WHERE wv[8] IS NOT NULL),
+           FROM ld WHERE len(list_filter(wv, x -> x IS NULL)) = 0),
     cc AS (SELECT g, slot,
                   list_transform(wv, x -> 8 * x - s) AS c
            FROM ok),
@@ -5900,11 +5909,20 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as plain ntile windows — semantics, not plan.",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate is TIMESTAMP_NTZ in the driver parquet: epoch secs
+    # must come from NTZ wall arithmetic, NOT cast("timestamp") +
+    # unix_timestamp — that pair reads the session zone, and under a
+    # DST zone (America/New_York) `now` and `last` can sit on
+    # different offsets, shifting floor((now-last)/86400) by a day
+    # (round-10 review find; the events decode had the same bug). The
+    # config sweep's tz-dst axis now pins this catalog-wide.
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.floor(
-            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
-        ).cast("long").alias("secs"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " CAST(o_orderdate AS TIMESTAMP_NTZ)) div 1000000"
+        ).alias("secs"),
         "o_totalprice",
     )
     mx = o.agg(F.max("secs").alias("now"))
