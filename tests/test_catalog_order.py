@@ -184,19 +184,21 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_documented_r10_rotation():
-    """VERDICT r9 next-round #1/#2: the round-10 window is the round-9
-    window held STABLE — the 42 round-6 first-timers keep their exact
-    slots, ivfpq_index_exact holds (three greens r07-r09),
-    kmeans_assign_exact holds for its third grade (two greens r08/r09)
-    and pagerank_copresence (one green, r09) for its second — with
-    exactly ONE permitted change: stream_window_counts, whose
-    streaming-replay DuckDB oracle was staged in pytest during round
-    9, is promoted into the graded window (the first driver-graded
-    Structured Streaming query) and takes the slot of bpe_token_stats,
-    a retained query with five green rounds (r05-r09);
-    bpe_token_stats joins the rotated-out tail. This pins the exact
-    graded order for the r10 run."""
+def test_window_is_documented_r11_rotation():
+    """VERDICT r10 next-round #1/#2: the round-11 window is the
+    round-10 window held STABLE — the 42 round-6 first-timers keep
+    their exact slots, ivfpq_index_exact holds (four greens r07-r10),
+    kmeans_assign_exact holds (three greens r08-r10),
+    pagerank_copresence holds (two greens r09/r10) and
+    stream_window_counts (one green, r10) for its second — with
+    exactly ONE permitted change: dash_hours_by_category, the
+    reference's headline QuickSight query whose star-join DuckDB
+    oracle was staged in pytest during rounds 9-10, is promoted into
+    the graded window (the first driver-graded row of the dashboard
+    tier) and takes the slot of variant_topk_props, a retained query
+    with five green rounds (r06-r10); variant_topk_props joins the
+    rotated-out tail. This pins the exact graded order for the r11
+    run."""
     expected = [
         # 1a flagship round-5 tiers
         "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
@@ -224,10 +226,11 @@ def test_window_is_documented_r10_rotation():
         "embedding_ingest",
         # 2 retained (+ the r7 swap-in ivfpq_index_exact, + the r8
         # swap-in kmeans_assign_exact, + the r9 swap-in
-        # pagerank_copresence holding for its second grade, + the one
-        # r10 swap-in stream_window_counts)
+        # pagerank_copresence, + the r10 swap-in stream_window_counts
+        # holding for its second grade, + the one r11 swap-in
+        # dash_hours_by_category)
         "pagerank_copresence", "stream_window_counts",
-        "variant_topk_props",
+        "dash_hours_by_category",
         "stratified_sample", "ivf_knn_exact", "multimodal_decode",
         "ivfpq_index_exact", "kmeans_assign_exact",
     ]
@@ -235,6 +238,7 @@ def test_window_is_documented_r10_rotation():
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
+        "variant_topk_props",
         "bpe_token_stats",
         "winnow_near_dup",
         "trailing_hour_sum",
@@ -254,7 +258,7 @@ def test_window_is_documented_r10_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 46
+    assert len(rotated_out) == 47
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 

@@ -123,6 +123,9 @@ def test_dashboard_plans_broadcast_the_dim(curated_star):
 # registrations until a graded-window slot opens). These tests are the
 # staging evidence: the same differential the driver would run, every
 # session, plus the broadcast plan pin on the real testdata star.
+# Round 11: dash_hours_by_category's oracle moved INTO its
+# registration (the round's single window swap); the differential
+# below keeps running the same SQL via the oracle-or-staged fallback.
 # ---------------------------------------------------------------------------
 
 DASH_QUERIES = (
@@ -144,7 +147,9 @@ def test_dash_query_matches_staged_oracle(spark, duck, name):
 
     sdf = CATALOG[name].fn(spark, SF_SMOKE)
     spark_rows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(DASHBOARD_STAGED_ORACLES[name])
+    res = duck.execute(
+        CATALOG[name].oracle or DASHBOARD_STAGED_ORACLES[name]
+    )
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     assert sorted(c.lower() for c in sdf.columns) == sorted(
