@@ -288,3 +288,72 @@ def test_get_spark_reuse_restores_semantic_confs(spark):
     finally:
         spark.conf.set(tz, before_tz)
         spark.conf.set(nanos, before_nanos)
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (ADVICE r10): orders.o_orderdate has the same re-encoding
+# exposure as events.ts — q_rfm_segments' recency arithmetic branches
+# on the column's actual Spark type, so an instant-typed TIMESTAMP goes
+# through unix_seconds (session-tz-free) instead of a CAST to
+# TIMESTAMP_NTZ that would silently read the session zone.
+# ---------------------------------------------------------------------------
+
+_ORDER_DAYS = [19723, 19724, 19800]  # epoch days; max = "now"
+_ORDER_CUSTS = [1, 1, 2]
+_ORDER_PRICES = [10.0, 20.0, 30.0]
+
+
+def _write_orders(path: str, kind: str) -> str:
+    arrs = {
+        "date": lambda: pa.array(_ORDER_DAYS, pa.date32()),
+        "ntz": lambda: pa.array(
+            [d * 86_400_000_000 for d in _ORDER_DAYS], pa.timestamp("us")
+        ),
+        "instant": lambda: pa.array(
+            [d * 86_400_000_000 for d in _ORDER_DAYS],
+            pa.timestamp("us", tz="UTC"),
+        ),
+        "string": lambda: pa.array(["2024-01-01"] * len(_ORDER_DAYS)),
+    }
+    t = pa.table(
+        {
+            "o_custkey": pa.array(_ORDER_CUSTS, pa.int64()),
+            "o_orderdate": arrs[kind](),
+            "o_totalprice": pa.array(_ORDER_PRICES, pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{path}/orders.parquet")
+    return path
+
+
+@pytest.mark.parametrize("kind", ["date", "ntz", "instant"])
+def test_rfm_recency_identical_across_orderdate_encodings(
+    spark, tmp_path, kind
+):
+    """All three plausible physical encodings of the same order dates
+    must yield the same recency_days — in particular the instant-typed
+    branch must route through unix_seconds, never a session-zone
+    NTZ cast."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
+
+    d = tmp_path / kind
+    d.mkdir()
+    out = CATALOG["rfm_segments"].fn(spark, _write_orders(str(d), kind))
+    got = {
+        r["o_custkey"]: r["recency_days"]
+        for r in out.select("o_custkey", "recency_days").collect()
+    }
+    # now = day 19800; cust 1 last ordered day 19724 (76 days back),
+    # cust 2 on day 19800 itself
+    assert got == {1: 76, 2: 0}
+
+
+def test_rfm_unsupported_orderdate_type_raises(spark, tmp_path):
+    """A re-encoding the branch can't classify must fail one loud read,
+    not silently mis-date every segment."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
+
+    with pytest.raises(TypeError, match="o_orderdate"):
+        CATALOG["rfm_segments"].fn(
+            spark, _write_orders(str(tmp_path), "string")
+        )

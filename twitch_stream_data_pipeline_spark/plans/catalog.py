@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..extensions.dedup_text import (
     MINHASH_PRIME,
@@ -233,10 +234,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``LongType`` — TIMESTAMP(NANOS) surfaced as raw int64 epoch-nanos
       under ``spark.sql.legacy.parquet.nanosAsLong`` (session.py), or a
       plain BIGINT epoch-nanos column.
-    - ``TimestampType`` / ``TimestampNTZType`` — TIMESTAMP(MICROS/
-      MILLIS) columns. ``unix_seconds``/``unix_micros`` reject
-      TIMESTAMP_NTZ, so cast to TIMESTAMP first; the session timezone
-      is pinned UTC (session.py) which makes that cast lossless.
+    - ``TimestampNTZType`` — the driver's no-tz TIMESTAMP(MICROS)
+      layout carries a WALL time; decode with ``timestampdiff`` from
+      the NTZ epoch — pure wall-clock arithmetic with no session
+      timezone anywhere in the expression. Do NOT cast NTZ ->
+      TIMESTAMP first: that cast reads the wall time in the SESSION
+      zone and shifts every grid cell anywhere but UTC (the
+      round-10 Kathmandu config-sweep bug).
+    - ``TimestampType`` — an instant-typed column;
+      ``unix_seconds``/``unix_micros`` read its internal UTC micros
+      directly, already session-timezone-free.
 
     A caller-provided SparkSession built without the ``nanosAsLong``
     conf cannot even *infer* a NANOS schema (``Illegal Parquet type:
@@ -369,8 +376,6 @@ def _decode_event_ts(raw: DataFrame, path: str):
     (see :func:`_events` for why the branch exists). Returns
     ``(decoded_df, ts_type)``; pure column expressions, so it applies
     to a streaming DataFrame unchanged."""
-    from pyspark.sql import types as T
-
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         ev = raw.withColumns(
@@ -5925,16 +5930,33 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DST zone (America/New_York) `now` and `last` can sit on
     # different offsets, shifting floor((now-last)/86400) by a day
     # (round-10 review find; the events decode had the same bug). The
-    # config sweep's tz-dst axis now pins this catalog-wide.
-    o = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.expr(
+    # config sweep's tz-dst axis now pins this catalog-wide. Branch on
+    # the column's actual Spark type the way _decode_event_ts does
+    # (round-10 ADVICE): CAST(x AS TIMESTAMP_NTZ) on an INSTANT-typed
+    # column would itself read the session zone, silently
+    # reintroducing the bug if the driver ever re-encodes orders.
+    raw = _t(spark, sf_dir, "orders")
+    od_type = raw.schema["o_orderdate"].dataType
+    if isinstance(od_type, T.TimestampType):
+        # instant-typed: internal UTC micros, session-tz-free
+        secs = (F.unix_seconds(F.col("o_orderdate"))).alias("secs")
+    elif isinstance(od_type, (T.TimestampNTZType, T.DateType)):
+        # wall time (or a pure calendar DATE — its NTZ cast is
+        # tz-free field arithmetic): NTZ wall-clock diff, no session
+        # conf anywhere in the expression
+        secs = F.expr(
             "timestampdiff(MICROSECOND,"
             " TIMESTAMP_NTZ'1970-01-01 00:00:00',"
             " CAST(o_orderdate AS TIMESTAMP_NTZ)) div 1000000"
-        ).alias("secs"),
-        "o_totalprice",
-    )
+        ).alias("secs")
+    else:
+        raise TypeError(
+            f"orders.o_orderdate has unsupported Spark type "
+            f"{od_type.simpleString()}; expected DATE, TIMESTAMP or "
+            "TIMESTAMP_NTZ — extend the recency branch in "
+            "q_rfm_segments the way _decode_event_ts handles events.ts"
+        )
+    o = raw.select("o_custkey", secs, "o_totalprice")
     mx = o.agg(F.max("secs").alias("now"))
     rfm = (
         o.crossJoin(F.broadcast(mx))
