@@ -430,6 +430,26 @@ def main() -> None:
             }
         )
     )
+    # The driver's BENCH capture keeps only the last ~2000 bytes of
+    # stdout, which truncates the HEAD of the full JSON line above —
+    # so the cross-round comparable (the baseline-15 first-pass total,
+    # the round-1 17.83s methodology) survived only in BENCHNOTES
+    # (VERDICT r10 "what's missing" #3). This trailing compact line is
+    # small enough to always land inside the tail window, making the
+    # driver record self-describing.
+    print(
+        json.dumps(
+            {
+                "baseline15_first_pass": total,
+                "baseline15_steady": round(
+                    sum(steady[n] for n in BASELINE_HEADLINE), 4
+                ),
+                "total_extended": extended_total,
+                "load_gate": load_gate,
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 

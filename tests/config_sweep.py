@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Five axes:
+configurations, then diff the sorted results. Six axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -32,6 +32,12 @@ configurations, then diff the sorted results. Five axes:
     column can sit on different offsets, so same-column epoch
     differences stop cancelling (caught rfm_segments' recency
     arithmetic after Kathmandu passed it).
+
+``tz-dst-half``
+    ``spark.sql.session.timeZone=Australia/Lord_Howe`` — a 30-minute
+    DST shift on a :30 base offset, the only transition class that can
+    alias with the engine's 15-minute grid arithmetic (Kathmandu never
+    transitions; New York transitions by whole hours).
 
 ``tiny-splits``
     ``spark.sql.files.maxPartitionBytes=64K`` — every table scan
@@ -78,6 +84,16 @@ VARIANTS: dict[str, dict[str, str]] = {
     # it (round-10 review find).
     "tz-dst": {
         "spark.sql.session.timeZone": "America/New_York",
+    },
+    # A SUB-HOUR DST shift is yet another class (VERDICT r10 #7):
+    # Lord Howe Island moves by 30 minutes at DST (+10:30 <-> +11:00)
+    # and sits on a :30 base offset — the only transition shape that
+    # can alias with the engine's 15-minute grid arithmetic. Kathmandu
+    # (fixed :45) never transitions and New York transitions by whole
+    # hours, so neither can catch a grid cell that survives whole-hour
+    # shifts but moves under a half-hour one.
+    "tz-dst-half": {
+        "spark.sql.session.timeZone": "Australia/Lord_Howe",
     },
     # Scan-split independence: 64 KB splits turn every single-file
     # local read into the many-partition layout a 1000-executor
