@@ -24,6887 +24,62 @@ Determinism rules that make Spark and DuckDB hash-identical:
   HUGEINT, Spark keeps long).
 - Every tie is broken explicitly (row_number orderings carry a key
   tiebreak).
+
+Round 11 (VERDICT r10 #8): the 7,200-line monolith is split
+mechanically by tier into ``catalog_base`` (registry + shared scan
+helpers + determinism machinery) and seven part modules imported
+below in the original registration order; this module re-exports
+the full public surface, so every existing import path
+(``plans.catalog.CATALOG``, the staged-oracle dicts, the private
+test hooks) keeps working unchanged. ``EXPOSURE_ORDER`` and the
+driver entry points stay here.
 """
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Callable
-from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from ..extensions.dedup_text import (
-    MINHASH_PRIME,
-    exact_dedup_groups,
-    lsh_candidate_pairs,
-    md5_int,
-    minhash_params,
-    minhash_signatures,
-    ngram_jaccard_pairs,
-    simhash64,
-    simhash_near_dup_pairs,
-)
-from ..extensions.multimodal import attach_binary_payload, binary_meta, extract_features
-from ..extensions.similarity import cosine_knn, ivf_knn, lsh_bucketed_knn
-from ..extensions.text_analysis import (
-    LANG_MARKERS,
-    STOPWORDS,
-    language_id,
-    text_fingerprint,
-    text_quality,
-    tfidf_top_terms,
-    token_count,
-)
-from ..operators.dedup import dedup_keep_first
-from ..operators.joins import positional_join
-from ..sources.generators import day_dates_dim, time_of_day_dim
-
-
-@dataclass(frozen=True)
-class Query:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    tags: tuple[str, ...] = ()
-    doc: str = ""
-
-
-CATALOG: dict[str, Query] = {}
-
-
-def _register(name: str, oracle: str | None, tags: tuple[str, ...], doc: str = ""):
-    def deco(fn):
-        CATALOG[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
-
-
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Rebalance a scan for CPU-heavy per-row operators — but ONLY when
-    the scan is narrower than the cluster.
-
-    The testdata ships one parquet file per table, and a single parquet
-    row group cannot be split — so a plain scan is one task no matter
-    how many cores exist; hash-repartitioning lets shingling/hashing
-    use every core and evens out document-length skew. At 100 TB the
-    scan already arrives in thousands of splits and an unconditional
-    repartition would be a full shuffle of the corpus for nothing —
-    hence the partition-count gate (planning-time metadata, no job)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism, key)
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents table, spread across cores when the scan is narrow."""
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
-
-
-_EMB_CONTRACT_OK: set[str] = set()
-
-
-def _check_embedding_dim_contract(path: str, emb: DataFrame) -> None:
-    """Bounded probe (min/max of size(embedding) over the first 1024
-    rows, memoized per path) that the corpus is fixed-dimension.
-
-    The whole similarity tier — quantized dot/norm expressions, Arrow
-    matrix batches, PQ codes, covariance partials — assumes one
-    dimension per corpus; a ragged row otherwise surfaces as an opaque
-    numpy 'inhomogeneous shape' error deep inside a worker (or worse,
-    a silently wrong padded product). The events table's epoch probe
-    is the same move for the same reason: validate the physical
-    contract ONCE per path, loudly, at the reader everyone shares.
-    A probe that proves nothing (empty table) is not memoized. Cost at
-    100 TB: one task reading one row group, once per process. Per-row
-    defects beyond the first 1024 rows are the boundary gate's job
-    (``embedding_dim_check``), not the hot reader's."""
-    if path in _EMB_CONTRACT_OK:
-        return
-    row = (
-        emb.select(F.size("embedding").alias("d"))
-        .limit(1024)
-        .agg(
-            F.min("d").alias("lo"),
-            F.max("d").alias("hi"),
-            F.sum(F.col("d").isNull().cast("int")).alias("n_null"),
-        )
-        .first()
-    )
-    lo = row["lo"] if row else None
-    hi = row["hi"] if row else None
-    n_null = (row["n_null"] or 0) if row else 0
-    if n_null:
-        # size(NULL) is NULL, which min/max skip — an explicit count,
-        # or a corpus of ONLY null vectors would pass the range check
-        # and still crash the Arrow batches (review r9)
-        raise ValueError(
-            f"embedding dimension contract violated for {path}: "
-            f"{n_null} NULL embedding row(s) in the probe sample; the "
-            "similarity tier requires non-null fixed-dimension vectors. "
-            "Run the embedding_dim_check boundary gate to locate them "
-            "(NULL rows report dim -1)."
-        )
-    if lo is None or hi is None:
-        return  # nothing provable (empty table) — re-probe next read
-    if lo != hi:
-        raise ValueError(
-            f"embedding dimension contract violated for {path}: "
-            f"size(embedding) ranges [{lo}, {hi}] in the probe sample; "
-            "the similarity tier requires one fixed dimension per "
-            "corpus. Run the embedding_dim_check boundary gate to "
-            "locate the offending rows, and filter or re-embed them "
-            "before indexing."
-        )
-    _EMB_CONTRACT_OK.add(path)
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings table, spread across cores when the scan is narrow."""
-    path = f"{sf_dir}/embeddings.parquet"
-    emb = spark.read.parquet(path)
-    _check_embedding_dim_contract(path, emb)
-    return _spread(emb, "vec_id")
-
-
-# Plausible-epoch bounds for the events data contract: decoded
-# ``secs`` must land in [2000-01-01, 2100-01-01). Anything outside
-# means the decode branch below mis-guessed the physical encoding
-# (e.g. a future re-encoding to millis-as-int64), and silently-wrong
-# grid cells / windows / session gaps would follow — so fail loudly
-# at read time instead.
-_EPOCH_LO = 946_684_800
-_EPOCH_HI = 4_102_444_800
-_EVENTS_CONTRACT_OK: set[str] = set()
-
-
-def _check_events_epoch_contract(path: str, ev: DataFrame, ts_type) -> None:
-    """Bounded probe (min/max over the first 1024 rows, memoized per
-    path) that the decoded epoch seconds are plausible. min AND max
-    must both be in-range, so a *partially* re-encoded or mixed file
-    fails even when its first row happens to decode plausibly; a probe
-    that proves nothing (empty table, all-NULL sample) is NOT memoized,
-    so the next read re-probes instead of trusting a vacuous pass.
-    Cost at 100 TB: one task reading one row group of one file, once
-    per process."""
-    if path in _EVENTS_CONTRACT_OK:
-        return
-    row = (
-        ev.select("secs")
-        .limit(1024)
-        .agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
-        .first()
-    )
-    lo = row["lo"] if row else None
-    hi = row["hi"] if row else None
-    if lo is None or hi is None:
-        return  # nothing provable — skip memoization, re-probe next read
-    for secs in (lo, hi):
-        if not (_EPOCH_LO <= secs <= _EPOCH_HI):
-            raise ValueError(
-                f"events timestamp contract violated for {path}: ts has "
-                f"Spark type {ts_type.simpleString()} and the decode branch "
-                f"produced epoch secs={secs} "
-                f"({'1970-era' if secs < _EPOCH_LO else 'far-future'}), "
-                "outside [2000-01-01, 2100-01-01). The parquet physical "
-                "encoding of ts does not match what the type-branch in "
-                "_events assumed — inspect the file footer (pyarrow "
-                "ParquetFile(...).schema) and extend the branch."
-            )
-    _EVENTS_CONTRACT_OK.add(path)
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with timestamp normalized to integer columns.
-
-    The physical encoding of ``ts`` is the *driver's* choice, not ours,
-    and it has changed between testdata generations (TIMESTAMP(NANOS)
-    in rounds 1-2, TIMESTAMP(MICROS) since round 3) — so never guess
-    the unit: branch on the type Spark infers from the parquet footer
-    (metadata-only, no data scan):
-
-    - ``LongType`` — TIMESTAMP(NANOS) surfaced as raw int64 epoch-nanos
-      under ``spark.sql.legacy.parquet.nanosAsLong`` (session.py), or a
-      plain BIGINT epoch-nanos column.
-    - ``TimestampNTZType`` — the driver's no-tz TIMESTAMP(MICROS)
-      layout carries a WALL time; decode with ``timestampdiff`` from
-      the NTZ epoch — pure wall-clock arithmetic with no session
-      timezone anywhere in the expression. Do NOT cast NTZ ->
-      TIMESTAMP first: that cast reads the wall time in the SESSION
-      zone and shifts every grid cell anywhere but UTC (the
-      round-10 Kathmandu config-sweep bug).
-    - ``TimestampType`` — an instant-typed column;
-      ``unix_seconds``/``unix_micros`` read its internal UTC micros
-      directly, already session-timezone-free.
-
-    A caller-provided SparkSession built without the ``nanosAsLong``
-    conf cannot even *infer* a NANOS schema (``Illegal Parquet type:
-    INT64 (TIMESTAMP(NANOS,...))`` at read) — that case falls back to
-    requesting ``ts`` as ``bigint`` via an explicit read schema, which
-    reads the raw INT64 epoch-nanos with no session conf at all, so
-    every catalog query works on any session regardless of encoding.
-
-    Either way we derive ``secs`` (epoch seconds) and ``ts_us`` (epoch
-    microseconds — DuckDB's native timestamp precision, used for order
-    parity), keep everything timezone-free, and assert the decoded
-    epoch range is plausible (:func:`_check_events_epoch_contract`) so
-    a future re-encoding fails one loud read instead of corrupting
-    every downstream grid cell. The DuckDB oracle side needs no
-    branching: it reads the logical type natively via ``epoch(ts)``.
-    """
-    path = f"{sf_dir}/events.parquet"
-    raw = _read_events_raw(spark, path)
-    ev, ts_type = _decode_event_ts(raw, path)
-    _check_events_epoch_contract(path, ev, ts_type)
-    return ev
-
-
-_EVENTS_FALLBACK_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
-
-def _read_events_raw(
-    spark: SparkSession,
-    path: str,
-    streaming: bool = False,
-    max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """Raw events scan, batch or streaming, with the NANOS fallback.
-
-    The streaming file source requires an explicit schema; it comes
-    from a metadata-only batch read of the same footer, so both paths
-    see the identical raw types and the :func:`_decode_event_ts`
-    branching below applies unchanged.
-    """
-    try:
-        batch = spark.read.parquet(path)
-        schema = batch.schema
-    except Exception as e:  # AnalysisException on NANOS without the conf
-        if "NANOS" not in str(e):
-            raise
-        if not streaming:
-            return spark.read.schema(_EVENTS_FALLBACK_DDL).parquet(path)
-        batch, schema = None, _EVENTS_FALLBACK_DDL
-    if not streaming:
-        return batch  # one footer resolution, reused (review r9 finding)
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(_as_stream_dir(path))
-
-
-def _as_stream_dir(path: str) -> str:
-    """A directory Spark's file stream source can own for ``path``.
-
-    ``FileStreamSource.getBatch`` passes the source path as
-    ``basePath``, which must be a DIRECTORY — a real deployment streams
-    a lake directory, but the driver testdata ships each table as ONE
-    parquet file. For that layout, build (once per target, memoized by
-    content-path) a temp directory holding a symlink to the file and
-    stream from it; directories pass through untouched. The symlink is
-    re-pointed if a previous run left it aimed elsewhere (temp dirs can
-    collide across runs on path-hash)."""
-    import hashlib
-    import os
-    import tempfile
-    from pathlib import Path
-
-    p = Path(path)
-    if p.is_dir():
-        return str(p)
-    target = p.resolve()
-    # per-euid hash + mode-0700 dir: the path is otherwise predictable
-    # in a world-writable /tmp, and concurrent sessions (bench + tests
-    # on one host) legitimately share it (review r9 findings)
-    key = hashlib.md5(f"{os.geteuid()}:{target}".encode()).hexdigest()[:16]
-    d = Path(tempfile.gettempdir()) / f"spark_stream_src_{key}"
-    d.mkdir(exist_ok=True, mode=0o700)
-    # exist_ok=True accepts a PRE-EXISTING directory of any owner/mode
-    # at this predictable world-writable-/tmp path — an attacker-owned
-    # holder would let the symlink below be swapped to stream arbitrary
-    # files. Verify what mkdir handed back gives the tempfile.mkdtemp
-    # guarantee: ours, and no group/other access (ADVICE r9).
-    st = os.stat(d, follow_symlinks=False)
-    import stat as _stat
-
-    if not _stat.S_ISDIR(st.st_mode):
-        raise RuntimeError(
-            f"stream source holder {d} is not a directory; refusing to "
-            "stream through it"
-        )
-    if st.st_uid != os.geteuid() or (st.st_mode & 0o077):
-        raise RuntimeError(
-            f"stream source holder {d} is owned by uid {st.st_uid} with "
-            f"mode {_stat.S_IMODE(st.st_mode):#o}; expected own uid "
-            f"{os.geteuid()} and no group/other bits — a pre-created "
-            "directory at this predictable /tmp path cannot be trusted. "
-            "Remove it (or fix owner/mode) and retry."
-        )
-    link = d / p.name
-    if link.is_symlink() and link.resolve() == target:
-        return str(d)
-    # anything else in the slot — a stale symlink, a regular file, a
-    # directory — must not be silently streamed; replace it atomically
-    # (symlink to a unique temp name, then rename over) so two racing
-    # sessions both end with a correct link and neither crashes
-    tmp_name = d / f".{p.name}.{os.getpid()}.tmp"
-    try:
-        tmp_name.unlink()
-    except FileNotFoundError:
-        pass
-    if link.is_dir() and not link.is_symlink():
-        import shutil
-
-        shutil.rmtree(link)
-    os.symlink(target, tmp_name)
-    os.replace(tmp_name, link)
-    return str(d)
-
-
-def _decode_event_ts(raw: DataFrame, path: str):
-    """The ts-decode branch shared by batch and streaming event scans
-    (see :func:`_events` for why the branch exists). Returns
-    ``(decoded_df, ts_type)``; pure column expressions, so it applies
-    to a streaming DataFrame unchanged."""
-    ts_type = raw.schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        ev = raw.withColumns(
-            {
-                "secs": F.expr("ts div 1000000000"),
-                "ts_us": F.expr("ts div 1000"),
-            }
-        )
-    elif isinstance(ts_type, T.TimestampNTZType):
-        # TIMESTAMP_NTZ (the driver's pyarrow `timestamp[us]`-no-tz
-        # layout since round 3) carries a WALL time; the oracle's
-        # `epoch(ts)` reads that wall time as UTC. Casting NTZ ->
-        # TIMESTAMP would interpret the wall time in the SESSION zone
-        # instead — correct only while the session runs UTC, and a
-        # silent +offset shift of every grid cell anywhere else (the
-        # round-10 config sweep caught 13 queries moving under
-        # Asia/Kathmandu). timestampdiff between NTZ values is pure
-        # wall-clock arithmetic — no session conf anywhere in the
-        # expression, same JVM codegen path.
-        us = (
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
-            " ts)"
-        )
-        ev = raw.withColumns(
-            {
-                # integral `div`, like the epoch-nanos branch; the
-                # epoch plausibility contract below guarantees the
-                # positive range where div == floor
-                "secs": F.expr(f"({us}) div 1000000"),
-                "ts_us": F.expr(us),
-            }
-        )
-    elif isinstance(ts_type, T.TimestampType):
-        # An instant-typed column (isAdjustedToUTC parquet metadata):
-        # unix_* read the internal UTC micros directly — already
-        # session-timezone-free, no cast needed.
-        ev = raw.withColumns(
-            {
-                "secs": F.unix_seconds(F.col("ts")),
-                "ts_us": F.unix_micros(F.col("ts")),
-            }
-        )
-    else:
-        raise TypeError(
-            f"events.ts has unsupported Spark type {ts_type.simpleString()} "
-            f"in {path}; expected int64 epoch-nanos or a parquet TIMESTAMP "
-            "logical type"
-        )
-    return ev, ts_type
-
-
-def _events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
-) -> DataFrame:
-    """STREAMING scan of the driver events table — the same decoded
-    relation as :func:`_events`, as an unbounded source.
-
-    The epoch contract is enforced by running the batch probe first
-    (memoized per path; a streaming plan cannot ``.first()``), so a
-    mis-encoded file fails loudly here exactly as it does in batch.
-    ``max_files_per_trigger`` bounds each micro-batch for backfills —
-    at 100 TB an availableNow replay over a month of files must arrive
-    as many bounded batches, not one.
-    """
-    path = f"{sf_dir}/events.parquet"
-    _events(spark, sf_dir)  # schema probe + epoch contract, memoized
-    raw = _read_events_raw(
-        spark, path, streaming=True, max_files_per_trigger=max_files_per_trigger
-    )
-    ev, _ = _decode_event_ts(raw, path)
-    return ev
-
-
-def dsum(c: Column | str) -> Column:
-    """Exact, order-independent sum of a double column (see module doc).
-
-    FINITENESS CONTRACT (round 10): the decimal route assumes FINITE
-    inputs. Spark's double->decimal cast turns NaN/±Inf into NULL even
-    under ANSI (probed on 4.1.2), so a non-finite value would be
-    SILENTLY SKIPPED by this sum — masking upstream corruption — while
-    DuckDB's identical cast RAISES, so the oracles cannot even state
-    that skip without guarding every sum. Instead of enshrining the
-    masking, non-finite doubles are declared OUT OF CONTRACT for fact
-    columns (like the events epoch contract and the embedding dim
-    contract): ``value_finite_check`` is the full-scan locator a lake
-    runs at the promote boundary, and
-    ``tests/test_boundary_probes.py`` pins both the locator and the
-    masking behavior this docstring documents.
-    """
-    c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast("decimal(25,6)")).cast("double")
-
-
-def _osum(expr: str) -> str:
-    """DuckDB twin of :func:`dsum` (same finiteness contract)."""
-    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
-
-
-# epoch arithmetic helpers (timezone-free on both engines)
-
-
-_OSECS = "CAST(floor(epoch({ts})) AS BIGINT)"
-
-
-def _hhmm(slot_secs: Column) -> Column:
-    day_secs = slot_secs % 86400
-    hh = F.floor(day_secs / 3600).cast("int")
-    mm = F.floor((day_secs % 3600) / 60).cast("int")
-    return F.concat(
-        F.lpad(hh.cast("string"), 2, "0"), F.lpad(mm.cast("string"), 2, "0")
-    )
-
-
-def _ohhmm(slot: str) -> str:
-    return (
-        f"lpad(CAST(({slot} % 86400) // 3600 AS VARCHAR), 2, '0') || "
-        f"lpad(CAST((({slot} % 86400) % 3600) // 60 AS VARCHAR), 2, '0')"
-    )
-
-
-# ===========================================================================
-# Core relational operators (SURVEY.md §2.3-2.6) over the star schema
-# ===========================================================================
-
-
-@_register(
-    "pricing_summary",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           {_osum('l_quantity')} AS sum_qty,
-           {_osum('l_extendedprice')} AS sum_base_price,
-           {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {_osum('l_quantity')} / COUNT(*) AS avg_qty,
-           {_osum('l_extendedprice')} / COUNT(*) AS avg_price,
-           {_osum('l_discount')} / COUNT(*) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    ("aggregate", "A1", "flagship"),
-    "TPC-H Q1 pricing summary — the flagship scan+agg (SURVEY.md §7 step 1).",
-)
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
-            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@_register(
-    "popularity_by_type",
-    """
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY event_type
-    """,
-    ("aggregate", "A1", "O1"),
-    "Category-popularity analog (scripts/other/get_category_popularity.py:23-26): "
-    "group-by count over the event stream.",
-)
-def q_popularity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-@_register(
-    "curate_events",
-    f"""
-    WITH base AS (
-      SELECT event_id, user_id, event_type, value,
-             {_OSECS.format(ts='ts')} AS secs
-      FROM events
-    )
-    SELECT event_id AS stream_id,
-           strftime(DATE '1970-01-01' + CAST(secs // 86400 AS INT), '%Y%m%d') AS day_date_id,
-           {_ohhmm('(secs // 900) * 900')} AS time_of_day_id,
-           user_id,
-           event_type AS category_id,
-           value AS viewer_count,
-           value * 0.25 AS hours_watched
-    FROM base
-    """,
-    ("projection", "P1", "P2", "P4", "P5"),
-    "The curate-streams transform (scripts/curate_data/curate_streams_data.py:29-48): "
-    "project, rename, inject batch grid-cell ids, derive hours_watched.",
-)
-def q_curate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    secs = F.col("secs")
-    day = F.date_add(
-        F.lit("1970-01-01").cast("date"), F.floor(secs / 86400).cast("int")
-    )
-    return ev.select(
-        F.col("event_id").alias("stream_id"),
-        F.date_format(day, "yyyyMMdd").alias("day_date_id"),
-        _hhmm(F.floor(secs / 900).cast("long") * 900).alias("time_of_day_id"),
-        "user_id",
-        F.col("event_type").alias("category_id"),
-        F.col("value").alias("viewer_count"),
-        (F.col("value") * 0.25).alias("hours_watched"),
-    )
-
-
-@_register(
-    "validity_filter",
-    r"""
-    WITH x AS (
-      SELECT event_id, user_id,
-             CASE WHEN json_valid(props) AND regexp_matches(
-                    COALESCE(json_extract_string(props, '$.k'), ''),
-                    '^[\x00-\x20]*[-+]?[0-9]+[\x00-\x20]*$')
-                  THEN TRY_CAST(regexp_extract(
-                         json_extract_string(props, '$.k'),
-                         '[-+]?[0-9]+', 0) AS BIGINT)
-             END AS k
-      FROM events
-    )
-    SELECT event_id, user_id, k
-    FROM x WHERE k IS NOT NULL AND k % 2 = 0
-    """,
-    ("filter", "P6", "S7"),
-    "Validity filter (process_raw_streams_data.py:48-53): cast-null-"
-    "check on a JSON-extracted field instead of per-row try/except. "
-    "get_json_object + try_cast is NULL-tolerant on malformed JSON and "
-    "non-integer k; the oracle states the same totality (json_valid + "
-    "integer-regex gate — DuckDB's json_extract_string RAISES on "
-    "malformed input and bare TRY_CAST rounds '7.9' to the even 8, "
-    "both pinned by the round-9 poison matrix). ADVICE r9: the gate is "
-    "exactly Spark's string-to-long cast — Spark trims every char "
-    "<= 0x20 (not just \\s) and accepts a leading +, so the regex "
-    "admits [\\x00-\\x20]-padded signed integers, and the cast is "
-    "TRY_CAST of the extracted digits so a uint64-range literal "
-    "(regex-clean, int64-overflowing) NULLs like Spark's try_cast "
-    "instead of raising — all pinned by the round-10 poison payloads.",
-)
-def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    # try_cast: filter-not-fail semantics under ANSI mode (a malformed
-    # props.k must drop the row, exactly like the oracle's TRY_CAST).
-    k = F.get_json_object("props", "$.k").try_cast("long")
-    return ev.select("event_id", "user_id", k.alias("k")).filter(
-        F.col("k").isNotNull() & (F.col("k") % 2 == 0)
-    )
-
-
-@_register(
-    "sentinel_defaults",
-    """
-    SELECT doc_id,
-           CASE WHEN lang IS NULL OR lang = '' THEN 'notavailable' ELSE lang END AS language_id,
-           CASE WHEN source IS NULL OR source = '' THEN 'NA' ELSE source END AS source_id
-    FROM documents
-    """,
-    ("projection", "P8"),
-    "Sentinel defaulting (process_raw_streams_data.py:57-61): empty string -> "
-    "per-column sentinel.",
-)
-def q_sentinel_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    def dflt(c, s):
-        return F.when(F.col(c).isNull() | (F.col(c) == ""), F.lit(s)).otherwise(F.col(c))
-    return docs.select(
-        "doc_id",
-        dflt("lang", "notavailable").alias("language_id"),
-        dflt("source", "NA").alias("source_id"),
-    )
-
-
-@_register(
-    "language_dim_sentinel",
-    """
-    SELECT DISTINCT lang AS language_id FROM documents
-    UNION ALL SELECT 'NA' AS language_id
-    """,
-    ("union", "P10", "A3", "U1"),
-    "Sentinel dimension member (curate_genres_data.py:21): distinct dim values "
-    "plus the 'NA' member.",
-)
-def q_language_dim_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    sentinel = spark.createDataFrame([("NA",)], "language_id string")
-    return docs.select(F.col("lang").alias("language_id")).distinct().unionByName(
-        sentinel
-    )
-
-
-@_register(
-    "dedup_keep_first",
-    """
-    SELECT user_id, event_type, event_id AS first_event_id, value
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts NULLS LAST, event_id) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-    ("dedup", "A2", "W1"),
-    "Deterministic keep-first dedup (drop_duplicates keep='first', "
-    "process_raw_streams_data.py:120) with explicit (ts, event_id) "
-    "tiebreak. NULLS LAST explicitly on BOTH sides (round-10 NULL "
-    "poison sweep): an undated event must never beat a dated one as "
-    "'first' — and the engines' ascending defaults disagree (Spark "
-    "NULLS FIRST, DuckDB NULLS LAST), so without the qualifier the "
-    "survivor of any key whose group contains a null ts differs per "
-    "engine. A group of ONLY undated events still keeps its lowest "
-    "event_id.",
-)
-def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return dedup_keep_first(
-        ev,
-        ["user_id", "event_type"],
-        [F.col("ts_us").asc_nulls_last(), F.col("event_id")],
-    ).select(
-        "user_id", "event_type", F.col("event_id").alias("first_event_id"), "value"
-    )
-
-
-@_register(
-    "distinct_pairs",
-    "SELECT DISTINCT user_id, event_type FROM events",
-    ("dedup", "A3"),
-    "Full-row dedup (drop_duplicates(), process_raw_categories_data.py:61).",
-)
-def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _events(spark, sf_dir).select("user_id", "event_type").distinct()
-
-
-@_register(
-    "anti_join_customers",
-    """
-    SELECT c.c_custkey, c.c_name
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    ("join", "J3"),
-    "Left anti join (set difference on keys, get_raw_users_data.py:126-134): "
-    "customers with no orders. The driver's generator gives (almost) "
-    "every customer an order, so on the stock testdata this compare "
-    "is near-empty (0/0/1 rows at sf0.001/0.01/0.1) — the NON-vacuous "
-    "differential evidence comes from the fuzz sweep, whose random "
-    "orders subsets orphan 10-40% of customers every seed.",
-)
-def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-@_register(
-    "delta_except_all",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
-    EXCEPT ALL
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
-    WHERE o_orderstatus = 'F'
-    """,
-    ("join", "J4", "U2"),
-    "Full-row delta via exceptAll (curate_categories_data.py:70-77 symmetric "
-    "difference restated).",
-)
-def q_delta_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    return orders.exceptAll(orders.filter(F.col("o_orderstatus") == "F"))
-
-
-@_register(
-    "upsert_delta",
-    """
-    SELECT c_custkey, c_name, c_nationkey
-    FROM customer c
-    WHERE NOT EXISTS (
-      SELECT 1 FROM customer old
-      WHERE old.c_custkey % 3 = 0 AND old.c_custkey = c.c_custkey)
-    """,
-    ("upsert", "J4", "K5"),
-    "Keyed upsert delta (curate_users_data.py:79-86): batch rows whose key is "
-    "absent from the state (state = every third customer here).",
-)
-def q_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.upsert import upsert_state
-
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    state = cust.filter(F.col("c_custkey") % 3 == 0)
-    return upsert_state(cust, state, ["c_custkey"]).delta
-
-
-@_register(
-    "star_revenue_by_region",
-    f"""
-    SELECT r.r_name,
-           COUNT(DISTINCT c.c_custkey) AS n_customers,
-           {_osum('o.o_totalprice')} AS total_revenue
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-    ("join", "J1", "aggregate", "star"),
-    "Star join with broadcast dims (J1; the QuickSight dashboard query shape, "
-    "SURVEY.md §2.5): revenue by region.",
-)
-def q_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
-        )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
-            dsum("o_totalprice").alias("total_revenue"),
-        )
-    )
-
-
-@_register(
-    "left_join_defaults",
-    f"""
-    SELECT c.c_custkey,
-           COALESCE(o.n_orders, 0) AS n_orders,
-           COALESCE(o.total_spent, 0.0) AS total_spent
-    FROM customer c
-    LEFT JOIN (
-      SELECT o_custkey, COUNT(*) AS n_orders, {_osum('o_totalprice')} AS total_spent
-      FROM orders GROUP BY o_custkey
-    ) o ON c.c_custkey = o.o_custkey
-    """,
-    ("join", "J2", "P9"),
-    "Left outer join + default fill (create_category_group_messages.py:107-108): "
-    "customers with no orders get 0.",
-)
-def q_left_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spent")
-    )
-    return (
-        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
-        .select("c_custkey", "n_orders", "total_spent")
-        .fillna({"n_orders": 0, "total_spent": 0.0})
-    )
-
-
-@_register(
-    "nearest_slot",
-    f"""
-    WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs FROM events),
-    slotted AS (
-      SELECT CASE WHEN secs % 86400 >= 85980 THEN '0000'
-                  ELSE {_ohhmm('(least((secs % 86400 + 449) // 900, 95) * 900)')}
-             END AS time_of_day_id
-      FROM base
-    )
-    SELECT time_of_day_id, COUNT(*) AS n_events
-    FROM slotted GROUP BY 1
-    """,
-    ("join", "J5", "A5"),
-    "As-of/nearest join against the 96-slot grid, bit-exact to the "
-    "reference scan (get_raw_categories_data.py:52-71): half-slot ties "
-    "go to the EARLIER slot (the scan's strict < keeps the first "
-    "minimum), 23:52:31-23:52:59 clamp to same-day 2345 (the scan "
-    "never sees next-day 0000), and only minute>52 — 23:53:00 on — "
-    "rolls to 0000. Pure integer arithmetic, no 96-row join.",
-)
-def q_nearest_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.joins import nearest_slot_id
-
-    ev = _events(spark, sf_dir)
-    ts = F.timestamp_seconds(F.col("secs"))
-    return (
-        ev.select(nearest_slot_id(ts).alias("time_of_day_id"))
-        .groupBy("time_of_day_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-
-
-@_register(
-    "day_dates_dim",
-    """
-    SELECT strftime(d, '%Y%m%d') AS day_date_id,
-           CAST(d AS DATE) AS the_date,
-           strftime(d, '%m/%d/%Y') AS date_MMDDYYYY,
-           dayname(d) AS day_of_week,
-           strftime(d, '%m') AS month,
-           strftime(d, '%d') AS day,
-           strftime(d, '%Y') AS year,
-           monthname(d) AS month_name,
-           upper(strftime(d, '%b')) AS month_abbrev,
-           strftime(d, '%y') AS year_YY
-    FROM generate_series(DATE '2025-01-01', DATE '2027-12-31', INTERVAL 1 DAY) t(d)
-    """,
-    ("source", "S8"),
-    "Generated calendar dimension (get_raw_day_dates_data.py:13-50), declarative.",
-)
-def q_day_dates_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return day_dates_dim(spark)
-
-
-@_register(
-    "time_of_day_dim",
-    """
-    SELECT lpad(CAST(i // 4 AS VARCHAR), 2, '0') || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0') AS time_of_day_id,
-           lpad(CAST(i // 4 AS VARCHAR), 2, '0') || ':' || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0') AS time_24h,
-           lpad(CAST(CASE WHEN (i // 4) % 12 = 0 THEN 12 ELSE (i // 4) % 12 END AS VARCHAR), 2, '0')
-             || ':' || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0')
-             || CASE WHEN i // 4 < 12 THEN ' AM' ELSE ' PM' END AS time_12h,
-           CAST(i // 4 AS INT) AS hour,
-           CAST((i % 4) * 15 AS INT) AS minute,
-           CASE WHEN i // 4 < 12 THEN 'AM' ELSE 'PM' END AS AM_PM,
-           CASE WHEN i < 20 THEN 'night' WHEN i < 48 THEN 'morning'
-                WHEN i < 68 THEN 'afternoon' WHEN i < 84 THEN 'evening'
-                ELSE 'night' END AS part_of_day
-    FROM range(96) t(i)
-    """,
-    ("source", "S9"),
-    "Generated 96-slot time-of-day dimension (get_raw_time_of_day_data.py:16-94).",
-)
-def q_time_of_day_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return time_of_day_dim(spark)
-
-
-@_register(
-    "explode_words",
-    """
-    SELECT w AS word, COUNT(*) AS n
-    FROM part, unnest(string_split(p_type, ' ')) t(w)
-    GROUP BY w
-    """,
-    ("explode", "E1"),
-    "Explode/UNNEST (process_raw_genre_bridge_data.py:85-92): array -> rows.",
-)
-def q_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return (
-        part.select(F.explode(F.split("p_type", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@_register(
-    "argmin_per_type",
-    """
-    SELECT event_type, event_id AS argmin_event, value AS min_value
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY event_type
-                                   ORDER BY value NULLS LAST, event_id) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-    ("aggregate", "A5"),
-    "Argmin scalar aggregate (get_raw_categories_data.py:61-69) with "
-    "deterministic (value, event_id) tiebreak. NULLS LAST explicitly on "
-    "BOTH sides (round-10 NULL poison sweep): the engines' ascending "
-    "defaults DISAGREE — Spark sorts NULLS FIRST, DuckDB NULLS LAST — "
-    "so an unqualified ORDER BY value makes the argmin of any group "
-    "containing a NULL value pick different rows per engine; NULLS "
-    "LAST is also the argmin a user means (a missing measurement never "
-    "beats a real one; an all-NULL group still emits its lowest-id row).",
-)
-def q_argmin_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), F.col("event_id")
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("event_id").alias("argmin_event"),
-            F.col("value").alias("min_value"),
-        )
-    )
-
-
-@_register(
-    "topk_customers",
-    f"""
-    SELECT c_custkey, total_spent FROM (
-      SELECT o_custkey AS c_custkey, {_osum('o_totalprice')} AS total_spent
-      FROM orders GROUP BY o_custkey
-    ) ORDER BY total_spent DESC, c_custkey LIMIT 10
-    """,
-    ("sort", "O1", "O2"),
-    "Sort + limit (get_category_popularity.py:26, API page caps): top-10 "
-    "customers by spend with key tiebreak.",
-)
-def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(dsum("o_totalprice").alias("total_spent"))
-        .orderBy(F.desc("total_spent"), "c_custkey")
-        .limit(10)
-    )
-
-
-@_register(
-    "rollup_lineitem",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, {_osum('l_quantity')} AS sum_qty
-    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    HAVING COUNT(*) > 0
-    """,
-    ("aggregate", "rollup"),
-    "Hierarchical rollup — the dashboard drill-up shape implied by the star "
-    "schema (SURVEY.md §2.5 note). On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
-)
-def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
-    )
-
-
-@_register(
-    "window_15min",
-    f"""
-    WITH base AS (SELECT {_OSECS.format(ts='ts')} AS secs, event_type, value
-                  FROM events WHERE ts IS NOT NULL)
-    SELECT (secs // 900) * 900 AS window_start_unix,
-           event_type,
-           COUNT(*) AS n_events,
-           {_osum('value')} AS sum_value
-    FROM base GROUP BY 1, 2
-    """,
-    ("streaming", "window", "A1"),
-    "15-minute tumbling window aggregate — the batch statement of the "
-    "reference's micro-batch cadence (SURVEY.md §2.7). The oracle "
-    "excludes null-ts rows because the ENGINE does: Spark's native "
-    "window() drops rows whose event time is NULL (an event without "
-    "event time belongs to no window — the round-10 temporal-null "
-    "family rule), where the oracle's integer grid would otherwise "
-    "keep a NULL window group.",
-)
-def q_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(F.window(F.timestamp_seconds("secs"), "15 minutes"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
-        .select(
-            F.unix_timestamp(F.col("window.start")).alias("window_start_unix"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-@_register(
-    "positional_join",
-    """
-    WITH lhs AS (
-      SELECT event_type, n,
-             row_number() OVER (ORDER BY n DESC, event_type NULLS LAST)
-               AS pos
-      FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
-    ),
-    rhs AS (SELECT CAST(i + 1 AS BIGINT) AS pos, CAST(100 - 10 * i AS BIGINT) AS weight
-            FROM range(5) t(i))
-    SELECT lhs.event_type, lhs.n, rhs.weight
-    FROM lhs FULL OUTER JOIN rhs USING (pos)
-    """,
-    ("join", "J6"),
-    "Positional (index-aligned) join (create_category_group_messages.py:111-114) "
-    "re-expressed with explicit row_number ordering. The event_type "
-    "tiebreak carries NULLS LAST explicitly on BOTH sides (round-10 "
-    "NULL poison sweep): positional alignment is defined BY the order, "
-    "and the engines' ascending defaults disagree (Spark NULLS FIRST, "
-    "DuckDB NULLS LAST) — a NULL-typed group tying a named one on n "
-    "would land at a different position, silently receiving a "
-    "different weight.",
-)
-def q_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    weights = spark.range(5).select(
-        (F.col("id") + 1).alias("rpos"), (100 - 10 * F.col("id")).alias("weight")
-    )
-    joined = positional_join(
-        counts,
-        weights.orderBy("rpos"),
-        [F.desc("n"), F.col("event_type").asc_nulls_last()],
-        [F.col("rpos")],
-    )
-    return joined.select("event_type", "n", "weight")
-
-
-# ===========================================================================
-# Extension operators (SURVEY.md §2.9): text analysis
-# ===========================================================================
-
-
-@_register(
-    "token_stats",
-    r"""
-    SELECT doc_id,
-           length(text) AS n_chars_measured,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-    FROM documents
-    """,
-    ("text", "ext"),
-    "Token counting (whitespace tokenizer) + char length per document.",
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_measured"),
-        token_count(F.col("text")).alias("n_tokens"),
-    )
-
-
-@_register(
-    "bpe_token_stats",
-    r"""
-    WITH t AS (
-      SELECT doc_id, text,
-             len(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'
-             )) AS bpe_tokens
-      FROM documents
-    )
-    SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
-           bpe_tokens,
-           length(text) AS n_chars,
-           CASE WHEN bpe_tokens > 0
-                THEN CAST(length(text) AS DOUBLE) / bpe_tokens END
-             AS chars_per_bpe_token
-    FROM t
-    """,
-    ("text", "ext", "llm"),
-    "BPE-ish token counting: GPT-2-style pre-tokenizer regex (portable "
-    "Java-regex/RE2 subset, no lookahead) next to the whitespace count — "
-    "the dependency-free LLM token-budget proxy, one vectorized "
-    "regexp_extract_all per document, no UDF.",
-)
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import bpe_token_count
-
-    docs = _docs(spark, sf_dir)
-    bpe = bpe_token_count(F.col("text"))
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
-        F.length("text").alias("n_chars"),
-        F.when(bpe > 0, F.length("text").cast("double") / bpe).alias(
-            "chars_per_bpe_token"
-        ),
-    )
-
-
-_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-
-
-@_register(
-    "text_quality",
-    rf"""
-    WITH t AS (
-      SELECT doc_id, text,
-             length(text) AS n_chars,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
-      FROM documents
-    )
-    SELECT doc_id,
-           n_chars AS n_chars_measured,
-           len(toks) AS n_tokens,
-           CASE WHEN len(toks) > 0
-                THEN CAST(n_chars AS DOUBLE) / len(toks)
-                ELSE 0.0 END AS chars_per_token,
-           CASE WHEN len(toks) > 0
-                THEN CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
-                          AS DOUBLE) / len(toks)
-                ELSE 0.0 END AS stopword_ratio,
-           CASE WHEN n_chars > 0
-                THEN CAST(len(regexp_extract_all(text, '[.,;:!?]'))
-                          AS DOUBLE) / n_chars
-                ELSE 0.0 END AS punct_ratio
-    FROM t
-    """,
-    ("text", "ext"),
-    "Quality scoring: length/token/stopword/punctuation statistics. "
-    "Empty/whitespace docs are legal rows: 0 tokens, every ratio 0.0 "
-    "(the unguarded divisions THREW under ANSI mode — round-9 "
-    "poison-sweep find).",
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_quality(_docs(spark, sf_dir))
-
-
-def _langid_oracle() -> str:
-    score = {
-        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
-        for lang, markers in LANG_MARKERS.items()
-    }
-    langs = list(LANG_MARKERS)  # en, de, es, fr, zh — earlier wins ties
-    cases = []
-    for i, lang in enumerate(langs):
-        rest = [score[l2] for l2 in langs[i + 1 :]]
-        cond = f"s_{lang} > 0"
-        if rest:
-            cond += f" AND s_{lang} >= greatest({', '.join('s_' + l2 for l2 in langs[i+1:])})"
-        cases.append(f"WHEN {cond} THEN '{lang}'")
-    score_cols = ",\n             ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
-    greatest_all = ", ".join("s_" + lang for lang in langs)
-    return rf"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             {score_cols}
-      FROM t
-    )
-    SELECT doc_id,
-           CASE {' '.join(cases)} ELSE 'und' END AS pred_lang,
-           greatest({greatest_all}, 0) AS marker_hits
-    FROM s
-    """
-
-
-@_register(
-    "lang_id",
-    _langid_oracle(),
-    ("text", "ext"),
-    "Marker-stopword language-ID heuristic with fixed tie precedence.",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(_docs(spark, sf_dir))
-
-
-@_register(
-    "doc_fingerprint",
-    "SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fingerprint FROM documents",
-    ("text", "ext"),
-    "Deterministic document fingerprint (md5 of normalized text).",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", text_fingerprint(F.col("text")).alias("fingerprint"))
-
-
-# ===========================================================================
-# Extension operators: dedup family
-# ===========================================================================
-
-
-@_register(
-    "exact_dedup",
-    """
-    SELECT md5(replace(lower(text), ' ', '')) AS text_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-    FROM documents GROUP BY 1
-    """,
-    ("dedup", "ext"),
-    "Exact dedup by md5 fingerprint; deterministic min-id survivor.",
-)
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no pre-repartition: the groupBy(text_hash) is itself the shuffle
-    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
-
-
-_SHINGLES_SQL = r"""
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                 CASE WHEN len(toks) - 2 >= 1
-                      THEN generate_series(1, len(toks) - 2)
-                      ELSE [] END,
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
-        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-              FROM documents)
-      )
-"""
-
-
-@_register(
-    "ngram_jaccard",
-    rf"""
-    WITH sh0 AS ({_SHINGLES_SQL}),
-    -- shingle document-frequency cap (100): mirrors the Spark operator's
-    -- skew guard — sizes and intersections both over the capped universe
-    sh AS (
-      SELECT sh0.doc_id, sh0.shingle FROM sh0
-      JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100) ok
-        USING (shingle)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.5
-    """,
-    ("dedup", "ext"),
-    "Exact n-gram Jaccard near-dup pairs via shingle posting-list buckets.",
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
-
-
-@_register(
-    "winnow_near_dup",
-    r"""
-    WITH t AS (
-      SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
-      FROM documents
-    ), gh AS (
-      SELECT doc_id,
-             CASE WHEN length(norm) >= 8 THEN
-               list_transform(generate_series(1, length(norm) - 7), i ->
-                 list_reduce(
-                   list_transform(generate_series(i, i + 7),
-                                  p -> CAST(ord(substr(norm, p, 1)) AS BIGINT)),
-                   (acc, c) -> (acc * 257 + c) % 1000000007))
-             ELSE CAST([] AS BIGINT[]) END AS gh
-      FROM t
-    ), fps AS (
-      SELECT doc_id,
-             CASE WHEN len(gh) >= 4 THEN
-                    list_distinct(list_transform(generate_series(1, len(gh) - 3),
-                                  j -> list_min(gh[j:j+3])))
-                  WHEN len(gh) >= 1 THEN [list_min(gh)]
-                  ELSE CAST([] AS BIGINT[]) END AS fps
-      FROM gh
-    ), fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
-    counts AS (SELECT fp, COUNT(*) AS c FROM fp GROUP BY 1),
-    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN counts USING (fp) WHERE c <= 100)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(COUNT(*) AS BIGINT) AS shared
-    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING COUNT(*) >= 30
-    """,
-    ("dedup", "text", "ext", "llm"),
-    "Winnowing (MOSS) character-level near-dup: Rabin-Karp 8-gram "
-    "rolling hashes, window-4 min winnowing (any shared substring of "
-    ">= 11 chars guarantees a shared fingerprint), fingerprint "
-    "posting-list buckets with the df skew cap, pairs generated "
-    "in-array — the tokenizer-independent dedup tier word shingles "
-    "miss; exact signed-64 modular arithmetic mirrored by the oracle. "
-    "min_shared=30 sits past the 99.9th percentile of background "
-    "8-gram collision on this small-vocabulary fixture, so surviving "
-    "pairs are genuine near-duplicates, not shared phrasing.",
-)
-def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import winnow_near_dup_pairs
-
-    return winnow_near_dup_pairs(
-        _docs(spark, sf_dir), k=8, w=4, min_shared=30, max_fp_df=100
-    )
-
-
-def _minhash_sig_sql(num_hashes: int = 32) -> tuple[str, str]:
-    """(CTE defining sigs table, list of mh col names) for the oracle."""
-    params = minhash_params(num_hashes)
-    mins = ",\n             ".join(
-        f"MIN((h0 * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
-        for i, (a, b) in enumerate(params)
-    )
-    return (
-        rf"""
-    sh AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h0
-      FROM sh
-    ),
-    sigs AS (
-      SELECT doc_id,
-             {mins}
-      FROM hashed GROUP BY doc_id
-    )""",
-        ", ".join(f"mh{i}" for i in range(num_hashes)),
-    )
-
-
-def _minhash_banded0_cte(bands: int = 8, rows_per_band: int = 4) -> str:
-    """Shared WITH body: signatures -> per-band hashes (``banded0``,
-    uncapped). Used by every LSH oracle so no two can band
-    differently."""
-    sig_cte, _cols = _minhash_sig_sql(bands * rows_per_band)
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, md5("
-        + " || ',' || ".join(
-            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
-        )
-        + ") AS band_hash, "
-        + f"{b} AS band FROM sigs"
-        for b in range(bands)
-    )
-    return rf"""{sig_cte},
-    banded0 AS ({band_selects})"""
-
-
-def _minhash_banded_cte(bands: int = 8, rows_per_band: int = 4) -> str:
-    """``banded0`` plus the 200-doc bucket-size cap over the WHOLE
-    corpus (the in-corpus pairing semantics; the ingest oracle caps
-    over indexed postings only and composes banded0 directly)."""
-    return rf"""{_minhash_banded0_cte(bands, rows_per_band)},
-    -- bucket-size cap (200): mirrors the Spark operator's degenerate-
-    -- bucket guard before pairing
-    banded AS (
-      SELECT banded0.* FROM banded0
-      JOIN (SELECT band, band_hash FROM banded0
-            GROUP BY band, band_hash HAVING COUNT(*) <= 200) ok
-        USING (band, band_hash)
-    )"""
-
-
-def _minhash_pairs_oracle(bands: int = 8, rows_per_band: int = 4) -> str:
-    return rf"""
-    WITH {_minhash_banded_cte(bands, rows_per_band)}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
-                 AND a.doc_id < b.doc_id
-    """
-
-
-@_register(
-    "minhash_lsh_pairs",
-    _minhash_pairs_oracle(),
-    ("dedup", "ext", "lsh"),
-    "MinHash(32) + LSH banding (8 bands x 4 rows): candidate near-dup pairs. "
-    "The 100 TB-scale near-dup path — no quadratic join.",
-)
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_docs(spark, sf_dir))
-    return lsh_candidate_pairs(sigs)
-
-
-@_register(
-    "lsh_index_probe",
-    rf"""
-    WITH {_minhash_banded_cte()}
-    SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS match_id
-    FROM banded q
-    JOIN banded c ON q.band = c.band AND q.band_hash = c.band_hash
-                 AND c.doc_id != q.doc_id
-    WHERE q.doc_id < 50
-    """,
-    ("dedup", "ext", "lsh", "index"),
-    "The ON-DISK MinHash-LSH index probed with a query batch: "
-    "build_lsh_index materializes (doc_id, band, band_hash) postings "
-    "band-partitioned with the banding parameters persisted beside "
-    "them; lsh_index_probe bands the queries with the PERSISTED "
-    "params and broadcast-joins them against the postings — the "
-    "incremental-dedup path (new batch << corpus: the index side "
-    "never shuffles, and probe_bands prunes whole band directories "
-    "for approximate recall, IVF's n_probe re-expressed for LSH). "
-    "Queries here are the doc_id < 50 slice of the same corpus, so "
-    "the oracle is the banding SQL of minhash_lsh_pairs restricted "
-    "to query-anchored directed pairs — an exact differential check "
-    "of the materialized layout, persisted-params reload, and "
-    "touched-keys bucket cap.",
-)
-def q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..extensions.dedup_text import build_lsh_index, lsh_index_probe
-
-    docs = _docs(spark, sf_dir)
-    if docs.head(1) == []:  # empty-input contract: nothing to index
-        return spark.createDataFrame([], "query_id long, match_id long")
-    path = tempfile.mkdtemp(prefix="lsh_index_")
-    build_lsh_index(docs, path)
-    return lsh_index_probe(spark, path, docs.filter(F.col("doc_id") < 50))
-
-
-@_register(
-    "dedup_ingest",
-    rf"""
-    WITH {_minhash_banded0_cte()},
-    idx AS (SELECT * FROM banded0 WHERE doc_id >= 50),
-    ok AS (SELECT band, band_hash FROM idx
-           GROUP BY 1, 2 HAVING COUNT(*) <= 200),
-    idxf AS (SELECT idx.* FROM idx JOIN ok USING (band, band_hash)),
-    q AS (SELECT * FROM banded0 WHERE doc_id < 50),
-    matched AS (
-      SELECT DISTINCT q.doc_id
-      FROM q JOIN idxf ON q.band = idxf.band AND q.band_hash = idxf.band_hash
-    ),
-    -- in-batch gate: capped band buckets WITHIN the batch, lower-id rule
-    qok AS (SELECT band, band_hash FROM q
-            GROUP BY 1, 2 HAVING COUNT(*) <= 200),
-    qf AS (SELECT q.* FROM q JOIN qok USING (band, band_hash)),
-    batch_dup AS (
-      SELECT DISTINCT b.doc_id
-      FROM qf a JOIN qf b ON a.band = b.band AND a.band_hash = b.band_hash
-                         AND a.doc_id < b.doc_id
-    )
-    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
-    FROM documents d
-    WHERE d.doc_id < 50
-      AND d.doc_id NOT IN (SELECT doc_id FROM matched)
-      AND d.doc_id NOT IN (SELECT doc_id FROM batch_dup)
-    """,
-    ("dedup", "ext", "lsh", "index", "pipeline"),
-    "Incremental near-dup INGEST — the operational form of the LSH "
-    "index: the corpus (doc_id >= 50) is materialized once with "
-    "build_lsh_index; the new batch (doc_id < 50) probes it and only "
-    "documents with NO candidate match survive (candidate-level "
-    "semantics: any shared band bucket disqualifies — the "
-    "conservative ingest gate; near_dup_verify slots between probe "
-    "and anti-join for distance-verified semantics). Per-ingest "
-    "all-pairs LSH over corpus+batch would re-shuffle all history "
-    "every 15 minutes (the reference's cadence); here history is "
-    "touched only via the probe's broadcast join and the bucket cap "
-    "counts INDEXED postings only — exactly what the oracle states "
-    "relationally. The survivors-append path (dedup_ingest "
-    "append=True) is pinned by the streaming ingest test.",
-)
-def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..extensions.dedup_text import build_lsh_index, dedup_ingest
-
-    docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("doc_id") >= 50)
-    batch = docs.filter(F.col("doc_id") < 50)
-    if corpus.head(1) == []:
-        # empty-corpus contract: no index to probe, but the IN-BATCH
-        # gate still applies (default params == the build defaults)
-        from ..extensions.dedup_text import (
-            lsh_candidate_pairs,
-            minhash_signatures,
-        )
-
-        dups = lsh_candidate_pairs(minhash_signatures(batch)).select(
-            F.col("doc_b").alias("doc_id")
-        )
-        return batch.join(dups.distinct(), "doc_id", "left_anti").select(
-            "doc_id", "lang", "n_chars"
-        )
-    path = tempfile.mkdtemp(prefix="lsh_ingest_")
-    build_lsh_index(corpus, path)
-    return dedup_ingest(spark, path, batch).select(
-        "doc_id", "lang", "n_chars"
-    )
-
-
-def _simhash_oracle(bits: int = 60) -> str:
-    bit_sums = ",\n             ".join(
-        f"SUM(CASE WHEN (h0 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(bits)
-    )
-    fp = " + ".join(
-        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
-        for i in range(bits)
-    )
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-      FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0 FROM toks
-    ),
-    sums AS (
-      SELECT doc_id,
-             {bit_sums}
-      FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, {fp} AS simhash FROM sums
-    """
-
-
-@_register(
-    "simhash",
-    _simhash_oracle(),
-    ("dedup", "ext"),
-    "60-bit SimHash fingerprint per document (token bit votes).",
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash64(_docs(spark, sf_dir))
-
-
-# ===========================================================================
-# Extension operators: similarity search
-# ===========================================================================
-
-_QVEC = "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
-_DOT = (
-    "CAST(CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)"
-)
-_NORM = "CAST(CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT) AS DOUBLE)"
-
-
-def _ocos(a: str, b: str) -> str:
-    """DuckDB twin of ``similarity._safe_cosine``: quantized cosine
-    with the zero-norm convention (an all-zero vector scores 0.0
-    against everything — never NaN, never a division error). Every
-    cosine-computing oracle must use this macro so engine and oracle
-    can never diverge on a zero vector (round-9 poison-sweep find)."""
-    na = _NORM.format(a=a)
-    nb = _NORM.format(a=b)
-    return (
-        f"CASE WHEN {na} * {nb} > 0 "
-        f"THEN {_DOT.format(a=a, b=b)} / sqrt({na} * {nb}) "
-        f"ELSE 0.0 END"
-    )
-
-
-@_register(
-    "cosine_knn",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             {_ocos('qv', 'cv')} AS cosine
-      FROM q, c WHERE query_id != neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-    ("similarity", "ext"),
-    "Brute-force cosine top-5 for query vectors vec_id<10 (quantized exact "
-    "arithmetic; broadcast queries, windowed top-k).",
-)
-def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return cosine_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
-
-
-@_register(
-    "embedding_near_dup",
-    f"""
-    WITH v AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 200),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_ocos('a.qv', 'b.qv')} AS cosine
-      FROM v a, v b WHERE a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
-    """,
-    ("similarity", "dedup", "ext"),
-    "Embedding-cosine near-duplicate pairs (threshold 0.35; corpus is synthetic-random, max pair cosine ~0.44) over the first "
-    "200 vectors.",
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import quantized_cosine
-
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            quantized_cosine(F.col("ea"), F.col("eb")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
-
-
-@_register(
-    "lsh_knn",
-    None,  # approximate by construction; verified against cosine_knn in tests
-    ("similarity", "ext", "lsh"),
-    "LSH-bucketed approximate top-5 (random-hyperplane buckets) — the "
-    "sub-linear scale path; recall asserted against cosine_knn in tests. "
-    "SUPERSEDED for driver grading (last driver run r02, no_oracle by "
-    "design): the machinery's oracle-graded twins are cosine_knn (the "
-    "exact scorer it approximates, green r01-r05) and lsh_index_probe "
-    "(the materialized LSH layout, green r06-r07); this entry stays for "
-    "the in-memory approximate API surface, pytest-covered.",
-)
-def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return lsh_bucketed_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
-
-
-@_register(
-    "embedding_centroid",
-    f"""
-    WITH q AS (SELECT label, {_QVEC} AS qv FROM embeddings),
-    -- parallel unnests zip positionally in DuckDB
-    px AS (SELECT label,
-                  CAST(unnest(generate_series(1, len(qv))) - 1 AS INT) AS pos,
-                  unnest(qv) AS v
-           FROM q)
-    SELECT label, pos,
-           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS centroid,
-           COUNT(*) AS n_vectors
-    FROM px GROUP BY 1, 2
-    """,
-    ("similarity", "agg", "ext"),
-    "Per-label mean-pooled embedding centroid, one row per (label, "
-    "dimension). Exact quantized-int sums with map-side partial "
-    "aggregation — the class-prototype / cluster-update primitive of a "
-    "training pipeline, shaped as a plain two-key groupBy that "
-    "parallelizes by labels x dims with no window and no skew key.",
-)
-def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import quantized_embedding
-
-    emb = _emb(spark, sf_dir)
-    pos = emb.select(
-        "label",
-        F.posexplode(quantized_embedding(F.col("embedding"))).alias("pos", "v"),
-    )
-    return pos.groupBy("label", "pos").agg(
-        (F.sum("v").cast("double") / F.count("*")).alias("centroid"),
-        F.count("*").alias("n_vectors"),
-    )
-
-
-@_register(
-    "group_outliers",
-    None,  # grouped-map numpy op; agreement with an independent
-    # column-expression formulation asserted to 1e-9 in tests
-    ("similarity", "udf", "ext"),
-    "Per-label embedding outlier scoring (centroid distance + in-group "
-    "z-score) via grouped-map applyInPandas — the whole-group-in-one-"
-    "frame member of the UDF surface (SURVEY.md 2.8). SUPERSEDED for "
-    "driver grading (last driver run r02, no_oracle by design): "
-    "group_outliers_scalable states the SAME computation as "
-    "oracle-checkable relational ops and is driver-green (r06-r07); "
-    "this entry stays as the grouped-map API demonstration, with "
-    "1e-9 agreement between the two pinned in tests.",
-)
-def q_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import group_outlier_scores
-
-    return group_outlier_scores(_emb(spark, sf_dir))
-
-
-@_register(
-    "group_outliers_scalable",
-    """
-    WITH dims AS (
-      SELECT vec_id, label,
-             unnest(generate_series(1, len(embedding))) AS dim,
-             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT label, dim,
-             CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
-      FROM dims GROUP BY 1, 2
-    ),
-    d AS (
-      SELECT dims.vec_id, dims.label,
-             sqrt(CAST(CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)) AS dist
-      FROM dims JOIN cent ON dims.label = cent.label AND dims.dim = cent.dim
-      GROUP BY 1, 2
-    ),
-    stats AS (
-      SELECT label,
-             CAST(CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-               / COUNT(*) AS mean_d,
-             CAST(CAST(SUM(CAST(dist * dist AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-               / COUNT(*) AS meansq_d
-      FROM d GROUP BY 1
-    )
-    SELECT d.vec_id, d.label, d.dist,
-           CASE WHEN meansq_d - mean_d * mean_d > 0
-                THEN (dist - mean_d) / sqrt(meansq_d - mean_d * mean_d)
-                ELSE 0.0 END AS zdist
-    FROM d JOIN stats ON d.label = stats.label
-    """,
-    ("similarity", "agg", "join", "ext"),
-    "Per-label embedding outlier scoring restated as partial-aggregable "
-    "groupBy + broadcast joins (the 100-TB shape of group_outliers): "
-    "posexplode -> per-dim decimal centroid -> distance keyed on the "
-    "high-cardinality vec_id -> broadcast label stats. No grouped-map, "
-    "no per-group memory, fully oracle-checkable.",
-)
-def q_group_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import group_outlier_scores_scalable
-
-    return group_outlier_scores_scalable(_emb(spark, sf_dir))
-
-
-@_register(
-    "ivf_knn",
-    None,  # approximate by construction; exact-equality vs cosine_knn at
-    # n_probe == n_cells and recall at n_probe < n_cells asserted in tests
-    ("similarity", "ext", "ivf"),
-    "IVF coarse-quantizer approximate top-5 (trained centroid cells, "
-    "n_probe=4 of 16) — the FAISS-IVF-shaped ANN scale path. "
-    "SUPERSEDED for driver grading (last driver run r02, no_oracle by "
-    "design): ivf_knn_exact runs this SAME code path at n_probe == "
-    "n_cells under a full DuckDB oracle (green r06-r07), and "
-    "ivf_index_knn grades the on-disk layout (green r06-r07); this "
-    "entry keeps the pruning (n_probe < n_cells) recall surface, "
-    "pytest-covered.",
-)
-def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return ivf_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
-
-
-@_register(
-    "ivf_knn_exact",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             {_ocos('qv', 'cv')} AS cosine
-      FROM q, c WHERE query_id != neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-    ("similarity", "ext", "ivf"),
-    "IVF ANN run in exact mode (n_probe == n_cells: every cell probed, "
-    "so the quantizer prunes nothing and the output equals brute-force "
-    "cosine_knn by construction) — gives the IVF train/assign/score "
-    "machinery a full differential oracle, not just a rows-only check; "
-    "recall at n_probe < n_cells stays covered by ivf_knn + tests.",
-)
-def q_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return ivf_knn(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=16
-    )
-
-
-@_register(
-    "ivf_index_knn",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             {_ocos('qv', 'cv')} AS cosine
-      FROM q, c WHERE query_id != neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-    ("similarity", "ext", "ivf", "index"),
-    "The ON-DISK IVF index probed in exact mode (VERDICT r5 #3): "
-    "build_ivf_index materializes the corpus as cell-partitioned "
-    "parquet with the quantizer persisted beside it, then "
-    "ivf_index_knn probes with n_probe == n_cells so every cell is "
-    "read and the result equals brute-force cosine by construction — "
-    "the same differential oracle as ivf_knn_exact, now exercising "
-    "the materialized layout: persisted-quantizer reload, cell "
-    "PartitionFilters pruning (plan-pinned in tests), and the "
-    "probe-side broadcast join. The scale-relevant ANN artifact: at "
-    "100 TB the index IS the storage layout, a probe reads n_probe "
-    "directories and no serving process exists.",
-)
-def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..extensions.similarity import build_ivf_index, ivf_index_knn
-
-    emb = _emb(spark, sf_dir)
-    if emb.head(1) == []:  # empty-input contract: nothing to index
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
-    n_cells = 16
-    # unique scratch layout per invocation (orc_roundtrip contract)
-    path = tempfile.mkdtemp(prefix="ivf_index_")
-    build_ivf_index(emb, path, n_cells=n_cells)
-    return ivf_index_knn(
-        spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=n_cells
-    )
-
-
-@_register(
-    "embedding_ingest",
-    f"""
-    WITH q AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS nearest_id, {_QVEC} AS cv FROM embeddings
-          WHERE vec_id >= 10),
-    scored AS (
-      SELECT q.vec_id, c.nearest_id,
-             {_ocos('qv', 'cv')} AS cosine
-      FROM q, c
-    ),
-    best AS (
-      SELECT *, row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cosine DESC, nearest_id) AS rn
-      FROM scored
-    ),
-    -- in-batch gate: a LOWER-id batch vector within the threshold
-    batch_dup AS (
-      SELECT DISTINCT b.vec_id
-      FROM q a JOIN q b ON a.vec_id < b.vec_id
-      WHERE {_ocos('a.qv', 'b.qv')}
-            >= 0.38
-    )
-    SELECT vec_id, nearest_id, cosine AS nearest_cosine,
-           cosine < 0.38
-             AND vec_id NOT IN (SELECT vec_id FROM batch_dup) AS keep
-    FROM best WHERE rn = 1
-    UNION ALL
-    -- empty-corpus contract: nothing to probe; only the in-batch
-    -- gate decides (mirrors the Spark guard)
-    SELECT vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-           vec_id NOT IN (SELECT vec_id FROM batch_dup)
-    FROM q WHERE (SELECT COUNT(*) FROM c) = 0
-    """,
-    ("similarity", "ext", "ivf", "index", "pipeline"),
-    "Semantic ingest gate — the embedding twin of dedup_ingest: the "
-    "corpus (vec_id >= 10) is materialized once as the IVF layout; "
-    "the new batch (vec_id < 10) probes its exact nearest indexed "
-    "neighbor (n_probe == n_cells, so the cosine oracle states it "
-    "relationally) and keeps only vectors whose nearest cosine is "
-    "below the threshold — SemDeDup's keep rule applied at the "
-    "ingest boundary instead of corpus-wide. Emits the full decision "
-    "relation (vec_id, nearest_id, nearest_cosine, keep), auditable "
-    "downstream; at scale n_probe << n_cells trades recall for cost "
-    "(a missed near-dup costs one redundant document). History is "
-    "touched only via the pruned scan + batch broadcast.",
-)
-def q_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..extensions.similarity import build_ivf_index, embedding_ingest
-
-    emb = _emb(spark, sf_dir)
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    batch = emb.filter(F.col("vec_id") < 10)
-    if corpus.head(1) == []:
-        # empty-corpus contract: nothing to probe; the IN-BATCH gate
-        # (lower-id vector within threshold) still decides keep
-        from ..extensions.similarity import quantized_cosine
-
-        a = batch.select(F.col("vec_id").alias("a_id"),
-                         F.col("embedding").alias("a_v"))
-        b = batch.select(F.col("vec_id").alias("b_id"),
-                         F.col("embedding").alias("b_v"))
-        dup = (
-            a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-            .filter(quantized_cosine(F.col("a_v"), F.col("b_v")) >= 0.38)
-            .select(F.col("b_id").alias("vec_id"))
-            .distinct()
-            .withColumn("__dup", F.lit(True))
-        )
-        return batch.join(F.broadcast(dup), "vec_id", "left").select(
-            "vec_id",
-            F.lit(None).cast("long").alias("nearest_id"),
-            F.lit(None).cast("double").alias("nearest_cosine"),
-            F.col("__dup").isNull().alias("keep"),
-        )
-    path = tempfile.mkdtemp(prefix="ivf_ingest_")
-    build_ivf_index(corpus, path, n_cells=16)
-    return embedding_ingest(spark, path, batch, threshold=0.38)
-
-
-# ===========================================================================
-# Extension operators: multimodal plumbing
-# ===========================================================================
-
-
-@_register(
-    "binary_meta",
-    """
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS payload_md5
-    FROM documents
-    """,
-    ("multimodal", "ext"),
-    "Binary-payload metadata projection (JVM-only pre-filter before decode).",
-)
-def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return binary_meta(attach_binary_payload(docs))
-
-
-@_register(
-    "multimodal_features",
-    None,  # python-side stub decoder — rows-only check
-    ("multimodal", "ext"),
-    "Arrow-batched (mapInPandas) feature extraction over binary payloads with "
-    "the STUBBED decoder — exercises schema/batch plumbing end to end. "
-    "SUPERSEDED for driver grading (last driver run r02, no_oracle by "
-    "design): multimodal_decode states the decode+pool pipeline in "
-    "oracle-checkable JVM byte ops and is driver-green (r06-r07); "
-    "this entry stays as the Python-batch plumbing surface for real "
-    "decoders (image/audio libs), pytest-covered.",
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    feats = extract_features(attach_binary_payload(docs))
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        "payload_md5",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-    )
-
-
-@_register(
-    "multimodal_decode",
-    r"""
-    WITH h AS (
-      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
-    ),
-    pos AS (SELECT CAST(unnest(range(4)) AS INT) AS feat_idx),
-    bytes AS (
-      SELECT doc_id, feat_idx,
-             CAST(length(hx) // 2 AS INT) AS n_bytes,
-             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 1, 1)) - 1) * 16
-             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 2, 1)) - 1 AS b0,
-             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 3, 1)) - 1) * 16
-             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 4, 1)) - 1 AS b1,
-             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 5, 1)) - 1) * 16
-             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 6, 1)) - 1 AS b2,
-             (strpos('0123456789abcdef', substr(hx, 8*feat_idx + 7, 1)) - 1) * 16
-             + strpos('0123456789abcdef', substr(hx, 8*feat_idx + 8, 1)) - 1 AS b3
-      FROM h CROSS JOIN pos
-    ),
-    fields AS (
-      SELECT doc_id, feat_idx, n_bytes,
-             CAST(1 - 2 * (b3 // 128) AS DOUBLE) AS sgn,
-             (b3 % 128) * 2 + b2 // 128 AS e,
-             CAST((b2 % 128) * 65536 + b1 * 256 + b0 AS DOUBLE) AS m
-      FROM bytes
-    )
-    SELECT doc_id, n_bytes, feat_idx,
-           CASE
-             WHEN e = 0 THEN sgn * m * power(CAST(2 AS DOUBLE), -149)
-             WHEN e = 255 AND m = 0 THEN sgn * CAST('infinity' AS DOUBLE)
-             WHEN e = 255 THEN NULL
-             ELSE sgn * (CAST(8388608 AS DOUBLE) + m)
-                  * power(CAST(2 AS DOUBLE), e - 150)
-           END AS feat
-    FROM fields
-    """,
-    ("multimodal", "ext"),
-    "REAL strict-mode media decode, differentially verified: payloads "
-    "are the declared fixed-layout codec (little-endian float32 "
-    "vectors — here unhex(md5(doc_id)), 16 bytes = 4 floats), decoded "
-    "through the Arrow mapInPandas path with struct.unpack, while the "
-    "oracle reconstructs the identical IEEE-754 values from hex-"
-    "character arithmetic (sign/exponent/mantissa recomposed with "
-    "exact power-of-two double math — float32->double widening is "
-    "exact, so the engines agree bit-for-bit, infinities included; "
-    "NaN bit patterns surface as NULL on both sides, the pandas/Arrow "
-    "nan-is-null transfer convention).",
-)
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.multimodal import extract_features as _xf
-
-    docs = _docs(spark, sf_dir)
-    payloads = docs.select(
-        "doc_id",
-        F.to_binary(
-            F.md5(F.col("doc_id").cast("string")), F.lit("hex")
-        ).alias("payload"),
-    )
-    feats = _xf(payloads, strict=True)
-    ex = feats.select(
-        "doc_id", "n_bytes", F.posexplode("features").alias("feat_idx", "f")
-    )
-    return ex.select(
-        "doc_id",
-        "n_bytes",
-        "feat_idx",
-        F.col("f").cast("double").alias("feat"),
-    )
-
-
-# ===========================================================================
-# Window-function / reshaping analytics (the dashboard query surface the
-# star schema exists to serve — SURVEY.md §2.5 note, §2.6)
-# ===========================================================================
-
-
-@_register(
-    "topk_per_group",
-    """
-    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
-    FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             CAST(row_number() OVER (PARTITION BY o_orderpriority
-                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-    ("window", "W1", "O1"),
-    "Top-K per group (ranking window): 3 largest orders per priority class.",
-)
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
-    )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@_register(
-    "running_total",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
-             AS running_spent
-    FROM orders WHERE o_custkey < 100
-    """,
-    ("window", "frame"),
-    "Frame-spec window: per-customer running spend. Decimal-routed so the "
-    "accumulation order (sequential vs segment-tree) cannot change the bits.",
-)
-def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spent"),
-    )
-
-
-@_register(
-    "sessionize",
-    f"""
-    WITH e AS (
-      SELECT user_id, event_id, {_OSECS.format(ts='ts')} AS secs
-      FROM events WHERE ts IS NOT NULL
-    ), gaps AS (
-      SELECT user_id, event_id, secs,
-             CASE WHEN lag(secs) OVER w IS NULL
-                       OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
-    ), sess AS (
-      SELECT user_id, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY secs, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-      FROM gaps
-    )
-    SELECT user_id,
-           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           COUNT(*) AS n_events
-    FROM sess GROUP BY user_id
-    """,
-    ("window", "sessionization"),
-    "Sessionization via lag + gap cumsum (30-minute inactivity threshold) — "
-    "the batch twin of streaming session_window(). Null-ts rows are "
-    "excluded on BOTH sides (round-10 temporal-null family rule: an "
-    "event without event time belongs to no session, exactly what the "
-    "native session_window() operator does) — the hand-rolled lag "
-    "chain would otherwise place them at OPPOSITE ends per engine "
-    "(Spark sorts NULL orderings first ascending, DuckDB last), "
-    "merging them into different neighbors.",
-)
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(F.col("secs"), F.col("event_id"))
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gaps = ev.select(
-        "user_id",
-        "event_id",
-        "secs",
-        F.when(
-            F.lag("secs").over(w).isNull()
-            | ((F.col("secs") - F.lag("secs").over(w)) > 1800),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    sess = gaps.withColumn("session_id", F.sum("is_new").over(wf))
-    return sess.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
-        F.count("*").alias("n_events"),
-    )
-
-
-@_register(
-    "pivot_status",
-    """
-    SELECT o_orderpriority,
-           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
-           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
-           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
-    FROM orders GROUP BY o_orderpriority
-    """,
-    ("pivot",),
-    "Pivot (reshaping aggregate): order counts per priority x status.",
-)
-def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    pivoted = (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
-    )
-    return pivoted.fillna({"n_f": 0, "n_o": 0, "n_p": 0})
-
-
-# ===========================================================================
-# Join completeness, sketches, as-of, and fan-out packing
-# ===========================================================================
-
-
-@_register(
-    "semi_join_big_spenders",
-    """
-    SELECT c_custkey, c_name
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_totalprice > 200000)
-    """,
-    ("join", "J3", "semi"),
-    "Left-semi join (EXISTS): customers with at least one large order. "
-    "Complements the reference's left-anti gap-fetch "
-    "(scripts/get_raw_data/get_raw_users_data.py:126-134) — same broadcast/"
-    "shuffled-hash plan family, existence instead of absence.",
-)
-def q_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@_register(
-    "full_outer_nation_counts",
-    """
-    WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust
-               FROM customer WHERE c_mktsegment = 'BUILDING'
-               GROUP BY c_nationkey),
-         s AS (SELECT s_nationkey, COUNT(*) AS n_supp
-               FROM supplier GROUP BY s_nationkey)
-    SELECT CAST(COALESCE(c_nationkey, s_nationkey) AS INTEGER) AS nationkey,
-           COALESCE(n_cust, 0) AS n_cust,
-           COALESCE(n_supp, 0) AS n_supp
-    FROM c FULL JOIN s ON c_nationkey = s_nationkey
-    """,
-    ("join", "full_outer"),
-    "Full-outer join of two pre-aggregated sides with COALESCE defaulting — "
-    "the snapshot-reconciliation shape of the reference's state-delta "
-    "machinery (SURVEY.md J4) when neither side subsumes the other.",
-)
-def q_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_cust"))
-    )
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .groupBy("s_nationkey")
-        .agg(F.count("*").alias("n_supp"))
-    )
-    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
-        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
-        F.coalesce(F.col("n_cust"), F.lit(0).cast("long")).alias("n_cust"),
-        F.coalesce(F.col("n_supp"), F.lit(0).cast("long")).alias("n_supp"),
-    )
-
-
-@_register(
-    "cube_volume",
-    f"""
-    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-           COALESCE(l_linestatus, 'ALL') AS linestatus,
-           {_osum('l_quantity')} AS sum_qty,
-           COUNT(*) AS n_items
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    HAVING COUNT(*) > 0
-    """,
-    ("aggregate", "cube", "grouping_sets"),
-    "CUBE grouping-sets aggregate (all 4 rollup levels in one pass) — "
-    "partial-agg friendly: Spark expands grouping sets map-side, one shuffle. On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
-)
-def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
-            "n_items",
-        )
-    )
-
-
-@_register(
-    "count_distinct_star",
-    f"""
-    SELECT n_name,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
-           {_osum('o_totalprice')} AS revenue,
-           COUNT(*) AS n_orders
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-    ("aggregate", "join", "distinct_agg", "dashboard"),
-    "The dashboard star metric SURVEY.md §2.5 names as the engine target: "
-    "COUNT(DISTINCT user) + SUM(revenue) per dimension. Fact->customer is a "
-    "shuffled hash/sort-merge join (both scale with SF); nation is broadcast.",
-)
-def q_count_distinct_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_buyers"),
-            dsum("o_totalprice").alias("revenue"),
-            F.count("*").alias("n_orders"),
-        )
-    )
-
-
-@_register(
-    "approx_distinct_users",
-    None,  # HLL sketches are engine-specific by design; driver checks rows-only
-    ("aggregate", "sketch", "approx"),
-    "HyperLogLog++ approximate COUNT(DISTINCT) per event_type beside the "
-    "exact count. At 100 TB the sketch is the scale path: mergeable partial "
-    "state, no exact-distinct shuffle of the key universe. SUPERSEDED "
-    "for driver grading (last driver run r02, no_oracle by design — "
-    "HLL estimates are engine-specific): the exact-distinct semantics "
-    "are driver-graded via count_distinct_star (green r01-r05) and "
-    "salted_distinct_users (green r03-r05); the sketch itself is "
-    "covered by the hll_mergeable_rollup property tests (merge "
-    "associativity, error bound). This entry stays as the "
-    "approx-aggregate API surface.",
-)
-def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count("*").alias("n_events"),
-    )
-
-
-_ASOF_WIN = (
-    "OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-)
-
-
-@_register(
-    "asof_join_click_attribution",
-    f"""
-    WITH ev AS (
-        SELECT event_id, user_id, event_type,
-               CAST(epoch_us(ts) AS BIGINT) AS ts_us
-        FROM events WHERE ts IS NOT NULL
-    ), m AS (
-        SELECT event_id, user_id, event_type, ts_us,
-               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
-                          IGNORE NULLS) {_ASOF_WIN} AS click_id,
-               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
-                          IGNORE NULLS) {_ASOF_WIN} AS click_ts
-        FROM ev
-    )
-    SELECT event_id AS purchase_id, user_id, click_id,
-           ts_us - click_ts AS gap_us
-    FROM m WHERE event_type = 'purchase'
-    """,
-    ("join", "J5", "asof", "window"),
-    "General as-of join (SURVEY.md J5's general pattern): attribute each "
-    "purchase to the latest click at-or-before it per user. One shuffle on "
-    "user_id (window), no join at all — the union+last() formulation scales "
-    "linearly and never explodes like a naive range join. Null-ts rows "
-    "are excluded on BOTH sides (round-10 temporal-null family rule): "
-    "an undated click precedes nothing and an undated purchase has no "
-    "'before' — and the last()-chain would otherwise place undated "
-    "clicks at opposite ends per engine (Spark NULLS FIRST ascending, "
-    "DuckDB NULLS LAST), attributing them in one engine only.",
-)
-def q_asof_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_click = F.col("event_type") == "click"
-    return (
-        ev.select("event_id", "user_id", "event_type", "ts_us")
-        .withColumns(
-            {
-                "click_id": F.last(
-                    F.when(is_click, F.col("event_id")), ignorenulls=True
-                ).over(w),
-                "click_ts": F.last(
-                    F.when(is_click, F.col("ts_us")), ignorenulls=True
-                ).over(w),
-            }
-        )
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            "click_id",
-            (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
-        )
-    )
-
-
-@_register(
-    "range_join_quantity_buckets",
-    f"""
-    WITH b AS (SELECT CAST(id AS INTEGER) AS bucket,
-                      id * 5 AS lo, (id + 1) * 5 AS hi
-               FROM range(10) t(id))
-    SELECT bucket, COUNT(*) AS n_items,
-           {_osum('l_extendedprice')} AS sum_price
-    FROM lineitem JOIN b ON l_quantity > lo AND l_quantity <= hi
-    GROUP BY bucket
-    """,
-    ("join", "range", "non_equi"),
-    "Range (interval) join against a generated bucket dimension. The only "
-    "scale-sane physical plan for a non-equi join is broadcast-nested-loop "
-    "with the tiny side broadcast — hinted explicitly so the 10-row build "
-    "side never shuffles the fact table.",
-)
-def q_range_join_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    b = spark.range(10).select(
-        F.col("id").cast("int").alias("bucket"),
-        (F.col("id") * 5).alias("lo"),
-        ((F.col("id") + 1) * 5).alias("hi"),
-    )
-    return (
-        li.join(
-            F.broadcast(b),
-            (li.l_quantity > b.lo) & (li.l_quantity <= b.hi),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_items"),
-            dsum("l_extendedprice").alias("sum_price"),
-        )
-    )
-
-
-@_register(
-    "value_percentiles",
-    """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.95), 6) AS p95,
-           round(quantile_cont(value, 0.99), 6) AS p99
-    FROM events GROUP BY event_type
-    """,
-    ("aggregate", "percentile"),
-    "Exact interpolated percentiles per group (Spark percentile == DuckDB "
-    "quantile_cont; outputs rounded to 6 decimals to absorb last-ulp "
-    "interpolation differences). The 100 TB path swaps in "
-    "approx_percentile's mergeable t-digest-style sketch — same call shape.",
-)
-def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
-    )
-
-
-@_register(
-    "intersect_users",
-    """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    ("set_op", "intersect"),
-    "INTERSECT set op (users who both clicked and purchased) — rounds out "
-    "the reference's union/except set-op family (SURVEY.md §2.6 notes "
-    "intersect as the one missing member).",
-)
-def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id")
-        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
-    )
-
-
-@_register(
-    "above_avg_orders",
-    f"""
-    SELECT o_orderkey, o_custkey,
-           round(o_totalprice, 2) AS totalprice,
-           round(cust_avg, 6) AS cust_avg
-    FROM (
-        SELECT o_orderkey, o_custkey, o_totalprice,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-                    OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
-                 / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
-        FROM orders
-    )
-    WHERE o_totalprice > 1.5 * cust_avg
-    """,
-    ("window", "correlated_subquery"),
-    "Correlated-subquery shape (orders 50% above their customer's average) "
-    "decorrelated into a single window pass — one o_custkey shuffle instead "
-    "of a per-row subquery; the decimal-routed window avg keeps parity.",
-)
-def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    cust_avg = (
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
-        / F.count("*").over(w)
-    )
-    return (
-        o.withColumn("cust_avg", cust_avg)
-        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("cust_avg", 6).alias("cust_avg"),
-        )
-    )
-
-
-@_register(
-    "scalar_subquery_filter",
-    f"""
-    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
-    FROM part
-    WHERE p_retailprice >
-          (SELECT {_osum('p_retailprice')} / COUNT(*) FROM part)
-    """,
-    ("subquery", "scalar"),
-    "Scalar-subquery filter (parts priced above the global mean): the "
-    "one-row aggregate plans as a broadcast subquery result, so the main "
-    "scan is a single filtered pass with no shuffle. (Round 10 dropped "
-    "the old 1.2x margin: the driver's prices span 900-1000, so >1.2x "
-    "mean selected ZERO rows at every SF — a vacuously-green compare. "
-    "Above-the-mean selects ~half the table, making the differential "
-    "actually exercise the filter.)",
-)
-def q_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    # The DataFrame rides into spark.sql via the SQL formatter's {p}
-    # interpolation (PySpark registers a unique internal view per
-    # call) — NOT a fixed createOrReplaceTempView("part_v"): a named
-    # session-global view is hidden mutable state, and two concurrent
-    # callers with different sf_dirs would race on it (round-10
-    # review find). Query builders must not mutate session state.
-    return spark.sql(
-        """
-        SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
-        FROM {p}
-        WHERE p_retailprice >
-              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6)))
-                           AS DOUBLE)
-                      / COUNT(*)
-               FROM {p})
-        """,
-        p=p,
-    )
-
-
-@_register(
-    "salted_distinct_users",
-    """
-    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
-    FROM events GROUP BY event_type
-    """,
-    ("aggregate", "distinct_agg", "skew"),
-    "Skew-proof exact count-distinct via value-hash salting "
-    "(operators.aggregates.salted_count_distinct): identical result to the "
-    "naive COUNT(DISTINCT) — the oracle — but the hottest key's state is "
-    "split across 32 reducers instead of one.",
-)
-def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import salted_count_distinct
-
-    ev = _events(spark, sf_dir)
-    return salted_count_distinct(ev, ["event_type"], "user_id", buckets=32)
-
-
-@_register(
-    "pack_groups",
-    None,  # greedy bin-packing is iterative/procedural. A full DuckDB
-    # oracle now EXISTS — operators.packing.pack_oracle_sql states
-    # first-fit-decreasing as a genuine RECURSIVE CTE (one
-    # linear-recursive row per item, group loads carried as a BIGINT[]
-    # column), bit-exact, differentially pinned in
-    # tests/test_operators.py::test_pack_groups_matches_recursive_sql_oracle
-    # — but stays out of this registration until the entry can take a
-    # graded-window slot (window-discipline gate; round 9's single
-    # swap went to pagerank_copresence)
-    ("driver", "A4", "packing"),
-    "Greedy weighted bin-packing (SURVEY.md A4, "
-    "scripts/other/create_category_group_messages.py:57-80): pack per-user "
-    "event weights into <=25 balanced groups. Deliberately driver-side over "
-    "an aggregated (tiny) input — at fact scale the same balancing job is "
-    "done by AQE skew handling, not by this operator.",
-)
-def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.packing import pack_into_groups
-
-    # anonymous events (NULL user_id) carry no routable shard key —
-    # and the packer's deterministic (weight, id) tiebreak needs
-    # comparable ids, so a None key raised inside the driver-side
-    # sort (round-10 NULL poison sweep)
-    weights = (
-        _events(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-    # collect ONCE; the packer takes the already-collected pairs
-    collected = weights.collect()
-    rows = {r["user_id"]: r["n_events"] for r in collected}
-    cap = max(1, -(-sum(rows.values()) // 20))  # ~20 groups at any SF
-    groups = pack_into_groups(
-        [(r["user_id"], r["n_events"]) for r in collected], max_groups=25, cap=cap
-    )
-    out = [
-        (i, len(g), sum(rows[k] for k in g)) for i, g in enumerate(groups)
-    ]
-    return spark.createDataFrame(
-        out, "group_id INT, n_keys INT, total_weight BIGINT"
-    )
-
-
-@_register(
-    "csv_roundtrip",
-    """
-    SELECT CAST(n_nationkey AS VARCHAR) AS nation_id,
-           n_name AS nation_name,
-           CASE WHEN n_nationkey % 3 = 0 THEN 'NA'
-                WHEN n_nationkey % 3 = 1 THEN ''
-                ELSE 'g' || CAST(n_nationkey AS VARCHAR) END AS igdb_id
-    FROM nation
-    """,
-    ("source", "S4", "K2"),
-    "CSV write + read round-trip with the reference's read semantics "
-    "(keep_default_na=False, curate_categories_data.py:49,59): the literal "
-    "'NA' sentinel and the empty string survive the engine's CSV layer as "
-    "data — neither becomes NULL. Exercises write_csv_compat (K2) and "
-    "read_csv_reference (S4) end-to-end; the oracle states the invariant "
-    "(round-trip == identity) straight from parquet.",
-)
-def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..sinks import write_csv_compat
-    from ..sources.csv_source import read_csv_reference
-
-    n = _t(spark, sf_dir, "nation")
-    df = n.select(
-        F.col("n_nationkey").cast("string").alias("nation_id"),
-        F.col("n_name").alias("nation_name"),
-        F.when(F.col("n_nationkey") % 3 == 0, F.lit("NA"))
-        .when(F.col("n_nationkey") % 3 == 1, F.lit(""))
-        .otherwise(F.concat(F.lit("g"), F.col("n_nationkey").cast("string")))
-        .alias("igdb_id"),
-    )
-    # unique scratch dir per invocation: concurrent runs (parallel
-    # pytest, bench overlapping a correctness sweep) must not race on
-    # one fixed path, and nothing may assume this container's layout
-    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
-    write_csv_compat(df, out, mode="overwrite")
-    # engine-written CSV never embeds in-field line breaks, so the
-    # splittable (multi_line=False) scan path is safe — and this graded
-    # query is its end-to-end exercise
-    return read_csv_reference(
-        spark,
-        out,
-        "nation_id string, nation_name string, igdb_id string",
-        multi_line=False,
-    )
-
-
-def _simhash_pairs_oracle(
-    bits: int = 60, chunks: int = 4, max_hamming: int = 3, max_bucket: int = 200
-) -> str:
-    chunk_bits = bits // chunks
-    mask = (1 << chunk_bits) - 1
-    chunk_list = ", ".join(str(c) for c in range(chunks))
-    return rf"""
-    WITH sigs AS ({_simhash_oracle(bits)}),
-    banded AS (
-      SELECT doc_id, simhash, c.chunk,
-             (simhash >> (c.chunk * {chunk_bits})) & {mask} AS chunk_val
-      FROM sigs CROSS JOIN (SELECT unnest([{chunk_list}]) AS chunk) c
-    ),
-    capped AS (
-      SELECT chunk, chunk_val FROM banded
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      a.simhash AS sh_a, b.simhash AS sh_b
-      FROM banded a
-      JOIN banded b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
-                   AND a.doc_id < b.doc_id
-      JOIN capped ON capped.chunk = a.chunk AND capped.chunk_val = a.chunk_val
-    )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
-    """
-
-
-@_register(
-    "simhash_near_dup",
-    _simhash_pairs_oracle(),
-    ("dedup", "ext", "lsh"),
-    "SimHash near-dup pairs via pigeonhole chunk-bucketing (4 chunks of "
-    "15 bits => hamming<=3 candidate generation is exact, never all-pairs).",
-)
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dup_pairs(_docs(spark, sf_dir))
-
-
-@_register(
-    "tfidf_top_terms",
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
-              HAVING COUNT(*) <= 5000),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT doc_id, term, tf,
-             round(tf * (ln(CAST(n_docs + 1 AS DOUBLE)
-                            / CAST(df + 1 AS DOUBLE)) + 1.0), 9)
-               AS tfidf
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    ),
-    ranked AS (
-      SELECT doc_id, term, tf, tfidf,
-             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
-               AS rnk
-      FROM scored
-    )
-    SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk
-    FROM ranked WHERE rnk <= 3
-    """,
-    ("text", "ext"),
-    "Top-3 characteristic terms per document by smoothed TF-IDF "
-    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing; rounded to 9 "
-    "decimals before ranking on both sides — JVM and libm ln disagree "
-    "by 1 ULP on rare rationals, round-9 poison find). The max_df cap "
-    "is active (web-scale vocab bound, mirrored by the oracle's "
-    "HAVING); set far above any observed df so results are unchanged.",
-)
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf_top_terms(_docs(spark, sf_dir), k=3, max_df=5000)
-
-
-@_register(
-    "corpus_curation",
-    rf"""
-    WITH survivors AS (
-      SELECT MIN(doc_id) AS doc_id
-      FROM documents GROUP BY md5(replace(lower(text), ' ', ''))
-    ),
-    quality AS (
-      SELECT doc_id,
-             len(toks) AS n_tokens,
-             CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token,
-             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-               / length(text) AS punct_ratio
-      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
-            FROM documents)
-    ),
-    lang AS (
-      SELECT doc_id, pred_lang FROM ({_langid_oracle()})
-    )
-    SELECT d.doc_id, q.n_tokens, q.chars_per_token, l.pred_lang
-    FROM documents d
-    JOIN survivors USING (doc_id)
-    JOIN quality q ON q.doc_id = d.doc_id
-    JOIN lang l ON l.doc_id = d.doc_id
-    WHERE l.pred_lang = 'en' AND q.n_tokens >= 20 AND q.punct_ratio <= 0.2
-    """,
-    ("text", "dedup", "ext", "pipeline"),
-    "End-to-end corpus curation composite: exact-dedup survivors -> "
-    "language filter (en) -> quality thresholds. Deliberately a "
-    "SINGLE-PASS plan: quality and language are per-row expressions "
-    "computed inline (never corpus-sized join relations — those only "
-    "broadcast at toy scale), and the dedup survivor check is a window "
-    "over the fingerprint, so the whole pipeline is one scan plus one "
-    "shuffle on text_hash.",
-)
-def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import (
-        language_pred,
-        quality_columns,
-        tokenize,
-    )
-
-    docs = _docs(spark, sf_dir)
-    base = docs.select(
-        "doc_id", "text", tokenize(F.col("text")).alias("toks")
-    )
-    quality = quality_columns(F.col("text"), F.col("toks"))
-    pred_lang, _hits = language_pred(F.col("toks"))
-    enriched = base.select(
-        "doc_id",
-        text_fingerprint(F.col("text")).alias("text_hash"),
-        quality["n_tokens"].alias("n_tokens"),
-        quality["chars_per_token"].alias("chars_per_token"),
-        quality["punct_ratio"].alias("punct_ratio"),
-        pred_lang.alias("pred_lang"),
-    )
-    # survivor = min doc_id of the fingerprint group, computed over ALL
-    # copies (before any filter: near-copies sharing a normalized hash
-    # can differ in case/whitespace, hence in quality stats)
-    w = Window.partitionBy("text_hash").orderBy("doc_id")
-    return (
-        enriched.withColumn("rn", F.row_number().over(w))
-        .filter(
-            (F.col("rn") == 1)
-            & (F.col("pred_lang") == "en")
-            & (F.col("n_tokens") >= 20)
-            & (F.col("punct_ratio") <= 0.2)
-        )
-        .select("doc_id", "n_tokens", "chars_per_token", "pred_lang")
-    )
-
-
-@_register(
-    "frame_sample",
-    r"""
-    -- BYTE-addressed frames: hex(encode(text)) is 2 chars per BYTE, so
-    -- slicing the hex at doubled offsets states the engine's binary
-    -- slicing exactly for ANY content (the earlier VARCHAR slicing was
-    -- character-addressed and diverged on unicode — round-9 poison find)
-    WITH p AS (
-      SELECT doc_id, hex(encode(text)) AS payload_hex,
-             octet_length(encode(text)) AS n_bytes,
-             (octet_length(encode(text)) + 3) // 4 AS chunk
-      FROM documents
-    ),
-    f AS (SELECT p.*, unnest(generate_series(0, 3)) AS frame_idx FROM p)
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           CAST(frame_idx * chunk AS BIGINT) AS byte_start,
-           md5(substring(payload_hex,
-                         CAST(frame_idx * chunk * 2 + 1 AS BIGINT),
-                         CAST(chunk * 2 AS BIGINT))) AS frame_md5
-    FROM f WHERE frame_idx * chunk < n_bytes
-    """,
-    ("multimodal", "ext"),
-    "Evenly-spaced 4-frame byte-range sampling over binary payloads — "
-    "the video frame-split fan-out as pure JVM column expressions; "
-    "only per-frame decode would cross to Python. Frames fingerprint "
-    "as md5(hex(bytes)) (bijective; DuckDB md5 is VARCHAR-only and a "
-    "mid-codepoint byte slice is not castable text).",
-)
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.multimodal import frame_sample
-
-    return frame_sample(attach_binary_payload(_docs(spark, sf_dir)), n_frames=4)
-
-
-@_register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE pairs AS ({_minhash_pairs_oracle()}),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM pairs
-    ),
-    reach(id, r) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-    )
-    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
-    """,
-    ("dedup", "graph", "ext"),
-    "Connected components over the MinHash-LSH candidate graph: the "
-    "cluster assignment a dedup pipeline actually consumes (one survivor "
-    "per component). Distributed hash-min label propagation; the DuckDB "
-    "oracle states the same fixpoint as a recursive transitive closure.",
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.graph import connected_components
-
-    docs = _docs(spark, sf_dir)
-    edges = lsh_candidate_pairs(minhash_signatures(docs))
-    return connected_components(docs.select("doc_id"), edges)
-
-
-_MD5INT = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
-
-
-@_register(
-    "train_test_split",
-    f"""
-    SELECT doc_id,
-           CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-                THEN 'train' ELSE 'test' END AS split,
-           {_MD5INT.format(x="'epoch0:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
-    FROM documents
-    """,
-    ("sampling", "ext"),
-    "Deterministic hash-based train/test split (80/20) plus an epoch-0 "
-    "reshuffle sort key. Pure per-row md5 arithmetic: stable under "
-    "reruns, engines, row order, and partitioning — the reproducibility "
-    "contract random() splits cannot give.",
-)
-def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import shuffle_key, split_assign
-
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        split_assign(F.col("doc_id")).alias("split"),
-        shuffle_key(F.col("doc_id")).alias("shuffle_key"),
-    )
-
-
-@_register(
-    "pack_sequences",
-    rf"""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-             CAST({_MD5INT.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % 32 AS INT)
-               AS shard
-      FROM documents
-    ),
-    c AS (
-      SELECT shard, doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
-               - n_tokens AS prev
-      FROM t
-    )
-    SELECT shard, prev // 512 AS pack_id, doc_id, prev % 512 AS offset_in_pack
-    FROM c
-    """,
-    ("sampling", "window", "ext"),
-    "Concat-then-chunk sequence packing (GPT-pretraining semantic): each "
-    "document goes to the 512-token context window containing its start "
-    "offset. Sharded md5 partitioning keeps the cumsum windows parallel — "
-    "no global single-task sort.",
-)
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import pack_sequences
-
-    docs = _docs(spark, sf_dir)
-    with_tokens = docs.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
-    )
-    return pack_sequences(with_tokens, budget=512, shards=32)
-
-
-@_register(
-    "mixture_sample",
-    f"""
-    SELECT doc_id, source
-    FROM documents
-    WHERE {_MD5INT.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 100
-          < CASE WHEN source = 'src0' THEN 10
-                 WHEN source = 'src1' THEN 50
-                 ELSE 100 END
-    """,
-    ("sampling", "ext"),
-    "Per-source down-sampling to a target data mixture (src0 -> 10%, "
-    "src1 -> 50%, rest kept). md5-hash selection: reproducible, "
-    "partition-independent, stable under corpus growth — one narrow "
-    "filter, no shuffle.",
-)
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import mixture_sample
-
-    docs = _docs(spark, sf_dir)
-    return mixture_sample(docs, {"src0": 10, "src1": 50}).select("doc_id", "source")
-
-
-@_register(
-    "stratified_sample",
-    f"""
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY {_MD5INT.format(x="'strat:' || CAST(doc_id AS VARCHAR)")},
-                        doc_id) AS rn
-      FROM documents
-    ) WHERE rn <= 40
-    """,
-    ("sampling", "window", "ext"),
-    "Exact-count stratified sampling: the 40 smallest-salted-md5 docs "
-    "per source — the fixed-quota twin of mixture_sample's rate-based "
-    "thinning ('exactly N docs per language/domain'). Hash ordering "
-    "keeps the sample deterministic with bounded churn under corpus "
-    "growth; the per-stratum quota compiles to WindowGroupLimit, so "
-    "map tasks pre-prune to their local top-n before the stratum "
-    "shuffle (plan-pinned in tests/test_plans.py).",
-)
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import stratified_sample
-
-    docs = _docs(spark, sf_dir)
-    return stratified_sample(docs, 40).select("doc_id", "source")
-
-
-def _ngram_expr_sql(n: int) -> str:
-    gram = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(n))
-    return rf"""
-      SELECT doc_id, split, unnest(list_distinct(list_transform(
-               CASE WHEN len(toks) - {n - 1} >= 1
-                    THEN generate_series(1, len(toks) - {n - 1})
-                    ELSE [] END,
-               i -> {gram}))) AS shingle
-      FROM (SELECT doc_id, split,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
-            FROM split_docs)
-    """
-
-
-@_register(
-    "decontaminate",
-    rf"""
-    WITH split_docs AS (
-      SELECT doc_id, text,
-             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-                  THEN 'train' ELSE 'test' END AS split
-      FROM documents
-    ),
-    sh AS ({_ngram_expr_sql(8)}),
-    held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
-    SELECT s.doc_id, COUNT(*) AS n_hits
-    FROM sh s JOIN held USING (shingle)
-    WHERE s.split = 'train'
-    GROUP BY 1
-    """,
-    ("dedup", "sampling", "ext"),
-    "Benchmark decontamination: train-split documents sharing any "
-    "8-gram with the held-out split (GPT-3 appendix-C overlap rule). "
-    "Held-out shingles broadcast (evaluation-set-sized); the corpus "
-    "side never shuffles document bodies.",
-)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import decontaminate
-    from ..extensions.sampling import split_assign
-
-    docs = _docs(spark, sf_dir).withColumn(
-        "split", split_assign(F.col("doc_id"))
-    )
-    train = docs.filter(F.col("split") == "train")
-    held = docs.filter(F.col("split") == "test")
-    return decontaminate(train, held, n=8)
-
-
-@_register(
-    "zscore_by_type",
-    """
-    WITH stats AS (
-      SELECT event_type,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-               / COUNT(*) AS mean,
-             CAST(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-               / COUNT(*) AS meansq
-      FROM events GROUP BY event_type
-    )
-    SELECT event_id, e.event_type,
-           CASE WHEN meansq - mean * mean > 0
-                THEN (value - mean) / sqrt(meansq - mean * mean)
-                ELSE 0.0 END AS zscore
-    FROM events e JOIN stats USING (event_type)
-    """,
-    ("agg", "join", "ext"),
-    "Per-group z-score normalization (feature standardization) as a "
-    "two-pass aggregate + broadcast join: groupBy(event_type) computes "
-    "decimal-routed mean/variance (map-side partial agg collapses each "
-    "task to <=5 rows, so the shuffle is bytes), then the tiny stats "
-    "relation broadcasts back onto the facts — no shuffle of the fact "
-    "table at all. A Window.partitionBy(event_type) formulation would "
-    "pin 100 TB onto ~5 unsplittable sort tasks; this shape scales "
-    "with input splits. Sums stay decimal-routed for bit-parity. "
-    "Zero-variance groups score 0.0 (the group_outliers_scalable "
-    "convention) — added in round 9: under Spark's default ANSI mode "
-    "the unguarded division THREW DIVIDE_BY_ZERO on any constant-"
-    "valued group (legal input the random testdata never produces; "
-    "caught by the degenerate-content probe).",
-)
-def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    stats = ev.groupBy("event_type").agg(
-        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
-            "mean"
-        ),
-        (
-            F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).cast("double")
-            / F.count("*")
-        ).alias("meansq"),
-    )
-    var = F.col("meansq") - F.col("mean") * F.col("mean")
-    return ev.join(F.broadcast(stats), "event_type").select(
-        "event_id",
-        "event_type",
-        F.when(
-            var > 0,
-            (F.col("value") - F.col("mean")) / F.sqrt(var),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("zscore"),
-    )
-
-
-@_register(
-    "repetition_stats",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, unnest(list_transform(
-               CASE WHEN len(toks) - 1 >= 1
-                    THEN generate_series(1, len(toks) - 1)
-                    ELSE [] END,
-               i -> toks[i] || ' ' || toks[i+1])) AS gram
-      FROM t
-    ),
-    per_gram AS (
-      SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
-    )
-    SELECT doc_id,
-           CAST(SUM(cnt) AS BIGINT) AS n_grams,
-           CAST(MAX(cnt) AS BIGINT) AS top_count,
-           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_gram_frac,
-           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS dup_gram_frac
-    FROM per_gram GROUP BY 1
-    """,
-    ("text", "ext"),
-    "Gopher repetition quality signals per document (top-bigram share, "
-    "duplicate-bigram share) via two partial-aggregable shuffles.",
-)
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import repetition_stats
-
-    return repetition_stats(_docs(spark, sf_dir), n=2)
-
-
-@_register(
-    "pii_scrub",
-    r"""
-    WITH seeded AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0
-                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                       || '@example.com or +555 123-4567'
-                  ELSE text END AS text
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
-             AS n_email,
-           CAST(len(regexp_extract_all(text,
-                '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phone,
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS scrubbed
-    FROM seeded
-    """,
-    ("text", "ext"),
-    "PII redaction (emails + phone numbers -> placeholder tokens) over "
-    "a deterministically seeded corpus (every third doc gets synthetic "
-    "PII, so the scrub provably fires). Patterns restricted to the "
-    "Java-regex/RE2 common subset; pure regexp column expressions.",
-)
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import pii_scrub
-
-    docs = _docs(spark, sf_dir)
-    seeded = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or +555 123-4567"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    return pii_scrub(seeded)
-
-
-@_register(
-    "scd2_intervals",
-    """
-    SELECT o_custkey,
-           o_orderstatus AS status,
-           CAST(o_orderdate AS VARCHAR) AS valid_from,
-           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                        ORDER BY o_orderdate, o_orderkey)
-                AS VARCHAR) AS valid_to
-    FROM orders
-    """,
-    ("window", "dim", "ext"),
-    "SCD type-2 interval construction: each per-key change event gets "
-    "[valid_from, valid_to) via lead() over the key's change history — "
-    "the dimension-history layer the reference's overwrite-in-place "
-    "dims discard. High-cardinality window partition (one shuffle), "
-    "open intervals as NULL valid_to.",
-)
-def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_orderdate").cast("string").alias("valid_from"),
-        F.lead("o_orderdate").over(w).cast("string").alias("valid_to"),
-    )
-
-
-@_register(
-    "json_props_stats",
-    """
-    WITH x AS (
-      SELECT event_type,
-             CASE WHEN json_valid(props)
-                       AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
-                  THEN TRY_CAST(json_extract(props, '$.k') AS INT)
-             END AS k
-      FROM events
-    )
-    SELECT event_type,
-           CAST(SUM(k) AS BIGINT) AS sum_k,
-           CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
-    FROM x GROUP BY 1
-    """,
-    ("json", "P1", "ext"),
-    "Semi-structured column extraction: typed from_json over the props "
-    "JSON payload feeding a per-type aggregate — the column-level twin "
-    "of the raw-layer envelope flattening (S1), all inside whole-stage "
-    "codegen (Jackson parse per row, no UDF). from_json is "
-    "NULL-tolerant on degenerate payloads — malformed JSON, a "
-    "non-integer k (7.9, \"7\", true), int overflow — and the oracle "
-    "states the same totality (json_valid + json_type integer gate + "
-    "TRY_CAST): a bare json_extract CAST raised on exactly those rows "
-    "and TRY_CAST alone ROUNDS '7.9' where from_json returns NULL "
-    "(round-9 poison matrix).",
-)
-def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    k = F.from_json("props", "k int").getField("k")
-    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
-        F.sum("k").alias("sum_k"),
-        F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
-    )
-
-
-@_register(
-    "variant_topk_props",
-    r"""
-    WITH x AS (
-      SELECT event_type,
-             CASE WHEN json_valid(props) AND regexp_matches(
-                    COALESCE(json_extract_string(props, '$.k'), ''),
-                    '^[\x00-\x20]*[-+]?[0-9]+[\x00-\x20]*$')
-                  THEN TRY_CAST(regexp_extract(
-                         json_extract_string(props, '$.k'),
-                         '[-+]?[0-9]+', 0) AS BIGINT)
-             END AS k
-      FROM events
-    ), c AS (
-      SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n
-      FROM x WHERE k IS NOT NULL GROUP BY event_type, k
-    )
-    SELECT event_type, k, n, rn FROM (
-      SELECT event_type, k, n,
-             CAST(row_number() OVER (PARTITION BY event_type
-                                     ORDER BY n DESC, k) AS INT) AS rn
-      FROM c
-    ) WHERE rn <= 5
-    """,
-    ("json", "variant", "P1", "window", "ext"),
-    "Schema-free semi-structured extraction via Spark 4 VARIANT "
-    "(try_parse_json -> try_variant_get): top-5 most frequent props.k "
-    "per event type. The variant path parses the JSON text ONCE into "
-    "the binary variant encoding and extracts typed fields from it — "
-    "at 100 TB the scale answer to repeated json string parsing when "
-    "the payload schema is open (from_json's fixed struct, the "
-    "json_props_stats twin, is the closed-schema answer). The field is "
-    "extracted as STRING and try_cast to bigint — semantics the oracle "
-    "states with a json_valid + integer-regex gate (k=3.5 or k=true "
-    "-> NULL on BOTH engines, k=\"7\" -> 7 on both; a direct "
-    "try_variant_get(..., 'bigint') would truncate doubles and coerce "
-    "booleans, and DuckDB's bare TRY_CAST ROUNDS '7.9' where Spark's "
-    "try_cast returns NULL — both silent divergences, pinned by the "
-    "round-9 poison matrix). Malformed props rows are NULL on both "
-    "sides, never an oracle error. ADVICE r9: the gate regex admits "
-    "[\\x00-\\x20]-padded signed integers (Spark's cast trims every "
-    "char <= 0x20 and accepts a leading +) and the cast is TRY_CAST "
-    "of the extracted digits, so uint64-range literals NULL instead "
-    "of raising — round-10 poison payloads pin all three.",
-)
-def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "string").try_cast(
-        "bigint"
-    )
-    counts = (
-        ev.select("event_type", k.alias("k"))
-        .filter(F.col("k").isNotNull())
-        .groupBy("event_type", "k")
-        .agg(F.count("*").alias("n"))
-    )
-    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.col("k"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("event_type", "k", "n", "rn")
-    )
-
-
-@_register(
-    "weighted_sample",
-    r"""
-    WITH scored AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS weight,
-             ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))
-               ::BIGINT + 1 AS h
-      FROM documents
-    )
-    SELECT doc_id, CAST(weight AS INT) AS weight,
-           round(ln(CAST(h AS DOUBLE) / 1152921504606846976) / weight, 9)
-             AS priority
-    FROM scored
-    WHERE weight > 0
-    ORDER BY priority DESC, doc_id
-    LIMIT 100
-    """,
-    ("sampling", "ext"),
-    "Deterministic weighted sampling without replacement (Efraimidis-"
-    "Spirakis order sampling, md5-derived uniforms, ln(u)/w priorities "
-    "— no engine-variant pow, no rand()): top-100 docs weighted by "
-    "token count. Executes as TakeOrdered (per-partition heap + "
-    "k-sized merge), never a global sort.",
-)
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import weighted_sample
-    from ..extensions.text_analysis import token_count
-
-    docs = _docs(spark, sf_dir)
-    return weighted_sample(docs, k=100, weight=token_count(F.col("text")))
-
-
-@_register(
-    "bm25_topk",
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    doc_len AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len_d
-                FROM tf GROUP BY 1),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-    stats AS (
-      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-             (SELECT CAST(SUM(len_d) AS BIGINT) FROM doc_len) AS total_len
-    ),
-    qterms AS (
-      SELECT DISTINCT doc_id AS query_id, term
-      FROM toks WHERE doc_id < 3
-    ),
-    scored AS (
-      SELECT q.query_id, tf.doc_id,
-             CAST(CAST(SUM(CAST(
-               ln(CAST(1.0 AS DOUBLE)
-                  + (n_docs - df + CAST(0.5 AS DOUBLE))
-                    / (df + CAST(0.5 AS DOUBLE)))
-               * (tf * CAST(2.2 AS DOUBLE))
-               / (tf + CAST(1.2 AS DOUBLE)
-                       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                          + CAST(0.75 AS DOUBLE)
-                            * (len_d / (CAST(total_len AS DOUBLE) / n_docs))))
-               AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS score
-      FROM tf
-      JOIN qterms q USING (term)
-      JOIN dfreq USING (term)
-      JOIN doc_len ON tf.doc_id = doc_len.doc_id
-      CROSS JOIN stats
-      GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
-    FROM (SELECT query_id, doc_id, score,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, doc_id) AS rnk
-          FROM scored)
-    WHERE rnk <= 5
-    """,
-    ("text", "similarity", "ext", "rag"),
-    "BM25 top-5 retrieval (queries = the first 3 documents, the "
-    "cosine_knn-style Q<<N contract): the lexical-retrieval half of a "
-    "RAG pipeline as a batch join — broadcast query terms prune the "
-    "postings, decimal-routed per-(query,doc) score sum, one window "
-    "per query over candidates only. Robertson/Lucene positive idf.",
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import bm25_topk
-
-    docs = _docs(spark, sf_dir)
-    queries = docs.filter(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
-    return bm25_topk(docs, queries, k=5)
-
-
-@_register(
-    "binned_quantiles",
-    """
-    WITH hist AS (
-      SELECT event_type,
-             CAST(least(greatest(floor((value - 0.0) / 0.5), 0), 999) AS INT)
-               AS bucket,
-             COUNT(*) AS n
-      FROM events GROUP BY 1, 2
-    ),
-    c AS (
-      SELECT event_type, bucket, n,
-             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
-                          ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(n) OVER (PARTITION BY event_type) AS total
-      FROM hist
-    )
-    SELECT event_type,
-           MIN(CASE WHEN cum * 100 >= total * 50
-                    THEN 0.0 + CAST(bucket AS DOUBLE) * CAST(0.5 AS DOUBLE)
-               END) AS q_50,
-           MIN(CASE WHEN cum * 100 >= total * 95
-                    THEN 0.0 + CAST(bucket AS DOUBLE) * CAST(0.5 AS DOUBLE)
-               END) AS q_95
-    FROM c GROUP BY 1
-    """,
-    ("aggregate", "sketch", "ext"),
-    "Histogram-binned p50/p95 per event type: the oracle-checkable, "
-    "partial-aggregable quantile path (exact percentiles sort each "
-    "group; approx_percentile sketches are engine-private). One "
-    "map-side combined histogram pass over the facts; the cumulative "
-    "window runs over the <=|keys|x1000-row histogram only. Integer "
-    "threshold arithmetic so bucket boundaries cannot drift between "
-    "engines.",
-)
-def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import binned_quantiles
-
-    return binned_quantiles(
-        _events(spark, sf_dir), "event_type", "value", (50, 95), 1000, 0.0, 500.0
-    )
-
-
-@_register(
-    "profile_orders",
-    """
-    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
-           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
-           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
-           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
-           CAST(MIN(o_orderstatus) AS VARCHAR),
-           CAST(MAX(o_orderstatus) AS VARCHAR)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
-           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
-           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
-    FROM orders
-    """,
-    ("aggregate", "profiling", "ext"),
-    "One-pass per-column profile (nulls / exact distinct / min / max) "
-    "over four orders columns — ANALYZE-TABLE statistics via a single "
-    "Expand-based multi-distinct aggregation, unpivoted with stack. "
-    "The oracle states the same numbers as four single-column passes.",
-)
-def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import profile_columns
-
-    return profile_columns(
-        _t(spark, sf_dir, "orders"),
-        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
-    )
-
-
-@_register(
-    "trailing_hour_sum",
-    """
-    SELECT event_id, user_id,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
-                  PARTITION BY user_id ORDER BY secs
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_sum
-    FROM (SELECT event_id, user_id, value,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS secs
-          FROM events) t
-    """,
-    ("window", "W1", "ext"),
-    "Event-time RANGE frame: per user, the trailing-1-hour value sum at "
-    "each event (sliding-lookback feature). Window partitions on the "
-    "HIGH-cardinality user_id — the frame is per-user ordered state, "
-    "one shuffle, decimal-routed so tie order inside the frame cannot "
-    "change the bits.",
-)
-def q_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("secs")
-        .rangeBetween(-3600, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(F.col("value").cast("decimal(25,6)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_sum"),
-    )
-
-
-@_register(
-    "rank_with_ties",
-    """
-    SELECT o_custkey,
-           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-           CAST(rank() OVER w AS INT) AS rnk,
-           CAST(dense_rank() OVER w AS INT) AS drnk
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY date_trunc('month', o_orderdate) DESC)
-    """,
-    ("window", "W1"),
-    "rank vs dense_rank with real ties (orders ranked per customer by "
-    "order month): tied rows share a rank, so the result is fully "
-    "deterministic without a total order — the W-family member the "
-    "row_number queries cannot express. High-cardinality partition key.",
-)
-def q_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc(F.trunc("o_orderdate", "month")))
-    return o.select(
-        "o_custkey",
-        F.col("o_orderdate").cast("string").alias("o_orderdate"),
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
-    )
-
-
-@_register(
-    "budget_select",
-    r"""
-    WITH scored AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-      FROM documents
-      WHERE text IS NOT NULL
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
-                                 ROWS UNBOUNDED PRECEDING) AS cum
-      FROM scored
-    )
-    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
-    FROM c WHERE cum <= 10000
-    """,
-    ("sampling", "ext"),
-    "Token-budget corpus selection (keep the best docs until 10k "
-    "tokens): engine side is a bounded score histogram + broadcast "
-    "joins — only the single boundary score group is ever sorted; the "
-    "oracle states the same keep-rule as a naive global ordered cumsum. "
-    "NULL-text docs are EXCLUDED from selection on both sides (round-10 "
-    "NULL poison sweep): the engine's NULL token count drops out of the "
-    "histogram equi-joins, while the oracle's SUM-ignores-NULL window "
-    "was silently KEEPING them with a free cum — the WHERE text IS NOT "
-    "NULL states the engine's (and the only sensible) semantics: a doc "
-    "with no text cannot spend token budget.",
-)
-def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import budget_select
-
-    return budget_select(_docs(spark, sf_dir), budget_tokens=10000)
-
-
-@_register(
-    "canonical_dedup",
-    r"""
-    WITH scored AS (
-      SELECT doc_id,
-             md5(replace(lower(text), ' ', '')) AS fp,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-      FROM documents
-    ),
-    ranked AS (
-      SELECT doc_id, n_tokens, fp,
-             COUNT(*) OVER (PARTITION BY fp) AS n_members,
-             row_number() OVER (PARTITION BY fp
-                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
-      FROM scored
-    )
-    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           CAST(n_members AS BIGINT) AS n_members
-    FROM ranked WHERE rn = 1
-    """,
-    ("dedup", "ext", "A2", "A5"),
-    "Quality-aware exact dedup (canonical selection): per duplicate "
-    "group keep the member with the most tokens, ties to lowest "
-    "doc_id — argmax-by-struct in one partial-aggregable groupBy, no "
-    "per-group sort (the oracle states the same choice as a window).",
-)
-def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import canonical_dedup
-
-    return canonical_dedup(_docs(spark, sf_dir))
-
-
-@_register(
-    "unigram_logprob",
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM vocab)
-    SELECT doc_id,
-           CAST(SUM(tf) AS BIGINT) AS n_tokens,
-           CAST(CAST(SUM(CAST(tf * ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE))
-                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-             / CAST(SUM(tf) AS BIGINT) AS logprob
-    FROM tf JOIN vocab USING (term) CROSS JOIN tot
-    GROUP BY 1
-    """,
-    ("text", "ext", "lm"),
-    "Corpus-LM quality score (mean per-token unigram log-probability): "
-    "the distributable, artifact-free core of the KenLM-style "
-    "perplexity filters (CCNet / GPT-3 appendix A) — two partial-agg "
-    "shuffles, vocabulary broadcast, decimal-routed weighted ln-sum.",
-)
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import unigram_logprob
-
-    return unigram_logprob(_docs(spark, sf_dir))
-
-
-@_register(
-    "boilerplate_ratio",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, unnest(list_transform(
-               CASE WHEN len(toks) - 2 >= 1
-                    THEN generate_series(1, len(toks) - 2)
-                    ELSE [] END,
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-      FROM t
-    ),
-    gram_df AS (
-      SELECT gram, COUNT(*) AS df
-      FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY 1
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(SUM(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS common_frac
-    FROM grams JOIN gram_df USING (gram)
-    GROUP BY 1
-    """,
-    ("text", "ext", "dedup"),
-    "Corpus-boilerplate signal: fraction of a doc's 3-gram positions "
-    "covered by grams shared with >10 other docs (the corpus-level "
-    "statement of C4/RefinedWeb boilerplate removal). Count-only "
-    "arithmetic — exact on both engines; the gram-df relation joins "
-    "un-broadcast on the high-cardinality gram key.",
-)
-def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import boilerplate_ratio
-
-    return boilerplate_ratio(_docs(spark, sf_dir), n=3, common_df=10)
-
-
-@_register(
-    "chunk_documents",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
-             len(string_split_regex(trim(text), '\s+')) AS n
-      FROM documents
-    ),
-    -- parallel unnests zip positionally: stride-24 starts with 0-based idx
-    s AS (
-      SELECT doc_id, toks, n,
-             unnest(generate_series(1, greatest(n, 1), 24)) AS start,
-             unnest(generate_series(0, (greatest(n, 1) - 1) // 24)) AS chunk_idx
-      FROM t
-    )
-    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-           CAST(len(toks[start : least(start + 31, n)]) AS INT) AS n_chunk_tokens,
-           array_to_string(toks[start : least(start + 31, n)], ' ') AS chunk_text
-    FROM s WHERE start <= n
-    """,
-    ("sampling", "text", "ext"),
-    "Sliding-window token chunking (32-token windows, 8-token overlap): "
-    "the RAG / context-window preprocessing fan-out as pure column "
-    "expressions — sequence arithmetic + array slice, no UDF.",
-)
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import chunk_documents
-
-    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
-
-
-@_register(
-    "nb_lang_classifier",
-    rf"""
-    WITH split AS (
-      SELECT doc_id, lang, text,
-             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-                  THEN 'train' ELSE 'test' END AS split
-      FROM documents
-    ),
-    ttok AS (
-      SELECT lang AS label,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      FROM split WHERE split = 'train'
-    ),
-    model AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS cnt
-              FROM ttok GROUP BY 1, 2),
-    class_tok AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n_tok
-                  FROM model GROUP BY 1),
-    class_docs AS (SELECT lang AS label, COUNT(*) AS n_docs
-                   FROM split WHERE split = 'train' GROUP BY 1),
-    n_train AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM class_docs),
-    vocab AS (SELECT COUNT(DISTINCT term) AS v_size FROM model),
-    consts AS (
-      SELECT label,
-             ln(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)) AS ln_prior,
-             ln(CAST(n_tok + v_size AS DOUBLE)) AS ln_denom
-      FROM class_docs JOIN class_tok USING (label)
-      CROSS JOIN n_train CROSS JOIN vocab
-    ),
-    dtok AS (
-      SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      FROM split WHERE split = 'test'
-    ),
-    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM dtok GROUP BY 1, 2),
-    dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens
-             FROM dtf GROUP BY 1),
-    matched AS (
-      SELECT doc_id, label,
-             CAST(CAST(SUM(CAST(tf * ln(CAST(cnt + 1 AS DOUBLE))
-                           AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS m
-      FROM dtf JOIN model USING (term) GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT d.doc_id, c.label AS pred_label,
-             c.ln_prior - d.n_tokens * c.ln_denom + COALESCE(m.m, 0.0) AS score
-      FROM dlen d CROSS JOIN consts c
-      LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.label = c.label
-    ),
-    pred AS (
-      SELECT doc_id, pred_label FROM (
-        SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, pred_label) AS rnk
-        FROM scored
-      ) WHERE rnk = 1
-    )
-    SELECT t.doc_id, t.lang AS label, p.pred_label,
-           CAST(t.lang = p.pred_label AS INT) AS hit
-    FROM (SELECT doc_id, lang FROM split WHERE split = 'test') t
-    JOIN pred p USING (doc_id)
-    """,
-    ("classify", "ext", "llm"),
-    "Distributed supervised text classification: multinomial Naive "
-    "Bayes language classifier trained on the deterministic md5 80% "
-    "split, scored on the held-out 20% — the fastText-style "
-    "quality/language-filter family of LLM curation as one training "
-    "aggregation + one sparse inference join + an argmax window. The "
-    "smoothing floor folds into a closed-form per-class base term so "
-    "the dense doc x class x vocab tensor never materializes; graded "
-    "output is integer/label-only (the decimal-routed float machinery "
-    "stays internal to the argmax). The synthetic corpus carries no "
-    "text-lang mutual information, so accuracy sits at the prior by "
-    "construction — the graded artifact is the exact distributed "
-    "train+score computation; learning behavior is pinned by the "
-    "marker-injection test in tests/test_extensions_round5b.py.",
-)
-def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.classify import nb_evaluate
-
-    return nb_evaluate(_docs(spark, sf_dir), label_col="lang")
-
-
-@_register(
-    "semantic_dedup",
-    f"""
-    WITH v AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
-    drops AS (
-      SELECT DISTINCT b.vec_id AS dropped
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_ocos('a.qv', 'b.qv')} >= 0.3
-    )
-    SELECT e.vec_id, e.label,
-           CAST(d.dropped IS NULL AS INT) AS keep
-    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.dropped
-    """,
-    ("similarity", "dedup", "ext", "llm"),
-    "SemDeDup (arXiv:2303.09540): within-cluster embedding-cosine "
-    "pruning — drop any vector with a smaller-id same-cluster neighbor "
-    "at cosine >= 0.3 (parallel-monotone keep rule). The cluster key "
-    "here is the corpus label standing in for the IVF coarse-quantizer "
-    "cell id (build_ivf_index emits exactly that assignment at scale); "
-    "pair generation joins ON the cluster key so work is sum of "
-    "squared cell sizes, never corpus-quadratic. Quantized exact "
-    "cosine, integer decision output.",
-)
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import semantic_dedup
-
-    return semantic_dedup(_emb(spark, sf_dir), threshold=0.3)
-
-
-@_register(
-    "temperature_mixture",
-    rf"""
-    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents
-               WHERE lang IS NOT NULL GROUP BY 1),
-    m AS (SELECT MIN(c) AS c_min FROM c),
-    r AS (
-      SELECT lang,
-             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c AS DOUBLE))
-                        * 1000000) AS BIGINT) AS keep_ppm
-      FROM c CROSS JOIN m
-    )
-    SELECT d.doc_id, d.lang
-    FROM documents d JOIN r USING (lang)
-    WHERE {_MD5INT.format(x="'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
-            < keep_ppm
-    """,
-    ("sampling", "ext", "llm"),
-    "Square-root temperature rebalancing (the alpha=0.5 member of "
-    "T5/mBERT's temperature-scaled language mixing): downsample each "
-    "language at rate sqrt(c_min/c) so kept counts go ~ c^0.5 — the "
-    "head flattens toward the tail, the smallest language keeps 100%. "
-    "Census aggregate -> broadcast rate relation -> md5 ppm thinning; "
-    "sqrt of an IEEE division is bit-exact in both engines (pow is "
-    "not, which fixes the exponent at the sqrt point).",
-)
-def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import temperature_sample
-
-    docs = _docs(spark, sf_dir)
-    return temperature_sample(docs, source_col="lang").select("doc_id", "lang")
-
-
-@_register(
-    "orc_roundtrip",
-    """
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY 1
-    """,
-    ("source", "K2", "ext"),
-    "ORC write + read round-trip: the documents metadata projection "
-    "written as lang-partitioned ORC (Spark's second native columnar "
-    "format — same predicate-pushdown/column-pruning contract as "
-    "parquet), read back through partition discovery, and aggregated. "
-    "The oracle states the invariant (round-trip preserves the "
-    "aggregate) straight from parquet; the partition column survives "
-    "the directory encoding as its string form.",
-)
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    # unique scratch dir per invocation (same contract as csv_roundtrip)
-    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
-    docs.write.mode("overwrite").partitionBy("lang").orc(out)
-    # explicit schema: an all-empty write leaves only _SUCCESS and
-    # schema inference would fail; the partition column is declared
-    # string (its directory-encoded form) either way
-    back = spark.read.schema("doc_id long, n_chars long, lang string").orc(out)
-    return back.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-
-@_register(
-    "global_row_index",
-    """
-    SELECT doc_id,
-           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_index
-    FROM documents
-    """,
-    ("sampling", "ext", "llm", "window"),
-    "Contiguous global row numbering in doc_id order WITHOUT the "
-    "single-partition global sort a naive row_number() plans: bounded "
-    "approxQuantile boundary probe -> range buckets -> partitioned "
-    "window + buckets-sized prefix offsets + broadcast join. Output is "
-    "independent of the probe's sampling error; the only unpartitioned "
-    "window runs over |buckets| rows. The sample-index assignment step "
-    "of training-data ordering (epoch shuffling, resumable loaders).",
-)
-def q_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.sampling import global_row_index
-
-    return global_row_index(_docs(spark, sf_dir), key_col="doc_id").select(
-        "doc_id", "row_index"
-    )
-
-
-@_register(
-    "salted_join_brand_revenue",
-    f"""
-    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
-           {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY 1
-    """,
-    ("join", "skew", "ext"),
-    "Skew-resilient salted equi-join (operators.joins.salted_join): "
-    "the dim side replicates across 16 salt buckets, each fact row "
-    "routes by a hash of its OWN identity (never the join key), and "
-    "the (key, salt) join splits any hot key across 16 reducers. The "
-    "oracle states the plain join — identical result multiset by "
-    "construction; the manual twin of AQE skew-split for the shapes "
-    "AQE cannot split (shuffled-hash build sides, downstream agg "
-    "state).",
-)
-def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.joins import salted_join
-
-    li = _t(spark, sf_dir, "lineitem")
-    pt = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
-    joined = salted_join(
-        li, pt, on="l_partkey", row_key=["l_orderkey", "l_linenumber"]
-    )
-    return joined.groupBy("p_brand").agg(
-        F.count("*").alias("n_items"),
-        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
-            "revenue"
-        ),
-    )
-
-
-@_register(
-    "duplicate_spans",
-    rf"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents
-    ),
-    g AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 8 THEN
-               list_transform(generate_series(1, len(toks) - 7),
-                 i -> {_MD5INT.format(x="array_to_string(toks[i:i+7], ' ')")})
-             ELSE CAST([] AS BIGINT[]) END AS ghs
-      FROM t
-    ),
-    p AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
-    gdf AS (SELECT gh, COUNT(DISTINCT doc_id) AS n_docs FROM p GROUP BY 1),
-    stats AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
-             CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_positions
-      FROM p JOIN gdf USING (gh) GROUP BY 1
-    )
-    SELECT d.doc_id,
-           COALESCE(s.n_positions, 0) AS n_positions,
-           COALESCE(s.n_dup_positions, 0) AS n_dup_positions,
-           CASE WHEN COALESCE(s.n_positions, 0) > 0
-                THEN CAST(s.n_dup_positions AS DOUBLE) / s.n_positions
-                ELSE 0.0 END AS dup_frac
-    FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
-    """,
-    ("dedup", "text", "ext", "llm"),
-    "Cross-document repeated-span detection: the fixed-k member of "
-    "exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 — any "
-    "repeat >= k tokens contains a repeated k-gram). Positions carry "
-    "only 60-bit md5 gram hashes; gram document-frequency aggregates "
-    "BEFORE the join back (boilerplate_ratio economics), nothing is "
-    "pairwise — linear in corpus tokens. dup_frac marks templated / "
-    "mirrored text that per-doc MinHash under-weighs and "
-    "within-doc repetition stats cannot see.",
-)
-def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import duplicate_span_stats
-
-    return duplicate_span_stats(_docs(spark, sf_dir), k=8, min_docs=2)
-
-
-@_register(
-    "bigram_logprob",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents
-    ),
-    b AS (
-      SELECT doc_id,
-             unnest(toks[1:len(toks) - 1]) AS w1,
-             unnest(toks[2:len(toks)]) AS w2
-      FROM t WHERE len(toks) >= 2
-    ),
-    tf2 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b GROUP BY 1, 2, 3),
-    c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
-    SELECT doc_id,
-           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           CAST(CAST(SUM(CAST(tf * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
-                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-             / CAST(SUM(tf) AS BIGINT) AS bigram_logprob
-    FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-    GROUP BY 1
-    """,
-    ("text", "ext", "lm", "llm"),
-    "Order-2 corpus-LM quality score (mean bigram conditional "
-    "log-probability, history counts derived from the bigram relation "
-    "so the conditional is true MLE): the smallest LM that sees word "
-    "order — scrambled text scores low even with a clean unigram "
-    "profile. One tokenize (lazily checkpointed doc x bigram "
-    "aggregation feeds model AND scoring), (w1,w2)-keyed shuffle "
-    "join, broadcast history vocab, decimal-routed ln-sum.",
-)
-def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.text_analysis import bigram_logprob
-
-    return bigram_logprob(_docs(spark, sf_dir))
-
-
-
-@_register(
-    "funnel_conversion",
-    f"""
-    WITH e AS (SELECT user_id AS u, event_type AS t,
-                      {_OSECS.format(ts='ts')} AS s FROM events),
-    s1 AS (SELECT u, MIN(s) AS ts_prev FROM e WHERE t = 'signup' GROUP BY 1),
-    s2 AS (SELECT e.u, MIN(e.s) AS ts_prev
-           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.ts_prev
-           WHERE e.t = 'click' GROUP BY 1),
-    s3 AS (SELECT e.u, MIN(e.s) AS ts_prev
-           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.ts_prev
-           WHERE e.t = 'purchase' GROUP BY 1)
-    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
-           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
-    UNION ALL
-    SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
-    UNION ALL
-    SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
-    """,
-    ("events", "analytics", "ext"),
-    "Ordered-funnel conversion (signup -> click -> purchase, each step "
-    "strictly after the previous): greedy-earliest chain semantics "
-    "(complete — if any increasing chain exists, the greedy one does). "
-    "Each stage is one event-type filter + user-keyed join + per-user "
-    "MIN; the relation shrinks monotonically, raw events never move "
-    "past the first aggregation. The dashboard-tier question over the "
-    "curated events layer (SURVEY.md 2.7's windowed aggregates are "
-    "the single-step case).",
-)
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import funnel_stages
-
-    out = funnel_stages(
-        _events(spark, sf_dir), steps=("signup", "click", "purchase")
-    )
-    return out.select(
-        F.col("stage").cast("long").alias("stage"), "step", "n_users"
-    )
-
-
-@_register(
-    "retention_cohorts",
-    """
-    WITH a AS (SELECT DISTINCT user_id AS u,
-                      CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
-               FROM events),
-    c AS (SELECT u, MIN(w) AS cohort_week FROM a GROUP BY 1)
-    SELECT c.cohort_week, a.w - c.cohort_week AS week_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM a JOIN c USING (u) GROUP BY 1, 2
-    """,
-    ("events", "analytics", "ext"),
-    "Cohort retention triangle: users bucketed by first-activity "
-    "epoch-week, counted in each later week they return (offset 0 = "
-    "cohort size). Two user-keyed aggregations over distinct "
-    "(user, week) pairs — map-side combine collapses duplicates "
-    "before the shuffle; integer epoch-week arithmetic, no calendar.",
-)
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import retention_cohorts
-
-    return retention_cohorts(_events(spark, sf_dir))
-
-
-@_register(
-    "gapfill_15min",
-    """
-    WITH o AS (SELECT event_type AS g,
-                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-                        AS sum_value
-               FROM events GROUP BY 1, 2),
-    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
-    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r)
-    SELECT grid.g AS event_type, grid.slot,
-           last_value(o.sum_value IGNORE NULLS) OVER (
-             PARTITION BY grid.g ORDER BY grid.slot
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
-           CAST(o.sum_value IS NOT NULL AS INT) AS is_observed
-    FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
-    """,
-    ("events", "timeseries", "window", "ext"),
-    "Regular 15-min grid resampling with forward fill: observed slot "
-    "sums (decimal-routed) left-joined onto an exploded "
-    "sequence(min_slot, max_slot) grid per event type, gaps carrying "
-    "the last observed aggregate via IGNORE NULLS running last() over "
-    "a PARTITIONED window. Grid size is calendar-bounded (|groups| x "
-    "|slots|), never event-volume-bounded — the gap-free series every "
-    "downstream window/dashboard expects.",
-)
-def q_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import gapfill_forward
-
-    return gapfill_forward(_events(spark, sf_dir))
-
-
-@_register(
-    "near_dup_verified",
-    f"""
-    WITH cand AS (SELECT * FROM ({_minhash_pairs_oracle()}) mh),
-    t AS (SELECT doc_id, substr(lower(text), 1, 1000) AS tt FROM documents)
-    SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS dist,
-           CASE WHEN greatest(strlen(a.tt), strlen(b.tt)) > 0
-                THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
-                     / greatest(strlen(a.tt), strlen(b.tt))
-                ELSE 0.0 END AS dist_frac
-    FROM cand c
-    JOIN t a ON c.doc_a = a.doc_id
-    JOIN t b ON c.doc_b = b.doc_id
-    WHERE CASE WHEN greatest(strlen(a.tt), strlen(b.tt)) > 0
-               THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
-                    / greatest(strlen(a.tt), strlen(b.tt))
-               ELSE 0.0 END <= 0.4
-    """,
-    ("dedup", "ext", "llm"),
-    "Candidate-then-verify dedup, the verify stage: MinHash-LSH "
-    "candidate pairs re-checked by exact Levenshtein distance "
-    "(normalized by the longer side, kept at <= 0.4) over the "
-    "lowercased first 1000 chars. Bodies move only for actual "
-    "candidates (two id-keyed joins); per-pair DP cost is capped at "
-    "max_chars^2 regardless of document length. Distance unit is "
-    "UTF-8 bytes on BOTH sides: DuckDB's levenshtein/strlen are "
-    "byte-based, and the engine matches via the encode/ISO-8859-1 "
-    "byte-per-codepoint trick (see near_dup_verify) — Spark's native "
-    "code-point levenshtein diverges on non-ASCII text (fuzz-sweep "
-    "finding, round 10).",
-)
-def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import near_dup_verify
-
-    docs = _docs(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
-    return near_dup_verify(docs, cands, max_dist_frac=0.4)
-
-
-
-@_register(
-    "grouping_sets_revenue",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    HAVING COUNT(*) > 0
-    """,
-    ("aggregate", "olap", "ext"),
-    "GROUPING SETS aggregation (the general member of the "
-    "rollup/cube OLAP trio, both already in the catalog): revenue by "
-    "returnflag, by linestatus, and the grand total in ONE pass — "
-    "Spark expands the sets into a single Expand + hash aggregate, "
-    "one scan instead of three. grouping_id disambiguates NULL-as-"
-    "aggregate from NULL-as-data, identical bitmask semantics in "
-    "both engines. On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
-)
-def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupingSets(
-            [["l_returnflag"], ["l_linestatus"], []],
-            "l_returnflag",
-            "l_linestatus",
-        )
-        .agg(
-            F.grouping_id().cast("long").alias("gid"),
-            F.count("*").alias("n_items"),
-            dsum(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-            ).alias("revenue"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "n_items", "revenue")
-    )
-
-
-@_register(
-    "unpivot_metrics",
-    f"""
-    WITH long AS (
-      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
-      FROM lineitem
-      UNION ALL
-      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
-      UNION ALL
-      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
-    )
-    SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n,
-           {_osum('val')} AS total
-    FROM long GROUP BY 1, 2
-    """,
-    ("reshape", "ext"),
-    "Wide-to-long unpivot (melt) + aggregate: three measure columns "
-    "stacked into (metric, value) rows via the native DataFrame "
-    "unpivot (Spark's Expand node — one scan, rows fan out 3x "
-    "map-side, no shuffle until the aggregate), then a decimal-routed "
-    "per-(flag, metric) rollup. The oracle states the UNION ALL "
-    "expansion unpivot is sugar for.",
-)
-def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ["l_returnflag"],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-        "metric",
-        "val",
-    )
-    return long.groupBy("l_returnflag", "metric").agg(
-        F.count("*").alias("n"), dsum("val").alias("total")
-    )
-
-
-@_register(
-    "wow_growth",
-    """
-    WITH w AS (
-      SELECT event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT event_type, week, sum_value,
-           lag(sum_value) OVER (PARTITION BY event_type ORDER BY week)
-             AS prev_value,
-           sum_value - lag(sum_value) OVER (PARTITION BY event_type
-                                            ORDER BY week) AS delta
-    FROM w
-    """,
-    ("events", "analytics", "window", "ext"),
-    "Week-over-week growth: weekly decimal-routed sums per event type "
-    "with lag() deltas over a PARTITIONED window (weeks per type are "
-    "calendar-bounded; the window never sees raw events). First week "
-    "per type emits NULL prev/delta — the honest representation. "
-    "Subtraction of two decimal-routed doubles is bit-portable where "
-    "a growth *ratio* would hang on division edge cases. Null-ts rows "
-    "are excluded on BOTH sides (round-10 temporal-null family rule): "
-    "an undated event belongs to no week, and a NULL week group would "
-    "sit at opposite ends of the lag chain per engine (Spark NULLS "
-    "FIRST ascending, DuckDB NULLS LAST), shifting every delta.",
-)
-def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
-    weekly = ev.groupBy(
-        "event_type",
-        F.floor(F.col("secs") / F.lit(604800)).cast("long").alias("week"),
-    ).agg(dsum("value").alias("sum_value"))
-    w = Window.partitionBy("event_type").orderBy("week")
-    prev = F.lag("sum_value").over(w)
-    return weekly.select(
-        "event_type",
-        "week",
-        "sum_value",
-        prev.alias("prev_value"),
-        (F.col("sum_value") - prev).alias("delta"),
-    )
-
-
-@_register(
-    "dq_expectations",
-    """
-    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
-    v AS (
-      SELECT 'quantity_in_range' AS rule,
-             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
-               l_quantity BETWEEN 1 AND 50, FALSE)) AS BIGINT) AS n_violations
-      FROM lineitem
-      UNION ALL
-      SELECT 'discount_max_5pct',
-             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
-               l_discount <= 0.05, FALSE)) AS BIGINT)
-      FROM lineitem
-      UNION ALL
-      SELECT 'price_positive',
-             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
-               l_extendedprice > 0, FALSE)) AS BIGINT)
-      FROM lineitem
-      UNION ALL
-      SELECT 'shipdate_not_null',
-             CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
-      FROM lineitem
-      UNION ALL
-      SELECT 'returnflag_domain',
-             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
-               l_returnflag IN ('A', 'N', 'R'), FALSE)) AS BIGINT)
-      FROM lineitem
-    )
-    SELECT v.rule, v.n_violations, n.n_rows,
-           CASE WHEN n.n_rows = 0 THEN 0.0
-                ELSE CAST(v.n_violations AS DOUBLE) / n.n_rows
-           END AS violation_frac
-    FROM v CROSS JOIN n
-    """,
-    ("quality", "aggregate", "ext"),
-    "Data-quality expectation suite (operators.aggregates.dq_check): "
-    "five rules — range, threshold, positivity, non-null, domain "
-    "membership — evaluated in ONE aggregation pass (conditional sums "
-    "collapse map-side; one scan + a 1-row shuffle, not one scan per "
-    "rule; the oracle's per-rule scans state the semantics, not the "
-    "plan). A violation is a row where the predicate is NOT TRUE, so "
-    "NULLs fail closed — the promote-gate a layered lake runs before "
-    "publishing. On an EMPTY relation every rule reports frac 0.0 "
-    "(dq_check's documented fail-closed shape); the oracle states the "
-    "same CASE instead of 0/0, which DuckDB turns into NULL (round-10 "
-    "oracle-compared empty sweep).",
-)
-def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import dq_check
-
-    li = _t(spark, sf_dir, "lineitem")
-    return dq_check(
-        li,
-        {
-            "quantity_in_range": F.col("l_quantity").between(1, 50),
-            "discount_max_5pct": F.col("l_discount") <= 0.05,
-            "price_positive": F.col("l_extendedprice") > 0,
-            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
-            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
-        },
-    )
-
-
-
-@_register(
-    "pq_knn",
-    None,  # approximate by construction; exact-reconstruction ADC
-    # equality and recall vs cosine_knn asserted in tests
-    ("similarity", "ext", "pq"),
-    "Product-quantization approximate top-5 (FAISS PQ/ADC shape: "
-    "per-subvector codebooks, one-byte codes, LUT-gather asymmetric "
-    "distance scoring in a single Arrow encode+score pass) — the "
-    "memory-compression axis of the ANN family: 64-dim floats become "
-    "m=8 bytes, so 100 TB of vectors score from a 32x smaller, "
-    "bandwidth-bound working set. Complements IVF's candidate-pruning "
-    "axis; composing the two (IVF cells + PQ codes per cell) is the "
-    "standard billion-scale FAISS deployment.",
-)
-def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import pq_knn
-
-    emb = _emb(spark, sf_dir)
-    return pq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
-
-
-
-@_register(
-    "anomaly_slots",
-    """
-    WITH s AS (
-      SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-    ),
-    t AS (
-      SELECT event_type, slot, sum_value,
-             CAST(CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE)
-               AS wsum,
-             CAST(CAST(SUM(CAST(sum_value * sum_value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS wsumsq,
-             COUNT(*) OVER w AS n
-      FROM s
-      WINDOW w AS (PARTITION BY event_type ORDER BY slot
-                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type, slot, sum_value,
-           (sum_value - wsum / n)
-             / sqrt(wsumsq / n - (wsum / n) * (wsum / n)) AS zscore
-    FROM t
-    WHERE n >= 8
-      AND wsumsq / n - (wsum / n) * (wsum / n) > 0
-      AND abs((sum_value - wsum / n)
-              / sqrt(wsumsq / n - (wsum / n) * (wsum / n))) > 2.0
-    """,
-    ("events", "timeseries", "window", "ext"),
-    "Trailing-window anomaly detection: each observed 15-min slot sum "
-    "scored against the mean/std of its previous 8 observed slots "
-    "(frame ROWS 8 PRECEDING TO 1 PRECEDING — the detector never sees "
-    "the point it judges), flagged at |z| > 2 with a full-history "
-    "warm-up guard (n >= 8) and a zero-variance guard. Window is "
-    "PARTITIONED by type and ordered by the calendar-bounded slot "
-    "grid; sums stay decimal-routed inside the frame so the zscore "
-    "is bit-portable — the streaming twin is the same expression "
-    "over the watermarked windowed aggregate. Temporal-null family "
-    "rule: an undated event belongs to no slot, so NULL-ts rows are "
-    "excluded on both sides (a NULL slot would sort first in Spark's "
-    "frame and last in the oracle's, shifting every trailing window).",
-)
-def q_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import anomaly_scores
-
-    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
-    s = ev.groupBy(
-        "event_type",
-        F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
-    ).agg(dsum("value").alias("sum_value"))
-    return anomaly_scores(s, trailing=8, z_threshold=2.0)
-
-
-@_register(
-    "vector_norm_udf",
-    f"""
-    SELECT vec_id,
-           CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS BIGINT)
-             AS qnorm
-    FROM embeddings
-    """,
-    ("udf", "similarity", "ext"),
-    "Scalar Arrow pandas_udf (the vectorized-scalar member of the UDF "
-    "surface, SURVEY.md 2.8): exact squared norm of the quantized "
-    "embedding computed in a Python Arrow batch — integer arithmetic "
-    "end to end, so a Python-UDF execution path grades against a SQL "
-    "oracle bit-for-bit. Column batches in/out; usable inside any "
-    "expression, unlike mapInPandas which replaces the row stream.",
-)
-def q_vector_norm_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import (
-        quantized_embedding,
-        quantized_norm_pandas_udf,
-    )
-
-    qnorm = quantized_norm_pandas_udf()
-    emb = _emb(spark, sf_dir)
-    return emb.select(
-        "vec_id",
-        qnorm(quantized_embedding(F.col("embedding"))).alias("qnorm"),
-    )
-
-
-
-@_register(
-    "ivfpq_knn",
-    None,  # approximate by construction; composed exactness (probe-all
-    # + covering codebook == cosine_knn) asserted in tests
-    ("similarity", "ext", "ivf", "pq"),
-    "IVF + PQ composed approximate top-5 — the standard billion-scale "
-    "FAISS deployment: the coarse quantizer prunes WHICH candidates "
-    "each query scores (n_probe=4 of 16 cells), PQ/ADC compresses HOW "
-    "the survivors are scored (m=8 one-byte codes, LUT-gather "
-    "asymmetric distance). One Arrow pass assigns, encodes, scores, "
-    "and probe-masks per batch; candidates never shuffle; both models "
-    "train driver-side on the bounded sample contract.",
-)
-def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import ivfpq_knn
-
-    emb = _emb(spark, sf_dir)
-    return ivfpq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
-
-
-
-@_register(
-    "pretrain_pipeline",
-    rf"""
-    WITH keepers AS (
-      SELECT MIN(doc_id) AS doc_id
-      FROM documents GROUP BY md5(replace(lower(text), ' ', ''))
-    ),
-    quality AS (
-      SELECT d.doc_id, d.text, d.lang FROM documents d
-      JOIN keepers USING (doc_id)
-      WHERE d.n_chars BETWEEN 100 AND 2000
-    ),
-    base AS (
-      SELECT doc_id, text,
-             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-                  THEN 'train' ELSE 'test' END AS split
-      FROM documents
-    ),
-    train AS (
-      SELECT q.doc_id, q.text, q.lang FROM quality q
-      JOIN base b USING (doc_id) WHERE b.split = 'train'
-    ),
-    split_docs AS (
-      SELECT doc_id, 'train' AS split, text FROM train
-      UNION ALL
-      SELECT doc_id, 'test' AS split, text FROM base WHERE split = 'test'
-    ),
-    sh AS ({_ngram_expr_sql(8)}),
-    held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
-    contaminated AS (
-      SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (shingle)
-      WHERE s.split = 'train'
-    ),
-    clean AS (
-      SELECT t.doc_id, t.lang FROM train t
-      LEFT JOIN contaminated c ON t.doc_id = c.doc_id
-      WHERE c.doc_id IS NULL
-    ),
-    cnt AS (SELECT lang, COUNT(*) AS c FROM clean
-            WHERE lang IS NOT NULL GROUP BY 1),
-    mn AS (SELECT MIN(c) AS c_min FROM cnt),
-    rt AS (
-      SELECT lang,
-             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c AS DOUBLE))
-                        * 1000000) AS BIGINT) AS keep_ppm
-      FROM cnt CROSS JOIN mn
-    )
-    SELECT cl.doc_id, cl.lang,
-           {_MD5INT.format(x="'epoch0:' || CAST(cl.doc_id AS VARCHAR)")}
-             AS shuffle_key
-    FROM clean cl JOIN rt USING (lang)
-    WHERE {_MD5INT.format(x="'temp:' || CAST(cl.doc_id AS VARCHAR)")}
-            % 1000000 < keep_ppm
-    """,
-    ("pipeline", "dedup", "sampling", "ext", "llm"),
-    "End-to-end pretraining-data curation DAG, one declarative plan: "
-    "exact dedup (min-id survivor per md5 fingerprint) -> quality gate "
-    "(n_chars range) -> train/test split -> benchmark decontamination "
-    "(drop train docs sharing any 8-gram with the held-out split; "
-    "held shingles broadcast) -> sqrt-temperature language rebalance "
-    "-> epoch-0 shuffle key. Every stage is a previously-graded "
-    "operator; composing them keeps the whole pipeline inside ONE "
-    "Catalyst plan, so column pruning crosses stage boundaries: each "
-    "of the plan's scans reads ONLY its stage's columns (ReadSchema "
-    "shows doc_id+text for fingerprint/shingle stages, "
-    "doc_id+lang+n_chars where bodies are not needed) and no "
-    "intermediate layer is materialized to disk between stages — the "
-    "argument for an engine over a script chain that writes and "
-    "re-reads each hop. Deterministic end to end: md5 "
-    "split/thinning/shuffle keys.",
-)
-def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import decontaminate, exact_dedup_groups
-    from ..extensions.sampling import (
-        shuffle_key,
-        split_assign,
-        temperature_sample,
-    )
-
-    docs = _docs(spark, sf_dir)
-    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
-    kept = docs.join(keep, "doc_id")
-    quality = kept.filter(F.col("n_chars").between(100, 2000))
-    split = split_assign(F.col("doc_id"))
-    train = quality.filter(split == "train")
-    held = docs.filter(split == "test")
-    contaminated = decontaminate(train, held, n=8).select("doc_id")
-    clean = train.join(contaminated, "doc_id", "left_anti")
-    mixed = temperature_sample(clean, source_col="lang")
-    return mixed.select(
-        "doc_id",
-        "lang",
-        shuffle_key(F.col("doc_id")).alias("shuffle_key"),
-    )
-
-
-
-@_register(
-    "hll_mergeable_rollup",
-    None,  # sketch estimates are engine-specific; estimate-vs-exact
-    # tolerance and the merge==direct property asserted in tests
-    ("aggregate", "sketch", "approx", "ext"),
-    "MERGEABLE distinct-count sketches (Datasketches HLL via "
-    "hll_sketch_agg / hll_union_agg): per-day per-type user sketches "
-    "built once, then rolled up to per-type totals by UNIONING THE "
-    "SKETCHES — no re-scan of the events, no re-shuffle of the user "
-    "universe. This is the real 100 TB sketch story approx_count_"
-    "distinct alone doesn't show: daily sketch rows are the stored "
-    "partial state (kilobytes per group), and any coarser rollup "
-    "(weekly, all-time, cross-region) is an aggregation over sketches "
-    "alone. Merge-then-estimate equals a direct one-pass sketch of "
-    "the same data — pinned in tests.",
-)
-def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    day = F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day")
-    daily = ev.groupBy("event_type", day).agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count("*").alias("n_events"),
-    )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-            F.sum("n_events").alias("n_events"),
-            F.count("*").alias("n_days"),
-        )
-        .select("event_type", "est_users", "n_events", "n_days")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dashboard tier over the driver testdata (VERDICT r8 next-round #5):
-# sources/star.DASHBOARD_SQL's three QuickSight-style headline queries
-# re-stated over the events table as the curated-streams analog — the
-# same star shape (fact joined to a broadcast dim, one post-aggregate
-# shuffle) the reference serves to its BI layer (reference
-# README.md:6-9), now runnable and gradable on the driver's parquet.
-# The mapping: event_type is the category, value is hours_watched,
-# floor(value*100) the viewer_count, and the calendar/time-of-day dims
-# are the S8/S9 generators over the testdata's epoch range (Jan 2024).
-#
-# Window discipline: the tier staged oracle=None through round 10 —
-# full DuckDB oracles in DASHBOARD_STAGED_ORACLES, differentially
-# pinned every session in tests/test_dashboard.py (the
-# pagerank_copresence staging pattern). dash_hours_by_category's
-# oracle was PROMOTED into its registration as round 11's single
-# window swap (VERDICT r10 next-round #1) — the first driver-graded
-# row of the tier; the remaining pair stays staged, queued for
-# promotion in later rounds' swaps.
-# ---------------------------------------------------------------------------
-
-
-def _dash_star(spark: SparkSession, sf_dir: str):
-    """The events-derived curated star: (fact, categories, day_dates,
-    time_of_day). Pure integer/epoch arithmetic for the slot keys and
-    a UTC date string for the calendar key — both sides of the
-    differential state the identical derivations."""
-    ev = _events(spark, sf_dir)
-    fact = ev.select(
-        # NOT date_format(timestamp_seconds(secs)): that renders the
-        # instant in the SESSION timezone (the round-10 config sweep
-        # caught day_date_id shifting under Asia/Kathmandu for every
-        # event after 18:15 UTC). date_add on a DATE is pure day
-        # arithmetic and DATE->STRING is pure field rendering — no
-        # timezone anywhere in the expression.
-        F.translate(
-            F.expr(
-                "CAST(date_add(DATE'1970-01-01',"
-                " CAST(secs div 86400 AS INT)) AS STRING)"
-            ),
-            "-",
-            "",
-        ).alias("day_date_id"),
-        F.concat(
-            F.lpad(
-                F.expr("(secs % 86400) div 3600").cast("string"), 2, "0"
-            ),
-            F.lpad(
-                F.expr("((secs % 3600) div 60 div 15) * 15").cast("string"),
-                2,
-                "0",
-            ),
-        ).alias("time_of_day_id"),
-        F.col("user_id"),
-        F.col("event_type").alias("category_id"),
-        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("viewer_count"),
-        F.col("value").alias("hours_watched"),
-    )
-    categories = (
-        ev.select(F.col("event_type").alias("category_id"))
-        .distinct()
-        .withColumn("category_name", F.upper(F.col("category_id")))
-    )
-    return (
-        fact,
-        categories,
-        day_dates_dim(spark, "2024-01-01", "2024-12-31"),
-        time_of_day_dim(spark),
-    )
-
-
-_DASH_FACT_SQL = """
-  fact AS (
-    SELECT strftime(make_timestamp(
-             CAST(floor(epoch(ts)) AS BIGINT) * 1000000), '%Y%m%d')
-             AS day_date_id,
-           lpad(CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
-                     AS VARCHAR), 2, '0')
-             || lpad(CAST(((CAST(floor(epoch(ts)) AS BIGINT) % 3600)
-                           // 60 // 15) * 15 AS VARCHAR), 2, '0')
-             AS time_of_day_id,
-           user_id,
-           event_type AS category_id,
-           CAST(floor(value * 100) AS BIGINT) AS viewer_count,
-           value AS hours_watched
-    FROM events
-  )
-"""
-
-#: The dash_hours_by_category DuckDB oracle — PROMOTED into the
-#: registration below as round 11's single window swap (VERDICT r10
-#: next-round #1: the reference's headline QuickSight query, the first
-#: driver-graded row of the dashboard star-join tier). Named so
-#: tests/test_dashboard.py can keep running the same differential
-#: object it staged in round 9.
-_DASH_HOURS_ORACLE = f"""
-    WITH {_DASH_FACT_SQL},
-    categories AS (
-      SELECT DISTINCT event_type AS category_id,
-             upper(event_type) AS category_name
-      FROM events
-    )
-    SELECT c.category_name,
-           CAST(CAST(SUM(CAST(f.hours_watched AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-             AS hours_watched,
-           CAST(SUM(f.viewer_count) AS BIGINT) AS viewers
-    FROM fact f JOIN categories c USING (category_id)
-    GROUP BY c.category_name
-    ORDER BY hours_watched DESC, c.category_name
-    """
-
-#: Full DuckDB oracles for the two dash_* queries still staged for
-#: promotion into their registrations when a graded-window slot opens
-#: (see the tier comment above); dash_hours_by_category left this dict
-#: in round 11 when its oracle moved into the registration.
-#: tests/test_dashboard.py runs the differential every session.
-DASHBOARD_STAGED_ORACLES: dict[str, str] = {
-    "dash_streamers_by_day": f"""
-    WITH {_DASH_FACT_SQL},
-    day_dates AS (
-      SELECT strftime(d, '%Y%m%d') AS day_date_id,
-             CAST(d AS DATE) AS the_date,
-             dayname(d) AS day_of_week
-      FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
-                           INTERVAL 1 DAY) t(d)
-    )
-    SELECT d.the_date, d.day_of_week,
-           COUNT(DISTINCT f.user_id) AS unique_streamers
-    FROM fact f JOIN day_dates d USING (day_date_id)
-    GROUP BY d.the_date, d.day_of_week
-    ORDER BY d.the_date
-    """,
-    "dash_viewers_by_hour": f"""
-    WITH {_DASH_FACT_SQL},
-    time_of_day AS (
-      SELECT lpad(CAST(i // 4 AS VARCHAR), 2, '0')
-               || lpad(CAST((i % 4) * 15 AS VARCHAR), 2, '0')
-               AS time_of_day_id,
-             CAST(i // 4 AS INT) AS hour
-      FROM range(96) t(i)
-    )
-    SELECT t.hour,
-           CAST(SUM(f.viewer_count) AS BIGINT) AS viewers,
-           COUNT(DISTINCT f.category_id) AS live_categories
-    FROM fact f JOIN time_of_day t USING (time_of_day_id)
-    GROUP BY t.hour
-    ORDER BY t.hour
-    """,
-}
-
-
-@_register(
-    "dash_hours_by_category",
-    _DASH_HOURS_ORACLE,  # staged rounds 9-10 (differential pinned every
-    # session in tests/test_dashboard.py), PROMOTED into the graded
-    # window as round 11's single swap (VERDICT r10 next-round #1)
-    ("dashboard", "bi", "star"),
-    "Dashboard headline tile over the events-derived curated star: "
-    "total watch-time and viewers by category (DASHBOARD_SQL "
-    "hours_watched_by_category, reference README.md:6-9). Fact joined "
-    "to the derived category dim with an explicit broadcast — at "
-    "100 TB the dim is KB-sized and the only shuffle is the "
-    "post-aggregate category rows.",
-)
-def q_dash_hours_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact, cats, _, _ = _dash_star(spark, sf_dir)
-    return (
-        fact.join(F.broadcast(cats), "category_id")
-        .groupBy("category_name")
-        .agg(
-            dsum("hours_watched").alias("hours_watched"),
-            F.sum("viewer_count").alias("viewers"),
-        )
-        .orderBy(F.desc("hours_watched"), "category_name")
-    )
-
-
-@_register(
-    "dash_streamers_by_day",
-    None,  # full oracle STAGED in DASHBOARD_STAGED_ORACLES (window
-    # discipline); differential pinned in tests/test_dashboard.py
-    ("dashboard", "bi", "star"),
-    "Dashboard reach tile: distinct active users per calendar day "
-    "(DASHBOARD_SQL unique_streamers_by_day) — the fact joined to the "
-    "S8 generated calendar dim (broadcast; 366 rows for the testdata "
-    "year) with a COUNT(DISTINCT) per day. The distinct shuffles "
-    "(day, user) pairs, already near-unique at the grain — the same "
-    "plan at 100 TB shuffles only the per-day distinct user sets.",
-)
-def q_dash_streamers_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact, _, days, _ = _dash_star(spark, sf_dir)
-    return (
-        fact.join(
-            F.broadcast(days.select("day_date_id", "the_date", "day_of_week")),
-            "day_date_id",
-        )
-        .groupBy("the_date", "day_of_week")
-        .agg(F.countDistinct("user_id").alias("unique_streamers"))
-        .orderBy("the_date")
-    )
-
-
-@_register(
-    "dash_viewers_by_hour",
-    None,  # full oracle STAGED in DASHBOARD_STAGED_ORACLES (window
-    # discipline); differential pinned in tests/test_dashboard.py
-    ("dashboard", "bi", "star"),
-    "Dashboard intraday shape: viewers and live category count by "
-    "hour of day (DASHBOARD_SQL viewers_by_hour) — the fact joined to "
-    "the S9 generated 96-slot time-of-day dim (broadcast) and rolled "
-    "up to 24 hour rows. Slot keys are pure integer epoch arithmetic, "
-    "identical on both differential sides.",
-)
-def q_dash_viewers_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact, _, _, tod = _dash_star(spark, sf_dir)
-    return (
-        fact.join(
-            F.broadcast(tod.select("time_of_day_id", "hour")),
-            "time_of_day_id",
-        )
-        .groupBy("hour")
-        .agg(
-            F.sum("viewer_count").alias("viewers"),
-            F.countDistinct("category_id").alias("live_categories"),
-        )
-        .orderBy("hour")
-    )
-
-
-# The co-presence edge list stated relationally for the oracle: the
-# same per-(user, day) min/max interval build + slot-free overlap
-# predicate the DataFrame side computes via interval_overlap_pairs
-# (the slot bucketing is an execution strategy, not a semantic — the
-# oracle states the O(n^2)-candidate day-join form DuckDB handles
-# fine at sf0.01). Differentially pinned bit-exact in
-# tests/test_event_analytics.py::test_pagerank_matches_unrolled_sql_oracle.
-_PAGERANK_EDGES_SQL = """
-  WITH iv AS (
-    SELECT user_id,
-           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-           MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
-           MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
-    FROM events GROUP BY 1, 2
-  )
-  SELECT DISTINCT a.user_id AS ea, b.user_id AS eb
-  FROM iv a JOIN iv b
-    ON a.day = b.day AND a.user_id < b.user_id
-  WHERE least(a.hi, b.hi) - greatest(a.lo, b.lo) > 0
-"""
-
-
-def _pagerank_oracle() -> str:
-    from ..extensions.graph import pagerank_oracle_sql
-
-    return pagerank_oracle_sql(_PAGERANK_EDGES_SQL)
-
-
-@_register(
-    "pagerank_copresence",
-    _pagerank_oracle(),  # ROUND-9 PROMOTION (VERDICT r8 next-round #1):
-    # the iterative fixed-point loop is not directly statable in
-    # recursion-free SQL, but because every step is EXACT int64
-    # arithmetic, graph.pagerank_oracle_sql unrolls the 15 rounds as
-    # chained CTEs and reproduces the DataFrame result BIT-identically
-    # — a full DuckDB oracle, not an approximation. Staged in round 8
-    # (pytest differential only, window-discipline gate), promoted
-    # here as round 9's single permitted swap-in.
-    # Reference-equality vs a pure-Python power iteration, uniformity,
-    # and byte-identical partition independence also pinned in
-    # tests/test_event_analytics.py::test_pagerank_reference_and_determinism
-    ("graph", "iterative", "ext"),
-    "PageRank over the co-presence graph (extensions.graph.pagerank): "
-    "which users sit at the center of the viewer-overlap network — "
-    "the influence generalization of the reference's popularity "
-    "feedback loop. Edges from the slot-bucketed "
-    "interval_overlap_pairs build; 15 synchronous power iterations in "
-    "int64 FIXED-POINT (scale 1e15): floor-division contributions, "
-    "exact integer sums, integer damping — byte-identical under any "
-    "partitioning where floating point would drift (and "
-    "DECIMAL(38,18) collapses to scale 6 under Spark's division "
-    "rules). Each round is one edge join + one sum aggregation with "
-    "lazy localCheckpoint — the connected_components economics. "
-    "Top-25 by (rank, vertex) for a stable, bounded result.",
-)
-def q_pagerank_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.graph import pagerank
-    from ..operators.event_analytics import interval_overlap_pairs
-
-    ev = _events(spark, sf_dir)
-    iv = ev.groupBy(
-        "user_id",
-        F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day"),
-    ).agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
-    e = (
-        interval_overlap_pairs(iv)
-        .select(F.col("user_a").alias("ea"), F.col("user_b").alias("eb"))
-        .distinct()
-    )
-    return (
-        pagerank(e, iters=15)
-        .orderBy(F.desc("rank"), "vertex")
-        .limit(25)
-    )
-
-
-@_register(
-    "ivfpq_index_knn",
-    None,  # approximate by construction (PQ quantization), like
-    # pq_knn/ivfpq_knn; disk==memory equality, covering-codebook
-    # exactness vs cosine, PartitionFilters pruning, and the append
-    # contract (models byte-identical, both generations probed)
-    # pinned in tests/test_pq_knn.py
-    ("similarity", "ext", "ivf", "pq", "index"),
-    "The ON-DISK IVF+PQ layout probed end to end — the billion-scale "
-    "FAISS deployment shape as storage: build_ivfpq_index persists "
-    "vectors as m one-byte PQ codes inside cell-partitioned parquet "
-    "with both models (coarse quantizer + codebooks) beside them; "
-    "the probe reads n_probe cell DIRECTORIES (PartitionFilters — "
-    "the candidate axis) and streams CODES, not vectors (the memory "
-    "axis: the scored working set shrinks ~32x), scoring by LUT "
-    "gather in one Arrow pass. Completes the materialized-index "
-    "family: full-vector IVF (ivf_index_knn), LSH postings "
-    "(lsh_index_probe), compressed IVF+PQ (this).",
-)
-def q_ivfpq_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..extensions.similarity import build_ivfpq_index, ivfpq_index_knn
-
-    emb = _emb(spark, sf_dir)
-    if emb.head(1) == []:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_cosine double, rank int"
-        )
-    path = tempfile.mkdtemp(prefix="ivfpq_index_")
-    build_ivfpq_index(emb, path, n_cells=16, m=8, n_codes=16)
-    return ivfpq_index_knn(
-        spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4
-    )
-
-
-@_register(
-    "ivfpq_index_exact",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             {_ocos('qv', 'cv')} AS cosine
-      FROM q, c WHERE query_id != neighbor_id
-    )
-    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS adc_cosine, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    """,
-    ("similarity", "ext", "ivf", "pq", "index"),
-    "The ON-DISK IVF+PQ layout driver-graded in EXACT mode (VERDICT "
-    "r6 #2) — the same recipe that converted ivf_knn_exact and "
-    "ivf_index_knn into oracle-graded facts, applied to the PQ axis: "
-    "a covering codebook (n_codes >= corpus size, every candidate in "
-    "the training sample, so k-means centroids sit exactly on the "
-    "subvectors and encoding reconstructs exactly) plus n_probe == "
-    "n_cells (every cell directory read) make the ADC score equal "
-    "brute-force cosine by construction. The one concession to the "
-    "hash gate: ADC sums per-subvector float64 dots while the oracle "
-    "divides an integer dot once, so the mathematically-equal values "
-    "can differ in the last ulp — both sides ROUND to 6 decimals "
-    "(the catalog's decimal-routing determinism rule). Recall at "
-    "production parameters stays covered by ivfpq_index_knn + the "
-    "disk==memory / append contracts in tests/test_pq_knn.py.",
-)
-def q_ivfpq_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from ..extensions.similarity import build_ivfpq_index, ivfpq_index_knn
-
-    emb = _emb(spark, sf_dir)
-    n_all = emb.count()
-    if n_all == 0:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_cosine double, rank int"
-        )
-    n_cells = 16
-    path = tempfile.mkdtemp(prefix="ivfpq_exact_")
-    build_ivfpq_index(
-        emb, path, n_cells=n_cells, m=8,
-        n_codes=max(64, n_all), train_size=n_all,
-    )
-    out = ivfpq_index_knn(
-        spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=n_cells
-    )
-    return out.select(
-        "query_id", "neighbor_id",
-        F.round("adc_cosine", 6).alias("adc_cosine"), "rank",
-    )
-
-
-@_register(
-    "bpe_train_merges",
-    None,  # iterative merge loop. A full DuckDB oracle now EXISTS —
-    # bpe.bpe_oracle_sql unrolls the 20 rounds as chained MATERIALIZED
-    # CTEs (wrapped-string replace == the greedy single-round fold),
-    # bit-exact, differentially pinned in
-    # tests/test_bpe.py::test_bpe_train_matches_unrolled_sql_oracle —
-    # but stays out of this registration until the entry can take a
-    # graded-window slot (round 9's permitted swap went to
-    # pagerank_copresence; the window-discipline gate in
-    # tests/test_catalog_order.py forbids an out-of-window oracle
-    # query with zero driver greens). The merge SEQUENCE is also
-    # pinned exactly against an independent pure-Python BPE trainer in
-    # tests/test_bpe.py (plus partition-independence and the
-    # segmentation round-trip)
-    ("text", "tokenizer", "iterative", "ext", "llm"),
-    "Distributed BPE tokenizer training (Sennrich arXiv:1508.07909): "
-    "learn 20 merges from the documents corpus. The scale shape that "
-    "makes tokenizer training cluster-cheap: the corpus is scanned "
-    "ONCE (word-frequency aggregation — 100 TB of text collapses to "
-    "a vocabulary-sized table), and every merge round runs over that "
-    "distinct-word relation — one freq-weighted adjacent-pair count "
-    "(map-side combined) and a 1-row driver argmax; merge application "
-    "is a greedy left-to-right fold as a pure column expression, "
-    "lineage truncated per round. Ties break lexicographically, so "
-    "the merge table is byte-identical on any cluster.",
-)
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.bpe import bpe_train
-
-    return bpe_train(_docs(spark, sf_dir), n_merges=20).orderBy("rank")
-
-
-@_register(
-    "ts_pattern_search",
-    """
-    WITH o AS (SELECT event_type AS g,
-                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-                        AS sum_value
-               FROM events GROUP BY 1, 2),
-    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
-    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r),
-    filled AS (
-      SELECT grid.g, grid.slot,
-             last_value(o.sum_value IGNORE NULLS) OVER (
-               PARTITION BY grid.g ORDER BY grid.slot
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-      FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
-    ),
-    qd AS (SELECT g, slot, CAST(round(v * 1000) AS BIGINT) AS q FROM filled),
-    ld AS (SELECT g, slot, [lead(q, 0) OVER w, lead(q, 1) OVER w, lead(q, 2) OVER w, lead(q, 3) OVER w, lead(q, 4) OVER w, lead(q, 5) OVER w, lead(q, 6) OVER w, lead(q, 7) OVER w] AS wv
-           FROM qd WINDOW w AS (PARTITION BY g ORDER BY slot)),
-    -- ANY-NULL windows drop (tail + NULL-head gap-fill slots): the
-    -- engine's int64 `+` chain NULL-propagates s/n2, while DuckDB's
-    -- list_sum ignores NULLs — state the drop, don't rely on n2
-    -- (round-10 review find, same family as motif_discovery).
-    ok AS (SELECT g, slot, wv,
-                  CAST(list_sum(wv) AS BIGINT) AS s
-           FROM ld WHERE len(list_filter(wv, x -> x IS NULL)) = 0),
-    cc AS (SELECT g, slot,
-                  list_transform(wv, x -> 8 * x - s) AS c
-           FROM ok),
-    sc AS (
-      SELECT g AS event_type, slot,
-             CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2,
-             CAST(CAST(list_sum(list_transform(
-                    list_zip(c, [CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(6000 AS BIGINT), CAST(6000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT), CAST(-2000 AS BIGINT)]), p -> p[1] * p[2]))
-                  AS BIGINT) AS DOUBLE)
-               / sqrt(CAST(list_sum(list_transform(c, x -> x * x))
-                           AS BIGINT) * CAST(96000000 AS DOUBLE))
-               AS similarity
-      FROM cc
-    )
-    SELECT event_type, slot, similarity
-    FROM sc WHERE n2 > 0
-    ORDER BY similarity DESC, event_type, slot
-    LIMIT 10
-    """,
-    ("events", "timeseries", "similarity", "window", "ext"),
-    "Distributed time-series pattern search (the EDBT'19 streaming "
-    "subsequence-similarity problem shape): z-normalized correlation "
-    "of every sliding 8-slot window of the gap-filled 15-min series "
-    "against a spike template, global top-10 by TakeOrdered. The "
-    "quantized-cosine rule extends to correlation: mean-centering as "
-    "c_i = L*q_i - sum(q) keeps everything int64 until one final "
-    "double divide, so Spark and DuckDB agree bit-for-bit. Windows "
-    "materialize as L lead() columns over a group-partitioned window; "
-    "flat (zero-variance) windows are filtered.",
-)
-def q_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import gapfill_forward, ts_pattern_search
-
-    filled = gapfill_forward(_events(spark, sf_dir))
-    return ts_pattern_search(
-        filled, pattern=[0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0], k=10
-    )
-
-
-
-@_register(
-    "seasonal_residuals",
-    """
-    WITH s AS (SELECT event_type,
-                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-                        AS sum_value
-               FROM events GROUP BY 1, 2),
-    b AS (SELECT event_type, slot % 96 AS slot_of_day,
-                 CAST(CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-                   / COUNT(*) AS baseline
-          FROM s GROUP BY 1, 2)
-    SELECT s.event_type, s.slot, s.sum_value, b.baseline,
-           s.sum_value - b.baseline AS residual
-    FROM s JOIN b ON s.event_type = b.event_type
-               AND s.slot % 96 = b.slot_of_day
-    """,
-    ("events", "timeseries", "ext"),
-    "Seasonal-naive decomposition: the time-of-day baseline (mean of "
-    "each 15-min slot-of-day across days, per type — the 96-slot "
-    "grid of SURVEY S9 used as a seasonality index) subtracted from "
-    "every observed slot. Two decimal-routed aggregations + one "
-    "broadcast join of the 96 x |types| baseline relation back onto "
-    "the slot series — the deseasonalized residual is what the "
-    "trailing-window anomaly detector should consume on strongly "
-    "periodic traffic (raw z-scores flag every rush hour). slot mod "
-    "96 is integer arithmetic; the subtraction one portable double "
-    "op.",
-)
-def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    s = ev.groupBy(
-        "event_type",
-        F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
-    ).agg(dsum("value").alias("sum_value"))
-    b = s.groupBy(
-        "event_type", F.pmod(F.col("slot"), F.lit(96)).alias("slot_of_day")
-    ).agg(
-        (
-            F.sum(F.col("sum_value").cast("decimal(25,6)")).cast("double")
-            / F.count("*")
-        ).alias("baseline")
-    )
-    sl = s.alias("sl")
-    bl = F.broadcast(b).alias("bl")
-    return sl.join(
-        bl,
-        (F.col("sl.event_type") == F.col("bl.event_type"))
-        & (F.pmod(F.col("sl.slot"), F.lit(96)) == F.col("bl.slot_of_day")),
-    ).select(
-        F.col("sl.event_type").alias("event_type"),
-        F.col("sl.slot").alias("slot"),
-        F.col("sl.sum_value").alias("sum_value"),
-        F.col("bl.baseline").alias("baseline"),
-        (F.col("sl.sum_value") - F.col("bl.baseline")).alias("residual"),
-    )
-
-
-
-@_register(
-    "copresence_pairs",
-    """
-    WITH iv AS (
-      SELECT user_id,
-             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-             MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
-             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
-      FROM events GROUP BY 1, 2
-    )
-    SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
-           least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_secs
-    FROM iv a JOIN iv b
-      ON a.day = b.day AND a.user_id < b.user_id
-    WHERE least(a.hi, b.hi) - greatest(a.lo, b.lo) > 0
-    """,
-    ("events", "join", "interval", "ext"),
-    "Interval-overlap self-join (co-presence: user pairs whose daily "
-    "activity spans overlap) via the replicate-covers / probe-by-"
-    "start reduction (operators.event_analytics.interval_overlap_"
-    "pairs): each interval replicates into the 15-min slots it "
-    "covers, the other side keys ONCE by its start slot, and the "
-    "equi-join on the slot finds every overlapping pair exactly "
-    "once at the later starter's start slot — candidate volume "
-    "proportional to genuinely-concurrent pairs, never day-cohort^2 "
-    "(the VERDICT r5 scale fix; a day with 10^6 active users whose "
-    "daily envelopes all overlap is no longer quadratic). The "
-    "oracle states the same overlap semantics as a plain day-bucket "
-    "theta-join — semantics, not plan. Intervals are one "
-    "aggregation; all arithmetic integer.",
-)
-def q_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import interval_overlap_pairs
-
-    ev = _events(spark, sf_dir)
-    iv = ev.groupBy(
-        "user_id",
-        F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day"),
-    ).agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
-    return interval_overlap_pairs(iv)
-
-
-
-@_register(
-    "vector_norm_arrow",
-    f"""
-    SELECT vec_id,
-           CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS BIGINT)
-             AS qnorm
-    FROM embeddings
-    """,
-    ("udf", "arrow", "similarity", "ext"),
-    "Arrow-NATIVE UDF path (mapInArrow: pyarrow.RecordBatch in/out, "
-    "no Arrow->pandas conversion on either edge) computing the same "
-    "exact quantized squared norm as the pandas_udf twin "
-    "(vector_norm_udf) and the JVM expression form — three execution "
-    "tiers, one bit-identical, oracle-graded result. The tier to "
-    "pick when the Python work is itself array arithmetic.",
-)
-def q_vector_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import norms_map_in_arrow
-
-    return norms_map_in_arrow(_emb(spark, sf_dir))
-
-
-@_register(
-    "udtf_ngrams",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-      FROM documents WHERE doc_id < 50
-    ),
-    g AS (
-      SELECT doc_id,
-             unnest(toks[1:len(toks) - 1]) AS w1,
-             unnest(toks[2:len(toks)]) AS w2
-      FROM t WHERE len(toks) >= 2
-    )
-    SELECT doc_id, w1 || ' ' || w2 AS gram,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM g GROUP BY 1, 2
-    """,
-    ("udf", "udtf", "text", "ext"),
-    "Python UDTF (Spark 4 user-defined TABLE function): a lateral "
-    "ngrams() generator expanding each document into its 2-gram rows "
-    "— the row-generating member of the UDF surface, completing "
-    "scalar (pandas_udf), map (mapInPandas/mapInArrow), grouped-map, "
-    "and grouped-state. Deliberately fed a doc_id<50 slice: Python "
-    "UDTFs evaluate row-at-a-time, the documented slow path — the "
-    "production form is the JVM explode/transform (token_stats, "
-    "bigram_logprob state exactly this expansion declaratively); the "
-    "catalog entry grades the API surface, and the oracle states the "
-    "same expansion relationally.",
-)
-def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import lit, udtf
-
-    @udtf(returnType="gram: string, n: long")
-    class NGrams:
-        def eval(self, doc_id: int, text: str):
-            if text is None:
-                # NULL text expands to no rows — the lateral join then
-                # drops the document exactly like the oracle's
-                # len(NULL toks) >= 2 gate (round-10 NULL poison sweep:
-                # a Python UDTF receives None where JVM tiers see a
-                # typed null, and .strip() on None RAISES)
-                return
-            toks = text.strip().lower().split()
-            from collections import Counter
-
-            c = Counter(
-                f"{a} {b}" for a, b in zip(toks, toks[1:])
-            )
-            for gram, n in c.items():
-                yield gram, n
-
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
-    return docs.lateralJoin(
-        NGrams(F.col("doc_id").outer(), F.col("text").outer())
-    ).select("doc_id", "gram", "n")
-
-
-
-@_register(
-    "triangle_count",
-    """
-    WITH iv AS (
-      SELECT user_id,
-             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-             MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
-             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
-      FROM events GROUP BY 1, 2
-    ),
-    e AS (
-      SELECT DISTINCT a.user_id AS a, b.user_id AS b
-      FROM iv a JOIN iv b
-        ON a.day = b.day AND a.user_id < b.user_id
-      WHERE least(a.hi, b.hi) - greatest(a.lo, b.lo) > 0
-    )
-    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-           CAST((SELECT COUNT(*) FROM (
-              SELECT 1
-              FROM e ab JOIN e bc ON ab.b = bc.a
-                        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
-           )) AS BIGINT) AS n_triangles
-    """,
-    ("graph", "join", "ext"),
-    "Distributed triangle counting over the co-presence graph "
-    "(extensions.graph.count_triangles): edges come from the "
-    "slot-bucketed interval_overlap_pairs build (never a day-cohort "
-    "all-pairs join), then DEGREE-ORDERED ORIENTATION — each edge "
-    "points from its lower-(degree, id) endpoint to the higher, "
-    "wedges join on the minimum-order vertex, a third directed-edge "
-    "lookup closes them — so per-vertex wedge fan-out is bounded by "
-    "O(sqrt(m)) even under power-law hubs (the VERDICT r5 skew fix; "
-    "Cohen CiSE'09). Each triangle counted exactly once at its "
-    "minimum-order vertex. Companion structural metric to "
-    "dedup_clusters' components.",
-)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.graph import count_triangles
-    from ..operators.event_analytics import interval_overlap_pairs
-
-    ev = _events(spark, sf_dir)
-    iv = ev.groupBy(
-        "user_id",
-        F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day"),
-    ).agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
-    e = (
-        interval_overlap_pairs(iv)
-        .select(F.col("user_a").alias("ea"), F.col("user_b").alias("eb"))
-        .distinct()
-    )
-    return e.agg(F.count("*").alias("n_edges")).crossJoin(
-        count_triangles(e)
-    )
-
-
-
-@_register(
-    "motif_discovery",
-    """
-    WITH o AS (SELECT event_type AS g,
-                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
-                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-                        AS sum_value
-               FROM events GROUP BY 1, 2),
-    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
-    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r),
-    filled AS (
-      SELECT grid.g, grid.slot,
-             last_value(o.sum_value IGNORE NULLS) OVER (
-               PARTITION BY grid.g ORDER BY grid.slot
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-      FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
-    ),
-    rstr AS (
-      SELECT g, slot, v FROM (
-        SELECT g, slot, v, MIN(slot) OVER (PARTITION BY g) AS lo
-        FROM filled
-      ) WHERE slot < lo + 500
-    ),
-    qd AS (SELECT g, slot, CAST(round(v * 1000) AS BIGINT) AS q FROM rstr),
-    ld AS (SELECT g, slot, [lead(q, 0) OVER w, lead(q, 1) OVER w, lead(q, 2) OVER w, lead(q, 3) OVER w, lead(q, 4) OVER w, lead(q, 5) OVER w, lead(q, 6) OVER w, lead(q, 7) OVER w] AS wv
-           FROM qd WINDOW w AS (PARTITION BY g ORDER BY slot)),
-    -- a window with ANY NULL element is no window (drops both the
-    -- series tail and NULL-head gap-fill slots). Spark's `+` chain
-    -- NULL-propagates the window sum so those rows die at n2 > 0;
-    -- DuckDB's list_sum IGNORES NULLs (round-10 review find), so the
-    -- drop must be stated explicitly here, not left to n2.
-    ok AS (SELECT g, slot, wv, CAST(list_sum(wv) AS BIGINT) AS s
-           FROM ld WHERE len(list_filter(wv, x -> x IS NULL)) = 0),
-    cc AS (SELECT g, slot,
-                  list_transform(wv, x -> 8 * x - s) AS c
-           FROM ok),
-    nn AS (SELECT g, slot, c,
-                  CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)
-                    AS n2
-           FROM cc),
-    pairs AS (
-      SELECT a.g, a.slot AS slot_a, b.slot AS slot_b,
-             CAST(CAST(list_sum(list_transform(list_zip(a.c, b.c),
-                    p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
-               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
-               AS similarity
-      FROM nn a JOIN nn b
-        ON a.g = b.g AND b.slot >= a.slot + 8
-      WHERE a.n2 > 0 AND b.n2 > 0
-    )
-    SELECT g AS event_type, slot_a, slot_b, similarity FROM (
-      SELECT *, row_number() OVER (PARTITION BY g
-                 ORDER BY similarity DESC, slot_a, slot_b) AS rnk
-      FROM pairs
-    ) WHERE rnk = 1
-    """,
-    ("events", "timeseries", "similarity", "ext"),
-    "Motif discovery (matrix-profile-lite): the best non-overlapping "
-    "pair of 8-slot windows per series by z-normalized correlation — "
-    "the unsupervised twin of ts_pattern_search. One grouped Arrow "
-    "pass holds a group's window matrix (calendar-bounded n x 8 "
-    "ints); the Gram matrix is one exact int64 matmul, ties break on "
-    "the smallest (slot_a, slot_b) at exact-double equality, and the "
-    "oracle re-derives the same choice from a pair join. The series "
-    "is capped to the first 500 slots per group — harness sizing for "
-    "the oracle's O(n^2) pair relation; the Spark path has no such "
-    "need (the true matrix profile's FFT refinement drops in the "
-    "same way FAISS refines brute-force ANN).",
-)
-def q_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import gapfill_forward, motif_discovery
-
-    filled = gapfill_forward(_events(spark, sf_dir))
-    w = Window.partitionBy("event_type")
-    capped = filled.withColumn("__lo", F.min("slot").over(w)).filter(
-        F.col("slot") < F.col("__lo") + 500
-    )
-    return motif_discovery(capped, window_len=8)
-
-
-
-@_register(
-    "session_window_native",
-    """
-    WITH e AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs
-      FROM events WHERE ts IS NOT NULL
-    ),
-    g AS (
-      SELECT user_id, secs,
-             CASE WHEN lag(secs) OVER w IS NULL
-                       OR secs - lag(secs) OVER w > 1800
-                  THEN 1 ELSE 0 END AS is_new
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs)
-    ),
-    s AS (
-      SELECT user_id, secs,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY secs
-                               ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM g
-    )
-    SELECT user_id,
-           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM s GROUP BY 1
-    """,
-    ("events", "window", "session", "ext"),
-    "Native session_window sessionization (the engine operator the "
-    "hand-rolled lag/cumsum sessionize re-implements): one "
-    "groupBy(session_window(ts, '30 minutes'), user) aggregate — "
-    "merging session state map-side — then a per-user rollup. "
-    "Boundary semantics, MEASURED on the engine (round 9, via the "
-    "streaming boundary differential in test_streaming_catalog.py): "
-    "sessions merge when the next event is <= previous-event + gap, "
-    "so an event EXACTLY gap seconds after the previous one still "
-    "MERGES and only a strictly-larger gap splits — the oracle's gap "
-    "test is therefore >, same rule as sessionize. (The registration "
-    "originally claimed >= from the [first, last+gap) window shape; "
-    "that was wrong about the merge rule and latent — no driver "
-    "testdata generation has contained an exact-gap pair — caught "
-    "when the round-9 streaming twin's hand-built boundary fixture "
-    "disagreed. The two queries remain distinct operators: native "
-    "session_window state vs hand-rolled lag/cumsum windowing.) The "
-    "oracle excludes null-ts rows because the ENGINE does: "
-    "session_window() drops rows with NULL event time (round-10 "
-    "temporal-null family rule).",
-)
-def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    per_session = ev.groupBy(
-        F.session_window(F.timestamp_seconds("secs"), "30 minutes"),
-        "user_id",
-    ).agg(F.count("*").alias("n_events"))
-    return per_session.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-    )
-
-
-
-@_register(
-    "skew_report_lang",
-    """
-    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
-               FROM documents GROUP BY 1),
-    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
-    top AS (
-      SELECT lang, n_rows,
-             CAST(n_rows AS DOUBLE) / total AS share
-      FROM c CROSS JOIN t
-      ORDER BY n_rows DESC, lang LIMIT 10
-    )
-    SELECT lang, n_rows, share,
-           SUM(share) OVER (ORDER BY n_rows DESC, lang
-                            ROWS UNBOUNDED PRECEDING) AS cum_share,
-           CAST(row_number() OVER (ORDER BY n_rows DESC, lang)
-                AS INT) AS rank
-    FROM top
-    """,
-    ("aggregate", "skew", "diagnostics", "ext"),
-    "Key-skew diagnostic (operators.aggregates.skew_report): hottest "
-    "language groups with share and cumulative share of the corpus — "
-    "the planning-time numbers that pick broadcast vs shuffle vs "
-    "salted strategies and AQE skew thresholds. One map-side-combined "
-    "aggregation + a 1-row total broadcast + TakeOrdered; the only "
-    "unpartitioned window ranks the top_k rows, never the relation.",
-)
-def q_skew_report_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.aggregates import skew_report
-
-    return skew_report(_t(spark, sf_dir, "documents"), ["lang"], top_k=10)
-
-
-
-@_register(
-    "chi_square_lang_source",
-    """
-    WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
-               FROM documents GROUP BY 1, 2),
-    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
-    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
-    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
-    cells AS (
-      SELECT o.lang, o.source, obs,
-             CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e
-      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
-    )
-    SELECT CAST(CAST(SUM(CAST((obs - e) * (obs - e) / e
-                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS chi2,
-           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
-             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
-           CAST(COUNT(*) AS BIGINT) AS n_cells
-    FROM cells
-    """,
-    ("statistics", "aggregate", "ext"),
-    "Chi-square independence test between two categorical columns "
-    "(lang x source): observed cell counts vs the "
-    "row_total*col_total/n expectation, one contingency aggregation + "
-    "two margin relations joined back (all map-side combinable, cell "
-    "count bounded by the category product). Each cell's (o-e)^2/e "
-    "is a fixed-order double expression and the cell SUM is "
-    "decimal-routed, so the statistic is bit-portable. The "
-    "distribution-drift / feature-dependence check a curation "
-    "pipeline runs between corpus snapshots.",
-)
-def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
-    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
-    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
-    n = o.agg(F.sum("obs").alias("n"))
-    cells = (
-        o.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "obs",
-            (
-                F.col("r").cast("double")
-                * F.col("c").cast("double")
-                / F.col("n").cast("double")
-            ).alias("e"),
-        )
-    )
-    dof = (
-        rt.agg((F.count("*") - 1).alias("dr"))
-        .crossJoin(ct.agg((F.count("*") - 1).alias("dc")))
-        .select((F.col("dr") * F.col("dc")).alias("dof"))
-    )
-    chi = cells.agg(
-        F.sum(
-            ((F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")) / F.col("e"))
-            .cast("decimal(25,6)")
-        )
-        .cast("double")
-        .alias("chi2"),
-        F.count("*").alias("n_cells"),
-    )
-    return chi.crossJoin(F.broadcast(dof)).select("chi2", "dof", "n_cells")
-
-
-@_register(
-    "column_correlations",
-    """
-    WITH s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sq,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sp,
-             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sd,
-             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sqq,
-             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                           AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS spp,
-             CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sdd,
-             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sqp,
-             CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sqd,
-             CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS spd
-      FROM lineitem
-    )
-    SELECT 'quantity_price' AS pair,
-           (n * sqp - sq * sp)
-             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr
-    FROM s
-    UNION ALL
-    SELECT 'quantity_discount',
-           (n * sqd - sq * sd)
-             / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd))
-    FROM s
-    UNION ALL
-    SELECT 'price_discount',
-           (n * spd - sp * sd)
-             / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd))
-    FROM s
-    """,
-    ("statistics", "aggregate", "ext"),
-    "Pairwise Pearson correlations of three measures in ONE "
-    "aggregation pass (nine decimal-routed moment sums, map-side "
-    "combined to a single row) — never one pass per pair. The final "
-    "correlation formula is a fixed-order double expression over the "
-    "exact moments, so both engines agree bit-for-bit; the ANALYZE "
-    "step a feature pipeline runs before dropping redundant columns.",
-)
-def q_column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-
-    def dm(c):
-        return F.sum(c.cast("decimal(25,6)")).cast("double")
-
-    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
-    s = li.agg(
-        F.count("*").alias("n"),
-        dm(q).alias("sq"), dm(p).alias("sp"), dm(d).alias("sd"),
-        dm(q * q).alias("sqq"), dm(p * p).alias("spp"), dm(d * d).alias("sdd"),
-        dm(q * p).alias("sqp"), dm(q * d).alias("sqd"), dm(p * d).alias("spd"),
-    )
-
-    def corr_expr(sxy, sx, sy, sxx, syy):
-        n = F.col("n")
-        return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / (
-            F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
-            * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
-        )
-
-    pairs = [
-        ("quantity_price", corr_expr("sqp", "sq", "sp", "sqq", "spp")),
-        ("quantity_discount", corr_expr("sqd", "sq", "sd", "sqq", "sdd")),
-        ("price_discount", corr_expr("spd", "sp", "sd", "spp", "sdd")),
-    ]
-    out = None
-    for name, expr in pairs:
-        row = s.select(F.lit(name).alias("pair"), expr.alias("corr"))
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-
-@_register(
-    "embedding_covariance",
-    f"""
-    WITH qv AS (SELECT {_QVEC} AS q FROM embeddings),
-    pos AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS i),
-    f AS (SELECT i, CAST(SUM(q[i + 1]) AS BIGINT) AS s_i
-          FROM qv CROSS JOIN pos GROUP BY 1),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qv),
-    s2 AS (SELECT a.i AS i, b.i AS j,
-                  CAST(SUM(q[a.i + 1] * q[b.i + 1]) AS BIGINT) AS s_ij
-           FROM qv CROSS JOIN pos a CROSS JOIN pos b GROUP BY 1, 2)
-    SELECT s2.i, s2.j,
-           (CAST(n AS DOUBLE) * CAST(s_ij AS DOUBLE)
-              - CAST(fa.s_i AS DOUBLE) * CAST(fb.s_i AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
-    FROM s2
-    JOIN f fa ON fa.i = s2.i
-    JOIN f fb ON fb.i = s2.j
-    CROSS JOIN nn
-    """,
-    ("similarity", "statistics", "ext", "llm"),
-    "Exact embedding covariance matrix in long format (4096 cells): "
-    "each Arrow batch reduces to one d x d int64 partial outer "
-    "product, partials sum on the tiny (i, j) key — the HLL-rollup "
-    "partial-state economics, but exact; vectors never shuffle. The "
-    "cov formula runs once per cell on exact global moments "
-    "(fixed-order doubles), so a covariance MATRIX grades against a "
-    "SQL oracle bit-for-bit. The sufficient statistic pca_project "
-    "eigendecomposes driver-side.",
-)
-def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import embedding_covariance
-
-    return embedding_covariance(_emb(spark, sf_dir))
-
-
-@_register(
-    "pca_project",
-    None,  # eigenvector sign / near-degenerate order are not engine-
-    # portable; variance ordering, orthonormality, and reconstruction
-    # pinned in tests/test_pq_knn.py
-    ("similarity", "ext", "llm", "pca"),
-    "PCA projection onto the top-8 principal components — the "
-    "dimensionality-reduction / whitening step before clustering and "
-    "semantic dedup (SemDeDup clusters PCA-reduced embeddings). "
-    "Distributed sufficient statistics (exact int64 moments), "
-    "driver-side d x d eigh with a sign convention (the IVF-quantizer "
-    "model-state contract), one Arrow matmul per batch to project — "
-    "vectors never shuffle.",
-)
-def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.similarity import pca_project
-
-    return pca_project(_emb(spark, sf_dir), k=8)
-
-
-
-@_register(
-    "pareto_abc",
-    f"""
-    WITH r AS (
-      SELECT p.p_brand, {_osum('l.l_extendedprice * (1 - l.l_discount)')}
-               AS revenue
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      GROUP BY 1
-    ),
-    t AS (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
-            AS total FROM r),
-    c AS (
-      SELECT p_brand, revenue,
-             CAST(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER (
-               ORDER BY revenue DESC, p_brand
-               ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) / total AS cum_share
-      FROM r CROSS JOIN t
-    )
-    SELECT p_brand, revenue, cum_share,
-           CASE WHEN cum_share <= 0.4 THEN 'A'
-                WHEN cum_share <= 0.8 THEN 'B'
-                ELSE 'C' END AS abc_class
-    FROM c
-    """,
-    ("analytics", "window", "ext"),
-    "Pareto / ABC classification: brands ranked by revenue, running "
-    "cumulative share (decimal-routed in-frame sum), bucketed "
-    "A (top 40% of revenue) / B (next 40%) / C (tail) — the BI "
-    "classic behind inventory and catalog triage. The unpartitioned "
-    "window runs over the BRAND aggregate (category-bounded, the "
-    "skew_report economics), never the fact table; at higher "
-    "cardinality the key becomes a partition dimension or the "
-    "global_row_index two-phase rank.",
-)
-def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pt = _t(spark, sf_dir, "part")
-    r = (
-        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .groupBy("p_brand")
-        .agg(
-            dsum(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-            ).alias("revenue")
-        )
-    )
-    t = r.agg(dsum("revenue").alias("total"))
-    w = Window.orderBy(F.desc("revenue"), "p_brand").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = r.crossJoin(F.broadcast(t)).select(
-        "p_brand",
-        "revenue",
-        (
-            F.sum(F.col("revenue").cast("decimal(25,6)")).over(w).cast("double")
-            / F.col("total")
-        ).alias("cum_share"),
-    )
-    return c.select(
-        "p_brand",
-        "revenue",
-        "cum_share",
-        F.when(F.col("cum_share") <= 0.4, "A")
-        .when(F.col("cum_share") <= 0.8, "B")
-        .otherwise("C")
-        .alias("abc_class"),
-    )
-
-
-@_register(
-    "rfm_segments",
-    f"""
-    WITH mx AS (SELECT MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS now
-                FROM orders),
-    rfm AS (
-      SELECT o_custkey,
-             CAST((now - MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT)))
-                  // 86400 AS BIGINT) AS recency_days,
-             CAST(COUNT(*) AS BIGINT) AS frequency,
-             {_osum('o_totalprice')} AS monetary
-      FROM orders CROSS JOIN mx GROUP BY o_custkey, now
-    ),
-    scored AS (
-      SELECT o_custkey, recency_days, frequency, monetary,
-             CAST(6 - ntile(5) OVER (ORDER BY recency_days, o_custkey)
-                  AS BIGINT) AS r_score,
-             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
-                  AS BIGINT) AS f_score,
-             CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
-                  AS BIGINT) AS m_score
-      FROM rfm
-    )
-    SELECT o_custkey, recency_days, frequency, monetary,
-           r_score, f_score, m_score,
-           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
-                WHEN r_score >= 4 THEN 'recent'
-                WHEN f_score >= 4 THEN 'loyal_lapsing'
-                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
-                ELSE 'regular' END AS segment
-    FROM scored
-    """,
-    ("analytics", "window", "ext"),
-    "RFM customer segmentation: per-customer recency (days since last "
-    "order, epoch arithmetic), frequency, and decimal-routed monetary "
-    "value, quintile-scored and bucketed into the classic segments. "
-    "Each quintile runs as extensions.sampling.ntile_scalable — the "
-    "two-phase rank (range-bucket on the score column, partitioned "
-    "in-bucket window, buckets-sized prefix offsets, exact SQL ntile "
-    "formula on the global row number) — NOT an unpartitioned ntile "
-    "window, because the ranked relation is the customer aggregate "
-    "and customer cardinality is unbounded at 100 TB (the "
-    "single-partition WindowExec path never finishes there). Full "
-    "key tiebreak keeps bucket assignment deterministic and "
-    "identical in both engines; the oracle states the same quintiles "
-    "as plain ntile windows — semantics, not plan.",
-)
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # o_orderdate is TIMESTAMP_NTZ in the driver parquet: epoch secs
-    # must come from NTZ wall arithmetic, NOT cast("timestamp") +
-    # unix_timestamp — that pair reads the session zone, and under a
-    # DST zone (America/New_York) `now` and `last` can sit on
-    # different offsets, shifting floor((now-last)/86400) by a day
-    # (round-10 review find; the events decode had the same bug). The
-    # config sweep's tz-dst axis now pins this catalog-wide. Branch on
-    # the column's actual Spark type the way _decode_event_ts does
-    # (round-10 ADVICE): CAST(x AS TIMESTAMP_NTZ) on an INSTANT-typed
-    # column would itself read the session zone, silently
-    # reintroducing the bug if the driver ever re-encodes orders.
-    raw = _t(spark, sf_dir, "orders")
-    od_type = raw.schema["o_orderdate"].dataType
-    if isinstance(od_type, T.TimestampType):
-        # instant-typed: internal UTC micros, session-tz-free
-        secs = (F.unix_seconds(F.col("o_orderdate"))).alias("secs")
-    elif isinstance(od_type, (T.TimestampNTZType, T.DateType)):
-        # wall time (or a pure calendar DATE — its NTZ cast is
-        # tz-free field arithmetic): NTZ wall-clock diff, no session
-        # conf anywhere in the expression
-        secs = F.expr(
-            "timestampdiff(MICROSECOND,"
-            " TIMESTAMP_NTZ'1970-01-01 00:00:00',"
-            " CAST(o_orderdate AS TIMESTAMP_NTZ)) div 1000000"
-        ).alias("secs")
-    else:
-        raise TypeError(
-            f"orders.o_orderdate has unsupported Spark type "
-            f"{od_type.simpleString()}; expected DATE, TIMESTAMP or "
-            "TIMESTAMP_NTZ — extend the recency branch in "
-            "q_rfm_segments the way _decode_event_ts handles events.ts"
-        )
-    o = raw.select("o_custkey", secs, "o_totalprice")
-    mx = o.agg(F.max("secs").alias("now"))
-    rfm = (
-        o.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey", "now")
-        .agg(
-            F.max("secs").alias("last"),
-            F.count("*").alias("frequency"),
-            dsum("o_totalprice").alias("monetary"),
-        )
-        .select(
-            "o_custkey",
-            F.floor((F.col("now") - F.col("last")) / F.lit(86400))
-            .cast("long")
-            .alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
-    )
-    from ..extensions.sampling import ntile_scalable
-
-    # materialize the customer-sized RFM aggregate ONCE: every ntile
-    # stage branches its input (bucket counts + main relation), so an
-    # un-truncated lineage recomputes the orders scan 2^3 times; the
-    # checkpoint caps it at one scan + three small-window stages
-    # (connected_components' lazy-localCheckpoint rule)
-    rfm = rfm.localCheckpoint(eager=False)
-    # ONE boundary-probe action for all three score columns (each
-    # ntile_scalable probing separately would re-execute the rfm
-    # aggregate lineage per column)
-    nb = max(spark.sparkContext.defaultParallelism, 2)
-    qs = [i / nb for i in range(1, nb)]
-    b_r, b_f, b_m = rfm.select(
-        F.col("recency_days").cast("double").alias("r"),
-        F.col("frequency").cast("double").alias("f"),
-        F.col("monetary").cast("double").alias("m"),
-    ).stat.approxQuantile(["r", "f", "m"], qs, 0.001)
-    scored = ntile_scalable(
-        rfm, 5, "recency_days", ("o_custkey",), out_col="r_raw", bounds=b_r
-    )
-    scored = ntile_scalable(
-        scored, 5, "frequency", ("o_custkey",), out_col="f_score", bounds=b_f
-    )
-    scored = ntile_scalable(
-        scored, 5, "monetary", ("o_custkey",), out_col="m_score", bounds=b_m
-    )
-    scored = scored.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
-        (F.lit(6) - F.col("r_raw")).alias("r_score"),
-        "f_score", "m_score",
-    )
-    return scored.select(
-        "*",
-        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
-        .when(F.col("r_score") >= 4, "recent")
-        .when(F.col("f_score") >= 4, "loyal_lapsing")
-        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
-        .otherwise("regular")
-        .alias("segment"),
-    )
-
-
-@_register(
-    "basket_affinity",
-    """
-    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-          FROM b),
-    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM b
-             GROUP BY 1),
-    pair AS (
-      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
-             CAST(COUNT(*) AS BIGINT) AS n_ab
-      FROM b a JOIN b c
-        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-      GROUP BY 1, 2
-    )
-    SELECT part_a, part_b, n_ab,
-           CAST(n_ab AS DOUBLE) * n_orders
-             / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
-    FROM pair
-    JOIN item ia ON ia.l_partkey = part_a
-    JOIN item ib ON ib.l_partkey = part_b
-    CROSS JOIN n
-    WHERE n_ab >= 2
-    """,
-    ("analytics", "join", "ext"),
-    "Market-basket affinity: part pairs co-occurring in an order with "
-    "support >= 2 and their lift (observed co-rate over the "
-    "independence expectation). Pair generation self-joins ON the "
-    "basket key, so work is the sum of squared basket sizes — "
-    "baskets are order-line-bounded (~7), never corpus-quadratic "
-    "(the SemDeDup cell economics in relational form); item "
-    "frequencies aggregate before the lift join.",
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog_base import (  # noqa: F401 -- re-exported surface
+    Query,
+    CATALOG,
+    _register,
+    _t,
+    _spread,
+    _docs,
+    _emb,
+    _check_embedding_dim_contract,
+    _EMB_CONTRACT_OK,
+    _EPOCH_LO,
+    _EPOCH_HI,
+    _EVENTS_CONTRACT_OK,
+    _check_events_epoch_contract,
+    _events,
+    _EVENTS_FALLBACK_DDL,
+    _read_events_raw,
+    _as_stream_dir,
+    _decode_event_ts,
+    _events_stream,
+    dsum,
+    _osum,
+    _OSECS,
+    _hhmm,
+    _ohhmm,
+)
+from .catalog_core import *  # noqa: F401,F403 -- register + re-export
+from .catalog_text import *  # noqa: F401,F403 -- register + re-export
+from .catalog_index import *  # noqa: F401,F403 -- register + re-export
+from .catalog_analytics import *  # noqa: F401,F403 -- register + re-export
+from .catalog_dashboard import *  # noqa: F401,F403 -- register + re-export
+from .catalog_advanced import *  # noqa: F401,F403 -- register + re-export
+from .catalog_streaming import *  # noqa: F401,F403 -- register + re-export
+from .catalog_streaming import (  # noqa: F401 -- private test hooks
+    _STREAM_REPLAY_VIEWS,
+    _stream_session_windows,
+    _stream_window_counts,
+    _stream_window_counts_plan,
 )
-def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n = b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    item = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    a = b.alias("a")
-    c = b.alias("c")
-    pair = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("c.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
-    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
-    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
-    return (
-        pair.join(ia, "part_a")
-        .join(ib, "part_b")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            (
-                F.col("n_ab").cast("double")
-                * F.col("n_orders")
-                / (F.col("na").cast("double") * F.col("nb").cast("double"))
-            ).alias("lift"),
-        )
-    )
-
-
-
-@_register(
-    "funnel_within_window",
-    f"""
-    WITH e AS (SELECT user_id AS u, event_type AS t,
-                      {_OSECS.format(ts='ts')} AS s FROM events),
-    s1 AS (SELECT u, MIN(s) AS ts_prev FROM e WHERE t = 'signup' GROUP BY 1),
-    s2 AS (SELECT e.u, MIN(e.s) AS ts_prev
-           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.ts_prev
-                        AND e.s <= s1.ts_prev + 86400
-           WHERE e.t = 'click' GROUP BY 1),
-    s3 AS (SELECT e.u, MIN(e.s) AS ts_prev
-           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.ts_prev
-                        AND e.s <= s2.ts_prev + 86400
-           WHERE e.t = 'purchase' GROUP BY 1)
-    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
-           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
-    UNION ALL
-    SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
-    UNION ALL
-    SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
-    """,
-    ("events", "analytics", "ext"),
-    "Windowed funnel: each step must land within 24h of the previous "
-    "one (the product-analytics conversion-window convention; under a "
-    "window the metric is DEFINED by the greedy first-touch chain and "
-    "the oracle states the same recursion). Same per-stage "
-    "filter + user-keyed join + MIN shape as funnel_conversion.",
-)
-def q_funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.event_analytics import funnel_stages
-
-    out = funnel_stages(
-        _events(spark, sf_dir),
-        steps=("signup", "click", "purchase"),
-        within_secs=86400,
-    )
-    return out.select(
-        F.col("stage").cast("long").alias("stage"), "step", "n_users"
-    )
-
-
-
-@_register(
-    "funnel_stage_latency",
-    f"""
-    WITH e AS (SELECT user_id AS u, event_type AS t,
-                      {_OSECS.format(ts='ts')} AS s FROM events),
-    s1 AS (SELECT u, MIN(s) AS t1 FROM e WHERE t = 'signup' GROUP BY 1),
-    s2 AS (SELECT e.u, MIN(e.s) AS t2
-           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.t1
-           WHERE e.t = 'click' GROUP BY 1),
-    s3 AS (SELECT e.u, MIN(e.s) AS t3
-           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.t2
-           WHERE e.t = 'purchase' GROUP BY 1),
-    d AS (
-      SELECT 'signup_to_click' AS stage_pair, s2.u,
-             s2.t2 - s1.t1 AS diff
-      FROM s2 JOIN s1 USING (u)
-      UNION ALL
-      SELECT 'click_to_purchase', s3.u, s3.t3 - s2.t2
-      FROM s3 JOIN s2 USING (u)
-    ),
-    r AS (
-      SELECT stage_pair, diff,
-             row_number() OVER (PARTITION BY stage_pair
-                                ORDER BY diff, u) AS rn,
-             COUNT(*) OVER (PARTITION BY stage_pair) AS n
-      FROM d
-    )
-    SELECT stage_pair, CAST(MAX(n) AS BIGINT) AS n_users,
-           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1)
-                         THEN diff ELSE 0 END) AS DOUBLE)
-             / COUNT(CASE WHEN rn IN ((n + 1) // 2, n // 2 + 1)
-                          THEN 1 END) AS median_secs
-    FROM r GROUP BY 1
-    """,
-    ("events", "analytics", "window", "ext"),
-    "Median time between funnel stages (the 'how long does conversion "
-    "take' companion to the stage counts): per-converting-user "
-    "greedy-chain timestamps differenced, exact median by "
-    "rank-selection — the middle rank(s) picked inside a window "
-    "PARTITIONED by stage pair, averaged (integer diffs: the even-n "
-    "half is exactly representable), no quantile-function semantics "
-    "to reconcile across engines. Windows run over the converting "
-    "population, bounded by the funnel's own output.",
-)
-def q_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    base = ev.select(
-        F.col("user_id").alias("u"),
-        F.col("event_type").alias("t"),
-        F.col("secs").alias("s"),
-    )
-    s1 = base.filter(F.col("t") == "signup").groupBy("u").agg(
-        F.min("s").alias("t1")
-    )
-    s2 = (
-        base.filter(F.col("t") == "click")
-        .join(s1, "u")
-        .filter(F.col("s") > F.col("t1"))
-        .groupBy("u")
-        .agg(F.min("s").alias("t2"))
-    )
-    s3 = (
-        base.filter(F.col("t") == "purchase")
-        .join(s2, "u")
-        .filter(F.col("s") > F.col("t2"))
-        .groupBy("u")
-        .agg(F.min("s").alias("t3"))
-    )
-    d12 = (
-        s2.join(s1, "u")
-        .select(
-            F.lit("signup_to_click").alias("stage_pair"),
-            "u",
-            (F.col("t2") - F.col("t1")).alias("diff"),
-        )
-    )
-    d23 = (
-        s3.join(s2, "u")
-        .select(
-            F.lit("click_to_purchase").alias("stage_pair"),
-            "u",
-            (F.col("t3") - F.col("t2")).alias("diff"),
-        )
-    )
-    d = d12.unionByName(d23)
-    w = Window.partitionBy("stage_pair").orderBy("diff", "u")
-    wn = Window.partitionBy("stage_pair")
-    r = d.select(
-        "stage_pair",
-        "diff",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    lo = ((F.col("n") + 1) / 2).cast("long")
-    hi = (F.col("n") / 2 + 1).cast("long")
-    is_mid = (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.floor(hi))
-    return r.groupBy("stage_pair").agg(
-        F.max("n").alias("n_users"),
-        (
-            F.sum(F.when(is_mid, F.col("diff")).otherwise(0)).cast("double")
-            / F.sum(F.when(is_mid, 1))
-        ).alias("median_secs"),
-    )
-
-
-
-@_register(
-    "curation_report",
-    rf"""
-    WITH exact AS (
-      SELECT CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n
-      FROM (SELECT COUNT(*) AS n_copies
-            FROM documents GROUP BY md5(replace(lower(text), ' ', '')))
-    ),
-    nd AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_minhash_pairs_oracle()})
-    ),
-    sd AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        WITH v AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
-        drops AS (
-          SELECT DISTINCT b.vec_id AS dropped
-          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE {_ocos('a.qv', 'b.qv')}
-                >= 0.3
-        )
-        SELECT dropped FROM drops
-      )
-    ),
-    dx AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        WITH split_docs AS (
-          SELECT doc_id, text,
-                 CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-                      THEN 'train' ELSE 'test' END AS split
-          FROM documents
-        ),
-        sh AS ({_ngram_expr_sql(8)}),
-        held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
-        SELECT DISTINCT s.doc_id
-        FROM sh s JOIN held USING (shingle) WHERE s.split = 'train'
-      )
-    )
-    SELECT 'exact_dup_docs_removed' AS tier, n AS n_affected FROM exact
-    UNION ALL SELECT 'minhash_candidate_pairs', n FROM nd
-    UNION ALL SELECT 'semantic_dups_dropped', n FROM sd
-    UNION ALL SELECT 'contaminated_train_docs', n FROM dx
-    """,
-    ("pipeline", "dedup", "diagnostics", "ext", "llm"),
-    "Curation survivorship report: what each dedup/contamination tier "
-    "would remove, in one relation — exact-duplicate docs beyond the "
-    "kept survivor, MinHash-LSH candidate pairs, SemDeDup drops, and "
-    "held-out-contaminated training docs. Every leg is a "
-    "previously-graded query reduced to its count; the report is the "
-    "observability artifact a curation run logs next to its output "
-    "manifest (and the oracle recomputes all four legs wholesale).",
-)
-def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.dedup_text import decontaminate, exact_dedup_groups
-    from ..extensions.sampling import split_assign
-    from ..extensions.similarity import semantic_dedup
-
-    docs = _docs(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
-    exact = exact_dedup_groups(docs).agg(
-        F.lit("exact_dup_docs_removed").alias("tier"),
-        (F.sum("n_copies") - F.count("*")).alias("n_affected"),
-    )
-    nd = lsh_candidate_pairs(minhash_signatures(docs)).agg(
-        F.lit("minhash_candidate_pairs").alias("tier"),
-        F.count("*").alias("n_affected"),
-    )
-    sd = (
-        semantic_dedup(emb, threshold=0.3)
-        .filter(F.col("keep") == 0)
-        .agg(
-            F.lit("semantic_dups_dropped").alias("tier"),
-            F.count("*").alias("n_affected"),
-        )
-    )
-    split = split_assign(F.col("doc_id"))
-    dx = decontaminate(
-        docs.filter(split == "train"), docs.filter(split == "test"), n=8
-    ).agg(
-        F.lit("contaminated_train_docs").alias("tier"),
-        F.count("*").alias("n_affected"),
-    )
-    return exact.unionByName(nd).unionByName(sd).unionByName(dx)
-
-
-
-@_register(
-    "null_safe_join",
-    f"""
-    WITH a AS (
-      SELECT NULLIF(l_returnflag, 'N') AS k, CAST(COUNT(*) AS BIGINT) AS n_a
-      FROM lineitem GROUP BY 1
-    ),
-    b AS (
-      SELECT NULLIF(l_returnflag, 'N') AS k,
-             {_osum('l_quantity')} AS qty_b
-      FROM lineitem GROUP BY 1
-    )
-    SELECT a.k, a.n_a, b.qty_b
-    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-    """,
-    ("join", "null", "ext"),
-    "Null-safe equality join (Spark's <=> / eqNullSafe, SQL's IS NOT "
-    "DISTINCT FROM): the NULL group — here the sentinel-nulled 'N' "
-    "flag, the engine's representation of 'unknown' keys after "
-    "sentinel_to_null cleaning (P8) — joins to itself instead of "
-    "silently dropping, the semantics a dim lookup on a nullable key "
-    "actually needs. Plans as an ordinary hash join (null-safe "
-    "equality is still an equi-key); without it the NULL rows vanish "
-    "from an inner join and no error tells you.",
-)
-def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    k = F.nullif(F.col("l_returnflag"), F.lit("N"))
-    a = li.groupBy(k.alias("k")).agg(F.count("*").alias("n_a"))
-    b = li.groupBy(k.alias("k")).agg(dsum("l_quantity").alias("qty_b"))
-    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
-        a["k"].alias("k"), "n_a", "qty_b"
-    )
-
-
-@_register(
-    "kmeans_clusters",
-    None,  # iterative fixed-point like pagerank_copresence: 5 Lloyd
-    # rounds of exact int64 coordinate sums + driver-quantized
-    # centroids — not relationally statable without recursion;
-    # reference-equality vs an independent pure-numpy implementation
-    # of the same spec (EXACT float equality, last bit), byte-identical
-    # partition independence, zero-norm and k>n degeneracy pinned in
-    # tests/test_clustering.py
-    ("similarity", "clustering", "iterative", "ext"),
-    "Full-corpus distributed spherical k-means over the embeddings "
-    "table (extensions.clustering.kmeans_embeddings) — the semantic "
-    "structure a curation pipeline clusters on before balanced "
-    "sampling. One scan per Lloyd round: broadcast int64-quantized "
-    "centroids into an Arrow pass emitting O(batches x k) partial "
-    "sums, posexplode + map-side-combined (cluster,pos) aggregation, "
-    "k x d exact sums to the driver. Every score is exact integer "
-    "arithmetic + one guarded IEEE division, so assignments AND "
-    "cosines are byte-identical under any partitioning. Output here "
-    "is the bounded per-cluster summary (size, min id, mean cosine "
-    "in exact-sum form) — k rows, stable.",
-)
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.clustering import kmeans_embeddings
-
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_embeddings(emb, k=8, iters=5)
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.min("vec_id").alias("min_vec_id"),
-            # deterministic mean: sum of per-row deterministic doubles
-            # would be shuffle-order-dependent — aggregate the exact
-            # int-quantized cosine instead (round half-up at 1e-9,
-            # then exact int64 sum / count)
-            (
-                F.sum(F.floor(F.col("cosine") * 1e9 + F.lit(0.5)).cast("long"))
-                .cast("double")
-                / (F.count("*") * F.lit(1e9))
-            ).alias("mean_cosine"),
-        )
-        .select("cluster", "n_members", "min_vec_id", "mean_cosine")
-    )
-
-
-@_register(
-    "kmeans_assign_exact",
-    f"""
-    WITH c AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
-             {_QVEC} AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
-    ),
-    q AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
-    scored AS (
-      SELECT q.vec_id, c.cluster,
-             {_DOT.format(a='qv', b='cv')} / sqrt(
-               (CASE WHEN {_NORM.format(a='qv')} = 0 THEN 1.0
-                     ELSE {_NORM.format(a='qv')} END)
-               * (CASE WHEN {_NORM.format(a='cv')} = 0 THEN 1.0
-                       ELSE {_NORM.format(a='cv')} END)) AS cosine
-      FROM q, c
-    )
-    SELECT vec_id, cluster, cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cosine DESC, cluster) AS rk
-      FROM scored
-    ) WHERE rk = 1
-    """,
-    ("similarity", "clustering", "ext"),
-    "The k-means ASSIGNMENT kernel in exact mode (VERDICT r7 #1): "
-    "fixed deterministic centroids (the 8 lowest-id embedding rows, "
-    "scored as raw int64-quantized vectors — cosine is "
-    "centroid-scale-invariant, so no unit normalization and no "
-    "driver re-quantization stand between the stored table and the "
-    "scored number), argmax quantized cosine with lowest-cluster "
-    "tie-break. With the centroids fixed there is no Lloyd "
-    "iteration, so the clustering tier's scoring path "
-    "(extensions.clustering.assign_to_centroids -> _centroid_pass, "
-    "the same broadcast-centroid Arrow pass every Lloyd round and "
-    "assign_with_model call runs) gets the full DuckDB differential "
-    "oracle — the ivf_knn_exact / ivfpq_index_exact recipe applied "
-    "to the third and newest index-family tier. Zero-norm rows "
-    "follow the module contract: guarded denominators score them 0 "
-    "everywhere, landing them in cluster 0.",
-)
-def q_kmeans_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.clustering import assign_to_centroids
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return assign_to_centroids(emb, emb.orderBy("vec_id").limit(8)).select(
-        "vec_id", "cluster", "cosine"
-    )
-
-
-@_register(
-    "cluster_balanced_sample",
-    None,  # the cluster ids come from the iterative k-means above, so
-    # the composite is rows-only like its parent; the sampling layer
-    # itself (md5-ranked window per cluster) is deterministic and its
-    # subset/cap/determinism contract is pinned in
-    # tests/test_clustering.py
-    ("sampling", "clustering", "ext"),
-    "Cluster-balanced diversity sampling "
-    "(extensions.clustering.cluster_balanced_sample over "
-    "kmeans_embeddings): at most N documents per semantic cluster, "
-    "chosen by md5-of-id rank — the curation move that stops one "
-    "semantic region dominating a training mixture. The window "
-    "partitions on the cluster id (plan-lint class: never global); "
-    "md5 + id tiebreak makes the picked set independent of "
-    "partitioning and rerun-stable. Output: (cluster, vec_id) for "
-    "the picked rows — k x N rows, bounded.",
-)
-def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.clustering import (
-        cluster_balanced_sample,
-        kmeans_embeddings,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_embeddings(emb, k=8, iters=5)
-    return (
-        cluster_balanced_sample(assigned, per_cluster=5)
-        .select("cluster", "vec_id")
-        .orderBy("cluster", "vec_id")
-    )
-
-
-# ===========================================================================
-# §2.7 STREAMING TIER AS A GRADED ARTIFACT (round 9, beyond the brief).
-#
-# Every streaming operator so far is pytest-proven (batch-parity goldens,
-# checkpoint resume, live transformWithStateInPandas) but invisible to the
-# driver's correctness harness, because a streaming query is not a
-# (spark, sf_dir) -> DataFrame plan. This entry closes that evidence gap:
-# the callable runs a REAL Structured Streaming job — availableNow trigger
-# over the driver's events parquet, stream-static broadcast join to the
-# S9 time-of-day dim, 15-minute tumbling-window aggregate, complete-mode
-# memory sink — and returns the materialized final state as an ordinary
-# batch DataFrame the harness can hash. Complete mode makes the output
-# the FINAL aggregate state regardless of how the trigger split the input
-# into micro-batches, which is exactly the determinism the differential
-# needs (and tests/test_streaming_catalog.py pins the split-independence
-# explicitly by replaying the same rows 1 file/batch vs 1 batch).
-#
-# Window discipline: staged oracle=None through round 9 (the pagerank/
-# dashboard staging pattern, differentially pinned every session);
-# stream_window_counts' oracle was PROMOTED into its registration as
-# round 10's single window swap — the first driver-graded Structured
-# Streaming query. stream_session_windows stays staged in
-# STREAMING_STAGED_ORACLES, queued for a later round's swap.
-#
-# At 100 TB: the file source lists only new files per trigger,
-# maxFilesPerTrigger bounds each micro-batch, the dim join broadcasts a
-# 96-row relation, and windowed-aggregation state is (windows x types)-
-# sized — the sink, not the memory table, would be the lake writer
-# (stream_to_partitioned_lake).
-# ===========================================================================
-
-_STREAM_REPLAY_SEQ = itertools.count()
-
-#: prefix -> the memory-sink view name of the LATEST replay for that
-#: catalog entry; the previous view is dropped before each new replay
-#: so a long session (bench reps, sweeps) holds at most one
-#: CATALOG-REGISTERED materialized final state per entry instead of
-#: one per invocation (review r9 finding). Stale-handle contract
-#: (VERDICT r9 #7, pinned by
-#: tests/test_streaming_catalog.py::test_stale_replay_handle_contract):
-#: each replay sinks to a FRESH epoch-numbered view name, and a
-#: DataFrame returned by a previous invocation keeps its ANALYZED plan
-#: — which references that epoch's own memory sink directly — so the
-#: old handle stays valid and keeps returning ITS OWN replay's rows
-#: even after a newer invocation drops its temp view. What the drop
-#: releases is the catalog NAME (and with it the sink's lifetime once
-#: the caller lets go of the handle); it never silently rebinds an old
-#: handle to new data, and it never turns one into an opaque
-#: analysis error.
-_STREAM_REPLAY_VIEWS: dict[str, str] = {}
-
-
-def _replay_catalog_stream(
-    prefix: str, agg: DataFrame, timeout_sec: int
-) -> DataFrame:
-    from ..streaming.pipeline import replay_to_table
-
-    spark = agg.sparkSession
-    prev = _STREAM_REPLAY_VIEWS.get(prefix)
-    if prev is not None:
-        spark.catalog.dropTempView(prev)
-    name = f"{prefix}_{next(_STREAM_REPLAY_SEQ)}"
-    out = replay_to_table(agg, name, "complete", timeout_sec)
-    _STREAM_REPLAY_VIEWS[prefix] = name
-    return out
-
-#: part_of_day run-length boundaries shared with sources.generators
-#: (slot = 15-minute index 0..95): 0-19 night, 20-47 morning,
-#: 48-67 afternoon, 68-83 evening, 84-95 night.
-_PART_OF_DAY_SQL = (
-    "CASE WHEN slot < 20 THEN 'night' WHEN slot < 48 THEN 'morning' "
-    "WHEN slot < 68 THEN 'afternoon' WHEN slot < 84 THEN 'evening' "
-    "ELSE 'night' END"
-)
-
-#: The stream_window_counts DuckDB oracle — PROMOTED into the
-#: registration below as round 10's single window swap (VERDICT r9
-#: next-round #1: the first driver-graded Structured Streaming query).
-#: Named so tests/test_streaming_catalog.py can keep running the same
-#: differential object it staged in round 9.
-_STREAM_WINDOW_COUNTS_ORACLE = f"""
-    WITH slotted AS (
-      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900
-               AS window_start_s,
-             CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 900
-                  AS BIGINT) AS slot,
-             event_type, value
-      FROM events
-      WHERE ts IS NOT NULL  -- the engine's window() drops null event
-                            -- times (round-10 temporal-null rule)
-    )
-    SELECT window_start_s,
-           event_type,
-           CAST(slot // 4 AS INT) AS hour,
-           {_PART_OF_DAY_SQL} AS part_of_day,
-           COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
-    FROM slotted
-    GROUP BY window_start_s, event_type, slot
-    ORDER BY window_start_s, event_type
-    """
-
-#: Full DuckDB oracles still STAGED for promotion when a graded-window
-#: slot opens (one swap per round). stream_window_counts left this dict
-#: in round 10 when its oracle moved into the registration.
-#: tests/test_streaming_catalog.py runs the differential every session.
-STREAMING_STAGED_ORACLES: dict[str, str] = {
-    # The session_window_native oracle BY CONSTRUCTION (registered
-    # above, driver-green since r06), plus the final ORDER BY the
-    # streaming entry adds: the streaming session-window replay must
-    # agree with the batch operator on the same rows — stated as the
-    # same SQL object, so the two can never drift apart silently.
-    "stream_session_windows": (
-        CATALOG["session_window_native"].oracle + " ORDER BY 1"
-    ),
-}
-
-
-def _stream_window_counts_plan(
-    spark: SparkSession,
-    sf_dir: str,
-    max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """The PRE-SINK streaming aggregate of q_stream_window_counts —
-    split out so tests pin the broadcast hint on the exact production
-    plan (not a copy), and so the replay wrapper below stays a thin
-    sink concern."""
-    ev = _events_stream(spark, sf_dir, max_files_per_trigger)
-    tod = time_of_day_dim(spark).select("time_of_day_id", "hour", "part_of_day")
-    fact = ev.select(
-        F.timestamp_seconds(F.col("secs")).alias("event_time"),
-        F.concat(
-            F.lpad(F.expr("(secs % 86400) div 3600").cast("string"), 2, "0"),
-            F.lpad(
-                F.expr("((secs % 3600) div 60 div 15) * 15").cast("string"),
-                2,
-                "0",
-            ),
-        ).alias("time_of_day_id"),
-        "event_type",
-        "value",
-    )
-    return (
-        fact.join(F.broadcast(tod), "time_of_day_id")
-        .groupBy(
-            F.window("event_time", "15 minutes"),
-            "event_type",
-            "hour",
-            "part_of_day",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .select(
-            F.unix_seconds(F.col("window.start")).alias("window_start_s"),
-            "event_type",
-            "hour",
-            "part_of_day",
-            "n",
-            "sum_value",
-        )
-    )
-
-
-def _stream_window_counts(
-    spark: SparkSession,
-    sf_dir: str,
-    max_files_per_trigger: int | None = None,
-    timeout_sec: int = 180,
-) -> DataFrame:
-    """The streaming plan behind q_stream_window_counts, parameterized
-    so tests can force a multi-micro-batch replay
-    (``max_files_per_trigger=1`` over a multi-file copy of the table)
-    and assert the complete-mode output is split-independent."""
-    agg = _stream_window_counts_plan(spark, sf_dir, max_files_per_trigger)
-    out = _replay_catalog_stream("stream_window_counts", agg, timeout_sec)
-    return out.orderBy("window_start_s", "event_type")
-
-
-@_register(
-    "stream_window_counts",
-    _STREAM_WINDOW_COUNTS_ORACLE,  # round 10's single window swap
-    # (VERDICT r9 #1): the oracle staged + pytest-differential-pinned
-    # through round 9 is promoted into the registration, making this
-    # the first driver-graded Structured Streaming query.
-    ("streaming", "window", "join"),
-    "The streaming tier as a harness-gradable artifact: a REAL "
-    "Structured Streaming job (availableNow trigger over the events "
-    "parquet, stream-static broadcast join to the 96-slot S9 dim, "
-    "15-minute tumbling-window count + exact decimal sum, complete-mode "
-    "memory sink) whose materialized final state is returned as a batch "
-    "DataFrame. Complete mode emits the final aggregate state whatever "
-    "the micro-batch split, so the result equals the batch SQL over the "
-    "same rows — the streaming=batch semantics every §2.7 test asserts, "
-    "now stated where the driver can grade it.",
-)
-def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _stream_window_counts(spark, sf_dir)
-
-
-def _stream_session_windows(
-    spark: SparkSession,
-    sf_dir: str,
-    max_files_per_trigger: int | None = None,
-    timeout_sec: int = 180,
-) -> DataFrame:
-    """The streaming plan behind q_stream_session_windows (split out so
-    tests can force a multi-micro-batch replay): the stateful
-    session-window merge runs IN the stream (complete mode — sessions
-    that span micro-batches merge in the state store); the per-user
-    rollup runs as a batch aggregate over the replayed final state,
-    because chaining two stateful aggregations in one streaming query
-    is unsupported by the engine — and unnecessary, since the replay's
-    memory table is already a batch relation."""
-    ev = _events_stream(spark, sf_dir, max_files_per_trigger)
-    per_session = ev.groupBy(
-        F.session_window(F.timestamp_seconds("secs"), "30 minutes"),
-        "user_id",
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    sessions = _replay_catalog_stream(
-        "stream_session_windows", per_session, timeout_sec
-    )
-    return (
-        sessions.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.sum("n_events").alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
-
-
-#: Full DuckDB oracle for embedding_dim_check, staged for promotion
-#: into the registration when a graded-window slot opens (window
-#: discipline). tests/test_boundary_probes.py runs the differential.
-CONTRACT_STAGED_ORACLES: dict[str, str] = {
-    "embedding_dim_check": """
-    WITH d AS (
-      SELECT COALESCE(len(embedding), -1) AS dim,
-             CAST(COUNT(*) AS BIGINT) AS n_vectors
-      FROM embeddings GROUP BY 1
-    ),
-    m AS (
-      SELECT dim AS modal FROM d
-      ORDER BY n_vectors DESC, dim ASC LIMIT 1
-    )
-    SELECT CAST(dim AS INT) AS dim, n_vectors,
-           dim = (SELECT modal FROM m) AS is_modal
-    FROM d ORDER BY dim
-    """,
-    "value_finite_check": """
-    SELECT event_type,
-           CASE WHEN value IS NULL THEN 'null'
-                WHEN isnan(value) THEN 'nan'
-                WHEN value = 'infinity'::DOUBLE THEN 'inf'
-                WHEN value = '-infinity'::DOUBLE THEN '-inf'
-                ELSE 'finite' END AS value_class,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY event_type NULLS LAST, value_class
-    """,
-    "embedding_finite_check": """
-    WITH c AS (
-      SELECT vec_id,
-             CASE WHEN embedding IS NULL THEN 'null'
-                  WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
-                    THEN 'null_element'
-                  WHEN len(list_filter(embedding,
-                           x -> isnan(x) OR NOT isfinite(x))) > 0
-                    THEN 'nonfinite'
-                  ELSE 'finite' END AS vector_class
-      FROM embeddings
-    )
-    SELECT vector_class, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           MIN(vec_id) AS first_vec_id
-    FROM c GROUP BY 1 ORDER BY 1
-    """,
-}
-
-
-@_register(
-    "embedding_dim_check",
-    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
-    # discipline); differential pinned in tests/test_boundary_probes.py
-    ("quality", "similarity", "contract", "ext"),
-    "Embedding-dimension boundary gate (the dq_expectations pattern "
-    "applied to vectors): the per-dimension histogram of the corpus "
-    "with the modal dimension flagged (ties to the smaller dim). The "
-    "similarity tier assumes one fixed dimension per corpus — its hot "
-    "reader enforces that with a bounded memoized probe "
-    "(_check_embedding_dim_contract, the events epoch-contract move) "
-    "and THIS query is the full-scan locator a lake runs at the "
-    "promote boundary when the probe trips. Reads the table raw (no "
-    "probe): the gate must run exactly when the contract is broken.",
-)
-def q_embedding_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    # NULL embeddings report dim -1: an explicit group instead of a
-    # NULL dim key, so the modal tie-break is engine-identical (Spark
-    # sorts NULLS FIRST in asc, DuckDB NULLS LAST) and is_modal can
-    # never be NULL on exactly the defective corpora this gate locates
-    d = emb.groupBy(
-        F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim")
-    ).agg(F.count(F.lit(1)).alias("n_vectors"))
-    w = Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
-    return (
-        d.withColumn("modal", F.first("dim").over(w))
-        .select(
-            F.col("dim").cast("int").alias("dim"),
-            "n_vectors",
-            (F.col("dim") == F.col("modal")).alias("is_modal"),
-        )
-        .orderBy("dim")
-    )
-
-
-@_register(
-    "value_finite_check",
-    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
-    # discipline); differential pinned in tests/test_boundary_probes.py
-    ("quality", "events", "contract", "ext"),
-    "Fact-column finiteness boundary gate (the dq_expectations pattern "
-    "applied to doubles, round 10): classify every events.value as "
-    "finite / nan / inf / -inf / null and count per event type. The "
-    "decimal-routed sums (dsum/_osum, the engine's exact-aggregation "
-    "spine) assume FINITE inputs — Spark's double->decimal cast NULLs "
-    "NaN/±Inf even under ANSI, silently skipping them, while DuckDB's "
-    "raises — so non-finite doubles are OUT OF CONTRACT for fact "
-    "columns and THIS query is the full-scan locator a lake runs at "
-    "the promote boundary (the epoch-contract / embedding-dim-contract "
-    "move, third member). Groups explicitly, never masks: the row "
-    "(type, 'nan', n) IS the finding.",
-)
-def q_value_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    inf = float("inf")
-    cls = (
-        F.when(F.col("value").isNull(), "null")
-        .when(F.isnan("value"), "nan")
-        .when(F.col("value") == F.lit(inf), "inf")
-        .when(F.col("value") == F.lit(-inf), "-inf")
-        .otherwise("finite")
-    )
-    return (
-        ev.groupBy("event_type", cls.alias("value_class"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("event_type").asc_nulls_last(), F.col("value_class")
-        )
-    )
-
-
-@_register(
-    "embedding_finite_check",
-    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
-    # discipline); differential pinned in tests/test_boundary_probes.py
-    ("quality", "similarity", "contract", "ext"),
-    "Vector finiteness boundary gate (the value_finite_check of the "
-    "embedding tier): classify every vector as finite / nonfinite "
-    "(contains NaN or ±Inf) / null_element / null, counted with the "
-    "lowest offending vec_id per class. The similarity tier's int64 "
-    "quantization (F.round on the scaled element) turns a NaN element "
-    "into a NULL long Spark-side while the oracles' identical DuckDB "
-    "cast RAISES — the dsum/_osum divergence, element-wise — so "
-    "non-finite elements are OUT OF CONTRACT for embedding columns and "
-    "this full-scan locator is the promote-boundary gate (fourth "
-    "member of the contract family: epoch, embedding-dim, "
-    "value-finite, embedding-finite). Reads the table raw (no probe): "
-    "the gate must run exactly when the contract is broken. Class "
-    "order in the CASE matters: null elements are classified before "
-    "the finiteness scan so three-valued logic never reaches the "
-    "isnan/isfinite lambda.",
-)
-def q_embedding_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    inf = float("inf")
-    has_null_elem = F.exists("embedding", lambda x: x.isNull())
-    nonfinite = F.exists(
-        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))
-    )
-    cls = (
-        F.when(F.col("embedding").isNull(), "null")
-        .when(has_null_elem, "null_element")
-        .when(nonfinite, "nonfinite")
-        .otherwise("finite")
-    )
-    return (
-        emb.groupBy(cls.alias("vector_class"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.min("vec_id").alias("first_vec_id"),
-        )
-        .orderBy("vector_class")
-    )
-
-
-@_register(
-    "stream_session_windows",
-    None,  # full oracle STAGED in STREAMING_STAGED_ORACLES (window
-    # discipline); it is BYTE-IDENTICAL to the session_window_native
-    # oracle — the streaming replay must agree with the batch operator
-    # the driver already grades green. Differential pinned every
-    # session in tests/test_streaming_catalog.py.
-    ("streaming", "session", "stateful"),
-    "STATEFUL streaming as a harness-gradable artifact: the native "
-    "session_window sessionization (the batch twin is the driver-green "
-    "session_window_native) run as a real Structured Streaming job — "
-    "sessions merge in the state store across micro-batches, complete "
-    "mode emits the final merged state, and the per-user rollup is a "
-    "batch aggregate over the replayed memory table (two stateful "
-    "aggregations cannot chain in one stream). Same merge-at-exact-gap "
-    "boundary semantics as the batch operator (pinned on a hand-built "
-    "boundary fixture), same oracle SQL object, so streaming=batch "
-    "equality is graded, not asserted.",
-)
-def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _stream_session_windows(spark, sf_dir)
-
 
 # ===========================================================================
 # Entry points consumed by __spark_entry__.py

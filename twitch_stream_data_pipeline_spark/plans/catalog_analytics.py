@@ -1,0 +1,2642 @@
+"""Window/reshaping analytics, join completeness, sketches, sampling and
+the curation-pipeline SQL surface (rounds 4-6 accretion).
+
+Mechanically split out of the monolithic ``plans/catalog.py`` in
+round 11 (VERDICT r10 #8). Registrations and helpers are verbatim;
+the registry (``CATALOG``), shared scan helpers and determinism
+machinery live in ``catalog_base``, and ``catalog.py`` assembles
+the parts in the original order and re-exports the public surface
+(``EXPOSURE_ORDER`` pins what the harness grades, so module
+boundaries change nothing observable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..extensions.dedup_text import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+)
+from ..extensions.multimodal import attach_binary_payload
+from ..extensions.text_analysis import text_fingerprint, tfidf_top_terms, token_count
+from .catalog_base import (
+    _register,
+    _t,
+    _docs,
+    _emb,
+    _events,
+    dsum,
+    _osum,
+    _OSECS,
+)
+from .catalog_text import _langid_oracle, _minhash_pairs_oracle, _simhash_oracle
+from .catalog_index import _QVEC, _ocos
+
+# ===========================================================================
+# Window-function / reshaping analytics (the dashboard query surface the
+# star schema exists to serve — SURVEY.md §2.5 note, §2.6)
+# ===========================================================================
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    ("window", "W1", "O1"),
+    "Top-K per group (ranking window): 3 largest orders per priority class.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@_register(
+    "running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             AS running_spent
+    FROM orders WHERE o_custkey < 100
+    """,
+    ("window", "frame"),
+    "Frame-spec window: per-customer running spend. Decimal-routed so the "
+    "accumulation order (sequential vs segment-tree) cannot change the bits.",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spent"),
+    )
+
+
+@_register(
+    "sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, {_OSECS.format(ts='ts')} AS secs
+      FROM events WHERE ts IS NOT NULL
+    ), gaps AS (
+      SELECT user_id, event_id, secs,
+             CASE WHEN lag(secs) OVER w IS NULL
+                       OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    ("window", "sessionization"),
+    "Sessionization via lag + gap cumsum (30-minute inactivity threshold) — "
+    "the batch twin of streaming session_window(). Null-ts rows are "
+    "excluded on BOTH sides (round-10 temporal-null family rule: an "
+    "event without event time belongs to no session, exactly what the "
+    "native session_window() operator does) — the hand-rolled lag "
+    "chain would otherwise place them at OPPOSITE ends per engine "
+    "(Spark sorts NULL orderings first ascending, DuckDB last), "
+    "merging them into different neighbors.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("secs"), F.col("event_id"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "secs",
+        F.when(
+            F.lag("secs").over(w).isNull()
+            | ((F.col("secs") - F.lag("secs").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = gaps.withColumn("session_id", F.sum("is_new").over(wf))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ("pivot",),
+    "Pivot (reshaping aggregate): order counts per priority x status.",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+    return pivoted.fillna({"n_f": 0, "n_o": 0, "n_p": 0})
+
+
+# ===========================================================================
+# Join completeness, sketches, as-of, and fan-out packing
+# ===========================================================================
+
+
+@_register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    """,
+    ("join", "J3", "semi"),
+    "Left-semi join (EXISTS): customers with at least one large order. "
+    "Complements the reference's left-anti gap-fetch "
+    "(scripts/get_raw_data/get_raw_users_data.py:126-134) — same broadcast/"
+    "shuffled-hash plan family, existence instead of absence.",
+)
+def q_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "full_outer_nation_counts",
+    """
+    WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust
+               FROM customer WHERE c_mktsegment = 'BUILDING'
+               GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey, COUNT(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT CAST(COALESCE(c_nationkey, s_nationkey) AS INTEGER) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL JOIN s ON c_nationkey = s_nationkey
+    """,
+    ("join", "full_outer"),
+    "Full-outer join of two pre-aggregated sides with COALESCE defaulting — "
+    "the snapshot-reconciliation shape of the reference's state-delta "
+    "machinery (SURVEY.md J4) when neither side subsumes the other.",
+)
+def q_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0).cast("long")).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0).cast("long")).alias("n_supp"),
+    )
+
+
+@_register(
+    "cube_volume",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
+    """,
+    ("aggregate", "cube", "grouping_sets"),
+    "CUBE grouping-sets aggregate (all 4 rollup levels in one pass) — "
+    "partial-agg friendly: Spark expands grouping sets map-side, one shuffle. On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
+)
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@_register(
+    "count_distinct_star",
+    f"""
+    SELECT n_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           {_osum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    ("aggregate", "join", "distinct_agg", "dashboard"),
+    "The dashboard star metric SURVEY.md §2.5 names as the engine target: "
+    "COUNT(DISTINCT user) + SUM(revenue) per dimension. Fact->customer is a "
+    "shuffled hash/sort-merge join (both scale with SF); nation is broadcast.",
+)
+def q_count_distinct_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "approx_distinct_users",
+    None,  # HLL sketches are engine-specific by design; driver checks rows-only
+    ("aggregate", "sketch", "approx"),
+    "HyperLogLog++ approximate COUNT(DISTINCT) per event_type beside the "
+    "exact count. At 100 TB the sketch is the scale path: mergeable partial "
+    "state, no exact-distinct shuffle of the key universe. SUPERSEDED "
+    "for driver grading (last driver run r02, no_oracle by design — "
+    "HLL estimates are engine-specific): the exact-distinct semantics "
+    "are driver-graded via count_distinct_star (green r01-r05) and "
+    "salted_distinct_users (green r03-r05); the sketch itself is "
+    "covered by the hll_mergeable_rollup property tests (merge "
+    "associativity, error bound). This entry stays as the "
+    "approx-aggregate API surface.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_ASOF_WIN = (
+    "OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@_register(
+    "asof_join_click_attribution",
+    f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events WHERE ts IS NOT NULL
+    ), m AS (
+        SELECT event_id, user_id, event_type, ts_us,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) {_ASOF_WIN} AS click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                          IGNORE NULLS) {_ASOF_WIN} AS click_ts
+        FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, click_id,
+           ts_us - click_ts AS gap_us
+    FROM m WHERE event_type = 'purchase'
+    """,
+    ("join", "J5", "asof", "window"),
+    "General as-of join (SURVEY.md J5's general pattern): attribute each "
+    "purchase to the latest click at-or-before it per user. One shuffle on "
+    "user_id (window), no join at all — the union+last() formulation scales "
+    "linearly and never explodes like a naive range join. Null-ts rows "
+    "are excluded on BOTH sides (round-10 temporal-null family rule): "
+    "an undated click precedes nothing and an undated purchase has no "
+    "'before' — and the last()-chain would otherwise place undated "
+    "clicks at opposite ends per engine (Spark NULLS FIRST ascending, "
+    "DuckDB NULLS LAST), attributing them in one engine only.",
+)
+def q_asof_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("ts_us").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts_us")
+        .withColumns(
+            {
+                "click_id": F.last(
+                    F.when(is_click, F.col("event_id")), ignorenulls=True
+                ).over(w),
+                "click_ts": F.last(
+                    F.when(is_click, F.col("ts_us")), ignorenulls=True
+                ).over(w),
+            }
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
+        )
+    )
+
+
+@_register(
+    "range_join_quantity_buckets",
+    f"""
+    WITH b AS (SELECT CAST(id AS INTEGER) AS bucket,
+                      id * 5 AS lo, (id + 1) * 5 AS hi
+               FROM range(10) t(id))
+    SELECT bucket, COUNT(*) AS n_items,
+           {_osum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN b ON l_quantity > lo AND l_quantity <= hi
+    GROUP BY bucket
+    """,
+    ("join", "range", "non_equi"),
+    "Range (interval) join against a generated bucket dimension. The only "
+    "scale-sane physical plan for a non-equi join is broadcast-nested-loop "
+    "with the tiny side broadcast — hinted explicitly so the 10-row build "
+    "side never shuffles the fact table.",
+)
+def q_range_join_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = spark.range(10).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") * 5).alias("lo"),
+        ((F.col("id") + 1) * 5).alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(b),
+            (li.l_quantity > b.lo) & (li.l_quantity <= b.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    ("aggregate", "percentile"),
+    "Exact interpolated percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont; outputs rounded to 6 decimals to absorb last-ulp "
+    "interpolation differences). The 100 TB path swaps in "
+    "approx_percentile's mergeable t-digest-style sketch — same call shape.",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@_register(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    ("set_op", "intersect"),
+    "INTERSECT set op (users who both clicked and purchased) — rounds out "
+    "the reference's union/except set-op family (SURVEY.md §2.6 notes "
+    "intersect as the one missing member).",
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+    )
+
+
+@_register(
+    "above_avg_orders",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(cust_avg, 6) AS cust_avg
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+    ("window", "correlated_subquery"),
+    "Correlated-subquery shape (orders 50% above their customer's average) "
+    "decorrelated into a single window pass — one o_custkey shuffle instead "
+    "of a per-row subquery; the decimal-routed window avg keeps parity.",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
+@_register(
+    "scalar_subquery_filter",
+    f"""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+    FROM part
+    WHERE p_retailprice >
+          (SELECT {_osum('p_retailprice')} / COUNT(*) FROM part)
+    """,
+    ("subquery", "scalar"),
+    "Scalar-subquery filter (parts priced above the global mean): the "
+    "one-row aggregate plans as a broadcast subquery result, so the main "
+    "scan is a single filtered pass with no shuffle. (Round 10 dropped "
+    "the old 1.2x margin: the driver's prices span 900-1000, so >1.2x "
+    "mean selected ZERO rows at every SF — a vacuously-green compare. "
+    "Above-the-mean selects ~half the table, making the differential "
+    "actually exercise the filter.)",
+)
+def q_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    # The DataFrame rides into spark.sql via the SQL formatter's {p}
+    # interpolation (PySpark registers a unique internal view per
+    # call) — NOT a fixed createOrReplaceTempView("part_v"): a named
+    # session-global view is hidden mutable state, and two concurrent
+    # callers with different sf_dirs would race on it (round-10
+    # review find). Query builders must not mutate session state.
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+        FROM {p}
+        WHERE p_retailprice >
+              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6)))
+                           AS DOUBLE)
+                      / COUNT(*)
+               FROM {p})
+        """,
+        p=p,
+    )
+
+
+@_register(
+    "salted_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    ("aggregate", "distinct_agg", "skew"),
+    "Skew-proof exact count-distinct via value-hash salting "
+    "(operators.aggregates.salted_count_distinct): identical result to the "
+    "naive COUNT(DISTINCT) — the oracle — but the hottest key's state is "
+    "split across 32 reducers instead of one.",
+)
+def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import salted_count_distinct
+
+    ev = _events(spark, sf_dir)
+    return salted_count_distinct(ev, ["event_type"], "user_id", buckets=32)
+
+
+@_register(
+    "pack_groups",
+    None,  # greedy bin-packing is iterative/procedural. A full DuckDB
+    # oracle now EXISTS — operators.packing.pack_oracle_sql states
+    # first-fit-decreasing as a genuine RECURSIVE CTE (one
+    # linear-recursive row per item, group loads carried as a BIGINT[]
+    # column), bit-exact, differentially pinned in
+    # tests/test_operators.py::test_pack_groups_matches_recursive_sql_oracle
+    # — but stays out of this registration until the entry can take a
+    # graded-window slot (window-discipline gate; round 9's single
+    # swap went to pagerank_copresence)
+    ("driver", "A4", "packing"),
+    "Greedy weighted bin-packing (SURVEY.md A4, "
+    "scripts/other/create_category_group_messages.py:57-80): pack per-user "
+    "event weights into <=25 balanced groups. Deliberately driver-side over "
+    "an aggregated (tiny) input — at fact scale the same balancing job is "
+    "done by AQE skew handling, not by this operator.",
+)
+def q_pack_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_into_groups
+
+    # anonymous events (NULL user_id) carry no routable shard key —
+    # and the packer's deterministic (weight, id) tiebreak needs
+    # comparable ids, so a None key raised inside the driver-side
+    # sort (round-10 NULL poison sweep)
+    weights = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # collect ONCE; the packer takes the already-collected pairs
+    collected = weights.collect()
+    rows = {r["user_id"]: r["n_events"] for r in collected}
+    cap = max(1, -(-sum(rows.values()) // 20))  # ~20 groups at any SF
+    groups = pack_into_groups(
+        [(r["user_id"], r["n_events"]) for r in collected], max_groups=25, cap=cap
+    )
+    out = [
+        (i, len(g), sum(rows[k] for k in g)) for i, g in enumerate(groups)
+    ]
+    return spark.createDataFrame(
+        out, "group_id INT, n_keys INT, total_weight BIGINT"
+    )
+
+
+@_register(
+    "csv_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS nation_id,
+           n_name AS nation_name,
+           CASE WHEN n_nationkey % 3 = 0 THEN 'NA'
+                WHEN n_nationkey % 3 = 1 THEN ''
+                ELSE 'g' || CAST(n_nationkey AS VARCHAR) END AS igdb_id
+    FROM nation
+    """,
+    ("source", "S4", "K2"),
+    "CSV write + read round-trip with the reference's read semantics "
+    "(keep_default_na=False, curate_categories_data.py:49,59): the literal "
+    "'NA' sentinel and the empty string survive the engine's CSV layer as "
+    "data — neither becomes NULL. Exercises write_csv_compat (K2) and "
+    "read_csv_reference (S4) end-to-end; the oracle states the invariant "
+    "(round-trip == identity) straight from parquet.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks import write_csv_compat
+    from ..sources.csv_source import read_csv_reference
+
+    n = _t(spark, sf_dir, "nation")
+    df = n.select(
+        F.col("n_nationkey").cast("string").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit("NA"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("g"), F.col("n_nationkey").cast("string")))
+        .alias("igdb_id"),
+    )
+    # unique scratch dir per invocation: concurrent runs (parallel
+    # pytest, bench overlapping a correctness sweep) must not race on
+    # one fixed path, and nothing may assume this container's layout
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    write_csv_compat(df, out, mode="overwrite")
+    # engine-written CSV never embeds in-field line breaks, so the
+    # splittable (multi_line=False) scan path is safe — and this graded
+    # query is its end-to-end exercise
+    return read_csv_reference(
+        spark,
+        out,
+        "nation_id string, nation_name string, igdb_id string",
+        multi_line=False,
+    )
+
+
+def _simhash_pairs_oracle(
+    bits: int = 60, chunks: int = 4, max_hamming: int = 3, max_bucket: int = 200
+) -> str:
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_list = ", ".join(str(c) for c in range(chunks))
+    return rf"""
+    WITH sigs AS ({_simhash_oracle(bits)}),
+    banded AS (
+      SELECT doc_id, simhash, c.chunk,
+             (simhash >> (c.chunk * {chunk_bits})) & {mask} AS chunk_val
+      FROM sigs CROSS JOIN (SELECT unnest([{chunk_list}]) AS chunk) c
+    ),
+    capped AS (
+      SELECT chunk, chunk_val FROM banded
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a
+      JOIN banded b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                   AND a.doc_id < b.doc_id
+      JOIN capped ON capped.chunk = a.chunk AND capped.chunk_val = a.chunk_val
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@_register(
+    "simhash_near_dup",
+    _simhash_pairs_oracle(),
+    ("dedup", "ext", "lsh"),
+    "SimHash near-dup pairs via pigeonhole chunk-bucketing (4 chunks of "
+    "15 bits => hamming<=3 candidate generation is exact, never all-pairs).",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+              HAVING COUNT(*) <= 5000),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                            / CAST(df + 1 AS DOUBLE)) + 1.0), 9)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    ("text", "ext"),
+    "Top-3 characteristic terms per document by smoothed TF-IDF "
+    "(tf * (ln((N+1)/(df+1)) + 1), sklearn smoothing; rounded to 9 "
+    "decimals before ranking on both sides — JVM and libm ln disagree "
+    "by 1 ULP on rare rationals, round-9 poison find). The max_df cap "
+    "is active (web-scale vocab bound, mirrored by the oracle's "
+    "HAVING); set far above any observed df so results are unchanged.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3, max_df=5000)
+
+
+@_register(
+    "corpus_curation",
+    rf"""
+    WITH survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(replace(lower(text), ' ', ''))
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    lang AS (
+      SELECT doc_id, pred_lang FROM ({_langid_oracle()})
+    )
+    SELECT d.doc_id, q.n_tokens, q.chars_per_token, l.pred_lang
+    FROM documents d
+    JOIN survivors USING (doc_id)
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN lang l ON l.doc_id = d.doc_id
+    WHERE l.pred_lang = 'en' AND q.n_tokens >= 20 AND q.punct_ratio <= 0.2
+    """,
+    ("text", "dedup", "ext", "pipeline"),
+    "End-to-end corpus curation composite: exact-dedup survivors -> "
+    "language filter (en) -> quality thresholds. Deliberately a "
+    "SINGLE-PASS plan: quality and language are per-row expressions "
+    "computed inline (never corpus-sized join relations — those only "
+    "broadcast at toy scale), and the dedup survivor check is a window "
+    "over the fingerprint, so the whole pipeline is one scan plus one "
+    "shuffle on text_hash.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import (
+        language_pred,
+        quality_columns,
+        tokenize,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    )
+    quality = quality_columns(F.col("text"), F.col("toks"))
+    pred_lang, _hits = language_pred(F.col("toks"))
+    enriched = base.select(
+        "doc_id",
+        text_fingerprint(F.col("text")).alias("text_hash"),
+        quality["n_tokens"].alias("n_tokens"),
+        quality["chars_per_token"].alias("chars_per_token"),
+        quality["punct_ratio"].alias("punct_ratio"),
+        pred_lang.alias("pred_lang"),
+    )
+    # survivor = min doc_id of the fingerprint group, computed over ALL
+    # copies (before any filter: near-copies sharing a normalized hash
+    # can differ in case/whitespace, hence in quality stats)
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= 20)
+            & (F.col("punct_ratio") <= 0.2)
+        )
+        .select("doc_id", "n_tokens", "chars_per_token", "pred_lang")
+    )
+
+
+@_register(
+    "frame_sample",
+    r"""
+    -- BYTE-addressed frames: hex(encode(text)) is 2 chars per BYTE, so
+    -- slicing the hex at doubled offsets states the engine's binary
+    -- slicing exactly for ANY content (the earlier VARCHAR slicing was
+    -- character-addressed and diverged on unicode — round-9 poison find)
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS payload_hex,
+             octet_length(encode(text)) AS n_bytes,
+             (octet_length(encode(text)) + 3) // 4 AS chunk
+      FROM documents
+    ),
+    f AS (SELECT p.*, unnest(generate_series(0, 3)) AS frame_idx FROM p)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * chunk AS BIGINT) AS byte_start,
+           md5(substring(payload_hex,
+                         CAST(frame_idx * chunk * 2 + 1 AS BIGINT),
+                         CAST(chunk * 2 AS BIGINT))) AS frame_md5
+    FROM f WHERE frame_idx * chunk < n_bytes
+    """,
+    ("multimodal", "ext"),
+    "Evenly-spaced 4-frame byte-range sampling over binary payloads — "
+    "the video frame-split fan-out as pure JVM column expressions; "
+    "only per-frame decode would cross to Python. Frames fingerprint "
+    "as md5(hex(bytes)) (bijective; DuckDB md5 is VARCHAR-only and a "
+    "mid-codepoint byte slice is not castable text).",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import frame_sample
+
+    return frame_sample(attach_binary_payload(_docs(spark, sf_dir)), n_frames=4)
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    ("dedup", "graph", "ext"),
+    "Connected components over the MinHash-LSH candidate graph: the "
+    "cluster assignment a dedup pipeline actually consumes (one survivor "
+    "per component). Distributed hash-min label propagation; the DuckDB "
+    "oracle states the same fixpoint as a recursive transitive closure.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    edges = lsh_candidate_pairs(minhash_signatures(docs))
+    return connected_components(docs.select("doc_id"), edges)
+
+
+_MD5INT = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@_register(
+    "train_test_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           {_MD5INT.format(x="'epoch0:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+    FROM documents
+    """,
+    ("sampling", "ext"),
+    "Deterministic hash-based train/test split (80/20) plus an epoch-0 "
+    "reshuffle sort key. Pure per-row md5 arithmetic: stable under "
+    "reruns, engines, row order, and partitioning — the reproducibility "
+    "contract random() splits cannot give.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import shuffle_key, split_assign
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        split_assign(F.col("doc_id")).alias("split"),
+        shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+    )
+
+
+@_register(
+    "pack_sequences",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CAST({_MD5INT.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % 32 AS INT)
+               AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS prev
+      FROM t
+    )
+    SELECT shard, prev // 512 AS pack_id, doc_id, prev % 512 AS offset_in_pack
+    FROM c
+    """,
+    ("sampling", "window", "ext"),
+    "Concat-then-chunk sequence packing (GPT-pretraining semantic): each "
+    "document goes to the 512-token context window containing its start "
+    "offset. Sharded md5 partitioning keeps the cumsum windows parallel — "
+    "no global single-task sort.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(with_tokens, budget=512, shards=32)
+
+
+@_register(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_MD5INT.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN source = 'src0' THEN 10
+                 WHEN source = 'src1' THEN 50
+                 ELSE 100 END
+    """,
+    ("sampling", "ext"),
+    "Per-source down-sampling to a target data mixture (src0 -> 10%, "
+    "src1 -> 50%, rest kept). md5-hash selection: reproducible, "
+    "partition-independent, stable under corpus growth — one narrow "
+    "filter, no shuffle.",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    return mixture_sample(docs, {"src0": 10, "src1": 50}).select("doc_id", "source")
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_MD5INT.format(x="'strat:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+    ("sampling", "window", "ext"),
+    "Exact-count stratified sampling: the 40 smallest-salted-md5 docs "
+    "per source — the fixed-quota twin of mixture_sample's rate-based "
+    "thinning ('exactly N docs per language/domain'). Hash ordering "
+    "keeps the sample deterministic with bounded churn under corpus "
+    "growth; the per-stratum quota compiles to WindowGroupLimit, so "
+    "map tasks pre-prune to their local top-n before the stratum "
+    "shuffle (plan-pinned in tests/test_plans.py).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, 40).select("doc_id", "source")
+
+
+def _ngram_expr_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(n))
+    return rf"""
+      SELECT doc_id, split, unnest(list_distinct(list_transform(
+               CASE WHEN len(toks) - {n - 1} >= 1
+                    THEN generate_series(1, len(toks) - {n - 1})
+                    ELSE [] END,
+               i -> {gram}))) AS shingle
+      FROM (SELECT doc_id, split,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM split_docs)
+    """
+
+
+@_register(
+    "decontaminate",
+    rf"""
+    WITH split_docs AS (
+      SELECT doc_id, text,
+             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS ({_ngram_expr_sql(8)}),
+    held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM sh s JOIN held USING (shingle)
+    WHERE s.split = 'train'
+    GROUP BY 1
+    """,
+    ("dedup", "sampling", "ext"),
+    "Benchmark decontamination: train-split documents sharing any "
+    "8-gram with the held-out split (GPT-3 appendix-C overlap rule). "
+    "Held-out shingles broadcast (evaluation-set-sized); the corpus "
+    "side never shuffles document bodies.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import decontaminate
+    from ..extensions.sampling import split_assign
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "split", split_assign(F.col("doc_id"))
+    )
+    train = docs.filter(F.col("split") == "train")
+    held = docs.filter(F.col("split") == "test")
+    return decontaminate(train, held, n=8)
+
+
+@_register(
+    "zscore_by_type",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mean,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS meansq
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           CASE WHEN meansq - mean * mean > 0
+                THEN (value - mean) / sqrt(meansq - mean * mean)
+                ELSE 0.0 END AS zscore
+    FROM events e JOIN stats USING (event_type)
+    """,
+    ("agg", "join", "ext"),
+    "Per-group z-score normalization (feature standardization) as a "
+    "two-pass aggregate + broadcast join: groupBy(event_type) computes "
+    "decimal-routed mean/variance (map-side partial agg collapses each "
+    "task to <=5 rows, so the shuffle is bytes), then the tiny stats "
+    "relation broadcasts back onto the facts — no shuffle of the fact "
+    "table at all. A Window.partitionBy(event_type) formulation would "
+    "pin 100 TB onto ~5 unsplittable sort tasks; this shape scales "
+    "with input splits. Sums stay decimal-routed for bit-parity. "
+    "Zero-variance groups score 0.0 (the group_outliers_scalable "
+    "convention) — added in round 9: under Spark's default ANSI mode "
+    "the unguarded division THREW DIVIDE_BY_ZERO on any constant-"
+    "valued group (legal input the random testdata never produces; "
+    "caught by the degenerate-content probe).",
+)
+def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*")).alias(
+            "mean"
+        ),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("meansq"),
+    )
+    var = F.col("meansq") - F.col("mean") * F.col("mean")
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            var > 0,
+            (F.col("value") - F.col("mean")) / F.sqrt(var),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
+    )
+
+
+@_register(
+    "repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               CASE WHEN len(toks) - 1 >= 1
+                    THEN generate_series(1, len(toks) - 1)
+                    ELSE [] END,
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t
+    ),
+    per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_gram_frac,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS dup_gram_frac
+    FROM per_gram GROUP BY 1
+    """,
+    ("text", "ext"),
+    "Gopher repetition quality signals per document (top-bigram share, "
+    "duplicate-bigram share) via two partial-aggregable shuffles.",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+@_register(
+    "pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +555 123-4567'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phone,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+    ("text", "ext"),
+    "PII redaction (emails + phone numbers -> placeholder tokens) over "
+    "a deterministically seeded corpus (every third doc gets synthetic "
+    "PII, so the scrub provably fires). Patterns restricted to the "
+    "Java-regex/RE2 common subset; pure regexp column expressions.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +555 123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+@_register(
+    "scd2_intervals",
+    """
+    SELECT o_custkey,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                AS VARCHAR) AS valid_to
+    FROM orders
+    """,
+    ("window", "dim", "ext"),
+    "SCD type-2 interval construction: each per-key change event gets "
+    "[valid_from, valid_to) via lead() over the key's change history — "
+    "the dimension-history layer the reference's overwrite-in-place "
+    "dims discard. High-cardinality window partition (one shuffle), "
+    "open intervals as NULL valid_to.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.lead("o_orderdate").over(w).cast("string").alias("valid_to"),
+    )
+
+
+@_register(
+    "json_props_stats",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                       AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                  THEN TRY_CAST(json_extract(props, '$.k') AS INT)
+             END AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
+    FROM x GROUP BY 1
+    """,
+    ("json", "P1", "ext"),
+    "Semi-structured column extraction: typed from_json over the props "
+    "JSON payload feeding a per-type aggregate — the column-level twin "
+    "of the raw-layer envelope flattening (S1), all inside whole-stage "
+    "codegen (Jackson parse per row, no UDF). from_json is "
+    "NULL-tolerant on degenerate payloads — malformed JSON, a "
+    "non-integer k (7.9, \"7\", true), int overflow — and the oracle "
+    "states the same totality (json_valid + json_type integer gate + "
+    "TRY_CAST): a bare json_extract CAST raised on exactly those rows "
+    "and TRY_CAST alone ROUNDS '7.9' where from_json returns NULL "
+    "(round-9 poison matrix).",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k int").getField("k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+    )
+
+
+@_register(
+    "variant_topk_props",
+    r"""
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props) AND regexp_matches(
+                    COALESCE(json_extract_string(props, '$.k'), ''),
+                    '^[\x00-\x20]*[-+]?[0-9]+[\x00-\x20]*$')
+                  THEN TRY_CAST(regexp_extract(
+                         json_extract_string(props, '$.k'),
+                         '[-+]?[0-9]+', 0) AS BIGINT)
+             END AS k
+      FROM events
+    ), c AS (
+      SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM x WHERE k IS NOT NULL GROUP BY event_type, k
+    )
+    SELECT event_type, k, n, rn FROM (
+      SELECT event_type, k, n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, k) AS INT) AS rn
+      FROM c
+    ) WHERE rn <= 5
+    """,
+    ("json", "variant", "P1", "window", "ext"),
+    "Schema-free semi-structured extraction via Spark 4 VARIANT "
+    "(try_parse_json -> try_variant_get): top-5 most frequent props.k "
+    "per event type. The variant path parses the JSON text ONCE into "
+    "the binary variant encoding and extracts typed fields from it — "
+    "at 100 TB the scale answer to repeated json string parsing when "
+    "the payload schema is open (from_json's fixed struct, the "
+    "json_props_stats twin, is the closed-schema answer). The field is "
+    "extracted as STRING and try_cast to bigint — semantics the oracle "
+    "states with a json_valid + integer-regex gate (k=3.5 or k=true "
+    "-> NULL on BOTH engines, k=\"7\" -> 7 on both; a direct "
+    "try_variant_get(..., 'bigint') would truncate doubles and coerce "
+    "booleans, and DuckDB's bare TRY_CAST ROUNDS '7.9' where Spark's "
+    "try_cast returns NULL — both silent divergences, pinned by the "
+    "round-9 poison matrix). Malformed props rows are NULL on both "
+    "sides, never an oracle error. ADVICE r9: the gate regex admits "
+    "[\\x00-\\x20]-padded signed integers (Spark's cast trims every "
+    "char <= 0x20 and accepts a leading +) and the cast is TRY_CAST "
+    "of the extracted digits, so uint64-range literals NULL instead "
+    "of raising — round-10 poison payloads pin all three.",
+)
+def q_variant_topk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "string").try_cast(
+        "bigint"
+    )
+    counts = (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.col("k"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "k", "n", "rn")
+    )
+
+
+@_register(
+    "weighted_sample",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS weight,
+             ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(weight AS INT) AS weight,
+           round(ln(CAST(h AS DOUBLE) / 1152921504606846976) / weight, 9)
+             AS priority
+    FROM scored
+    WHERE weight > 0
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+    ("sampling", "ext"),
+    "Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis order sampling, md5-derived uniforms, ln(u)/w priorities "
+    "— no engine-variant pow, no rand()): top-100 docs weighted by "
+    "token count. Executes as TakeOrdered (per-partition heap + "
+    "k-sized merge), never a global sort.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import weighted_sample
+    from ..extensions.text_analysis import token_count
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, k=100, weight=token_count(F.col("text")))
+
+
+@_register(
+    "bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    doc_len AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len_d
+                FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(len_d) AS BIGINT) FROM doc_len) AS total_len
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM toks WHERE doc_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(CAST(SUM(CAST(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                    / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE)
+                            * (len_d / (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS score
+      FROM tf
+      JOIN qterms q USING (term)
+      JOIN dfreq USING (term)
+      JOIN doc_len ON tf.doc_id = doc_len.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    ("text", "similarity", "ext", "rag"),
+    "BM25 top-5 retrieval (queries = the first 3 documents, the "
+    "cosine_knn-style Q<<N contract): the lexical-retrieval half of a "
+    "RAG pipeline as a batch join — broadcast query terms prune the "
+    "postings, decimal-routed per-(query,doc) score sum, one window "
+    "per query over candidates only. Robertson/Lucene positive idf.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+@_register(
+    "binned_quantiles",
+    """
+    WITH hist AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((value - 0.0) / 0.5), 0), 999) AS INT)
+               AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type,
+           MIN(CASE WHEN cum * 100 >= total * 50
+                    THEN 0.0 + CAST(bucket AS DOUBLE) * CAST(0.5 AS DOUBLE)
+               END) AS q_50,
+           MIN(CASE WHEN cum * 100 >= total * 95
+                    THEN 0.0 + CAST(bucket AS DOUBLE) * CAST(0.5 AS DOUBLE)
+               END) AS q_95
+    FROM c GROUP BY 1
+    """,
+    ("aggregate", "sketch", "ext"),
+    "Histogram-binned p50/p95 per event type: the oracle-checkable, "
+    "partial-aggregable quantile path (exact percentiles sort each "
+    "group; approx_percentile sketches are engine-private). One "
+    "map-side combined histogram pass over the facts; the cumulative "
+    "window runs over the <=|keys|x1000-row histogram only. Integer "
+    "threshold arithmetic so bucket boundaries cannot drift between "
+    "engines.",
+)
+def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import binned_quantiles
+
+    return binned_quantiles(
+        _events(spark, sf_dir), "event_type", "value", (50, 95), 1000, 0.0, 500.0
+    )
+
+
+@_register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    ("aggregate", "profiling", "ext"),
+    "One-pass per-column profile (nulls / exact distinct / min / max) "
+    "over four orders columns — ANALYZE-TABLE statistics via a single "
+    "Expand-based multi-distinct aggregation, unpivoted with stack. "
+    "The oracle states the same numbers as four single-column passes.",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    )
+
+
+@_register(
+    "trailing_hour_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                  PARTITION BY user_id ORDER BY secs
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_sum
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS secs
+          FROM events) t
+    """,
+    ("window", "W1", "ext"),
+    "Event-time RANGE frame: per user, the trailing-1-hour value sum at "
+    "each event (sliding-lookback feature). Window partitions on the "
+    "HIGH-cardinality user_id — the frame is per-user ordered state, "
+    "one shuffle, decimal-routed so tie order inside the frame cannot "
+    "change the bits.",
+)
+def q_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
+
+
+@_register(
+    "rank_with_ties",
+    """
+    SELECT o_custkey,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY date_trunc('month', o_orderdate) DESC)
+    """,
+    ("window", "W1"),
+    "rank vs dense_rank with real ties (orders ranked per customer by "
+    "order month): tied rows share a rank, so the result is fully "
+    "deterministic without a total order — the W-family member the "
+    "row_number queries cannot express. High-cardinality partition key.",
+)
+def q_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc(F.trunc("o_orderdate", "month")))
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@_register(
+    "budget_select",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+    FROM c WHERE cum <= 10000
+    """,
+    ("sampling", "ext"),
+    "Token-budget corpus selection (keep the best docs until 10k "
+    "tokens): engine side is a bounded score histogram + broadcast "
+    "joins — only the single boundary score group is ever sorted; the "
+    "oracle states the same keep-rule as a naive global ordered cumsum. "
+    "NULL-text docs are EXCLUDED from selection on both sides (round-10 "
+    "NULL poison sweep): the engine's NULL token count drops out of the "
+    "histogram equi-joins, while the oracle's SUM-ignores-NULL window "
+    "was silently KEEPING them with a free cum — the WHERE text IS NOT "
+    "NULL states the engine's (and the only sensible) semantics: a doc "
+    "with no text cannot spend token budget.",
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import budget_select
+
+    return budget_select(_docs(spark, sf_dir), budget_tokens=10000)
+
+
+@_register(
+    "canonical_dedup",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(replace(lower(text), ' ', '')) AS fp,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS n_members,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    ("dedup", "ext", "A2", "A5"),
+    "Quality-aware exact dedup (canonical selection): per duplicate "
+    "group keep the member with the most tokens, ties to lowest "
+    "doc_id — argmax-by-struct in one partial-aggregable groupBy, no "
+    "per-group sort (the oracle states the same choice as a window).",
+)
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import canonical_dedup
+
+    return canonical_dedup(_docs(spark, sf_dir))
+
+
+@_register(
+    "unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CAST(tf * ln(CAST(cnt AS DOUBLE) / CAST(t_total AS DOUBLE))
+                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(tf) AS BIGINT) AS logprob
+    FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+    ("text", "ext", "lm"),
+    "Corpus-LM quality score (mean per-token unigram log-probability): "
+    "the distributable, artifact-free core of the KenLM-style "
+    "perplexity filters (CCNet / GPT-3 appendix A) — two partial-agg "
+    "shuffles, vocabulary broadcast, decimal-routed weighted ln-sum.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+@_register(
+    "boilerplate_ratio",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               CASE WHEN len(toks) - 2 >= 1
+                    THEN generate_series(1, len(toks) - 2)
+                    ELSE [] END,
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t
+    ),
+    gram_df AS (
+      SELECT gram, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df > 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS common_frac
+    FROM grams JOIN gram_df USING (gram)
+    GROUP BY 1
+    """,
+    ("text", "ext", "dedup"),
+    "Corpus-boilerplate signal: fraction of a doc's 3-gram positions "
+    "covered by grams shared with >10 other docs (the corpus-level "
+    "statement of C4/RefinedWeb boilerplate removal). Count-only "
+    "arithmetic — exact on both engines; the gram-df relation joins "
+    "un-broadcast on the high-cardinality gram key.",
+)
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import boilerplate_ratio
+
+    return boilerplate_ratio(_docs(spark, sf_dir), n=3, common_df=10)
+
+
+@_register(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             len(string_split_regex(trim(text), '\s+')) AS n
+      FROM documents
+    ),
+    -- parallel unnests zip positionally: stride-24 starts with 0-based idx
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(1, greatest(n, 1), 24)) AS start,
+             unnest(generate_series(0, (greatest(n, 1) - 1) // 24)) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[start : least(start + 31, n)]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start : least(start + 31, n)], ' ') AS chunk_text
+    FROM s WHERE start <= n
+    """,
+    ("sampling", "text", "ext"),
+    "Sliding-window token chunking (32-token windows, 8-token overlap): "
+    "the RAG / context-window preprocessing fan-out as pure column "
+    "expressions — sequence arithmetic + array slice, no UDF.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+@_register(
+    "nb_lang_classifier",
+    rf"""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    ttok AS (
+      SELECT lang AS label,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM split WHERE split = 'train'
+    ),
+    model AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM ttok GROUP BY 1, 2),
+    class_tok AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n_tok
+                  FROM model GROUP BY 1),
+    class_docs AS (SELECT lang AS label, COUNT(*) AS n_docs
+                   FROM split WHERE split = 'train' GROUP BY 1),
+    n_train AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM class_docs),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v_size FROM model),
+    consts AS (
+      SELECT label,
+             ln(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)) AS ln_prior,
+             ln(CAST(n_tok + v_size AS DOUBLE)) AS ln_denom
+      FROM class_docs JOIN class_tok USING (label)
+      CROSS JOIN n_train CROSS JOIN vocab
+    ),
+    dtok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM split WHERE split = 'test'
+    ),
+    dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dtok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens
+             FROM dtf GROUP BY 1),
+    matched AS (
+      SELECT doc_id, label,
+             CAST(CAST(SUM(CAST(tf * ln(CAST(cnt + 1 AS DOUBLE))
+                           AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS m
+      FROM dtf JOIN model USING (term) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, c.label AS pred_label,
+             c.ln_prior - d.n_tokens * c.ln_denom + COALESCE(m.m, 0.0) AS score
+      FROM dlen d CROSS JOIN consts c
+      LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.label = c.label
+    ),
+    pred AS (
+      SELECT doc_id, pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, pred_label) AS rnk
+        FROM scored
+      ) WHERE rnk = 1
+    )
+    SELECT t.doc_id, t.lang AS label, p.pred_label,
+           CAST(t.lang = p.pred_label AS INT) AS hit
+    FROM (SELECT doc_id, lang FROM split WHERE split = 'test') t
+    JOIN pred p USING (doc_id)
+    """,
+    ("classify", "ext", "llm"),
+    "Distributed supervised text classification: multinomial Naive "
+    "Bayes language classifier trained on the deterministic md5 80% "
+    "split, scored on the held-out 20% — the fastText-style "
+    "quality/language-filter family of LLM curation as one training "
+    "aggregation + one sparse inference join + an argmax window. The "
+    "smoothing floor folds into a closed-form per-class base term so "
+    "the dense doc x class x vocab tensor never materializes; graded "
+    "output is integer/label-only (the decimal-routed float machinery "
+    "stays internal to the argmax). The synthetic corpus carries no "
+    "text-lang mutual information, so accuracy sits at the prior by "
+    "construction — the graded artifact is the exact distributed "
+    "train+score computation; learning behavior is pinned by the "
+    "marker-injection test in tests/test_extensions_round5b.py.",
+)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.classify import nb_evaluate
+
+    return nb_evaluate(_docs(spark, sf_dir), label_col="lang")
+
+
+@_register(
+    "semantic_dedup",
+    f"""
+    WITH v AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS dropped
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_ocos('a.qv', 'b.qv')} >= 0.3
+    )
+    SELECT e.vec_id, e.label,
+           CAST(d.dropped IS NULL AS INT) AS keep
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.dropped
+    """,
+    ("similarity", "dedup", "ext", "llm"),
+    "SemDeDup (arXiv:2303.09540): within-cluster embedding-cosine "
+    "pruning — drop any vector with a smaller-id same-cluster neighbor "
+    "at cosine >= 0.3 (parallel-monotone keep rule). The cluster key "
+    "here is the corpus label standing in for the IVF coarse-quantizer "
+    "cell id (build_ivf_index emits exactly that assignment at scale); "
+    "pair generation joins ON the cluster key so work is sum of "
+    "squared cell sizes, never corpus-quadratic. Quantized exact "
+    "cosine, integer decision output.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.3)
+
+
+@_register(
+    "temperature_mixture",
+    rf"""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents
+               WHERE lang IS NOT NULL GROUP BY 1),
+    m AS (SELECT MIN(c) AS c_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c AS DOUBLE))
+                        * 1000000) AS BIGINT) AS keep_ppm
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {_MD5INT.format(x="'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+            < keep_ppm
+    """,
+    ("sampling", "ext", "llm"),
+    "Square-root temperature rebalancing (the alpha=0.5 member of "
+    "T5/mBERT's temperature-scaled language mixing): downsample each "
+    "language at rate sqrt(c_min/c) so kept counts go ~ c^0.5 — the "
+    "head flattens toward the tail, the smallest language keeps 100%. "
+    "Census aggregate -> broadcast rate relation -> md5 ppm thinning; "
+    "sqrt of an IEEE division is bit-exact in both engines (pow is "
+    "not, which fixes the exponent at the sqrt point).",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    return temperature_sample(docs, source_col="lang").select("doc_id", "lang")
+
+
+@_register(
+    "orc_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    ("source", "K2", "ext"),
+    "ORC write + read round-trip: the documents metadata projection "
+    "written as lang-partitioned ORC (Spark's second native columnar "
+    "format — same predicate-pushdown/column-pruning contract as "
+    "parquet), read back through partition discovery, and aggregated. "
+    "The oracle states the invariant (round-trip preserves the "
+    "aggregate) straight from parquet; the partition column survives "
+    "the directory encoding as its string form.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # unique scratch dir per invocation (same contract as csv_roundtrip)
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    # explicit schema: an all-empty write leaves only _SUCCESS and
+    # schema inference would fail; the partition column is declared
+    # string (its directory-encoded form) either way
+    back = spark.read.schema("doc_id long, n_chars long, lang string").orc(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+
+@_register(
+    "global_row_index",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_index
+    FROM documents
+    """,
+    ("sampling", "ext", "llm", "window"),
+    "Contiguous global row numbering in doc_id order WITHOUT the "
+    "single-partition global sort a naive row_number() plans: bounded "
+    "approxQuantile boundary probe -> range buckets -> partitioned "
+    "window + buckets-sized prefix offsets + broadcast join. Output is "
+    "independent of the probe's sampling error; the only unpartitioned "
+    "window runs over |buckets| rows. The sample-index assignment step "
+    "of training-data ordering (epoch shuffling, resumable loaders).",
+)
+def q_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import global_row_index
+
+    return global_row_index(_docs(spark, sf_dir), key_col="doc_id").select(
+        "doc_id", "row_index"
+    )
+
+
+@_register(
+    "salted_join_brand_revenue",
+    f"""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    ("join", "skew", "ext"),
+    "Skew-resilient salted equi-join (operators.joins.salted_join): "
+    "the dim side replicates across 16 salt buckets, each fact row "
+    "routes by a hash of its OWN identity (never the join key), and "
+    "the (key, salt) join splits any hot key across 16 reducers. The "
+    "oracle states the plain join — identical result multiset by "
+    "construction; the manual twin of AQE skew-split for the shapes "
+    "AQE cannot split (shuffled-hash build sides, downstream agg "
+    "state).",
+)
+def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    joined = salted_join(
+        li, pt, on="l_partkey", row_key=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@_register(
+    "duplicate_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 8 THEN
+               list_transform(generate_series(1, len(toks) - 7),
+                 i -> {_MD5INT.format(x="array_to_string(toks[i:i+7], ' ')")})
+             ELSE CAST([] AS BIGINT[]) END AS ghs
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
+    gdf AS (SELECT gh, COUNT(DISTINCT doc_id) AS n_docs FROM p GROUP BY 1),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_positions
+      FROM p JOIN gdf USING (gh) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_positions, 0) AS n_positions,
+           COALESCE(s.n_dup_positions, 0) AS n_dup_positions,
+           CASE WHEN COALESCE(s.n_positions, 0) > 0
+                THEN CAST(s.n_dup_positions AS DOUBLE) / s.n_positions
+                ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+    """,
+    ("dedup", "text", "ext", "llm"),
+    "Cross-document repeated-span detection: the fixed-k member of "
+    "exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 — any "
+    "repeat >= k tokens contains a repeated k-gram). Positions carry "
+    "only 60-bit md5 gram hashes; gram document-frequency aggregates "
+    "BEFORE the join back (boilerplate_ratio economics), nothing is "
+    "pairwise — linear in corpus tokens. dup_frac marks templated / "
+    "mirrored text that per-doc MinHash under-weighs and "
+    "within-doc repetition stats cannot see.",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), k=8, min_docs=2)
+
+
+@_register(
+    "bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    tf2 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM b GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(CAST(tf * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(tf) AS BIGINT) AS bigram_logprob
+    FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY 1
+    """,
+    ("text", "ext", "lm", "llm"),
+    "Order-2 corpus-LM quality score (mean bigram conditional "
+    "log-probability, history counts derived from the bigram relation "
+    "so the conditional is true MLE): the smallest LM that sees word "
+    "order — scrambled text scores low even with a clean unigram "
+    "profile. One tokenize (lazily checkpointed doc x bigram "
+    "aggregation feeds model AND scoring), (w1,w2)-keyed shuffle "
+    "join, broadcast history vocab, decimal-routed ln-sum.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+
+@_register(
+    "funnel_conversion",
+    f"""
+    WITH e AS (SELECT user_id AS u, event_type AS t,
+                      {_OSECS.format(ts='ts')} AS s FROM events),
+    s1 AS (SELECT u, MIN(s) AS ts_prev FROM e WHERE t = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.u, MIN(e.s) AS ts_prev
+           FROM e JOIN s1 ON e.u = s1.u AND e.s > s1.ts_prev
+           WHERE e.t = 'click' GROUP BY 1),
+    s3 AS (SELECT e.u, MIN(e.s) AS ts_prev
+           FROM e JOIN s2 ON e.u = s2.u AND e.s > s2.ts_prev
+           WHERE e.t = 'purchase' GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+    ("events", "analytics", "ext"),
+    "Ordered-funnel conversion (signup -> click -> purchase, each step "
+    "strictly after the previous): greedy-earliest chain semantics "
+    "(complete — if any increasing chain exists, the greedy one does). "
+    "Each stage is one event-type filter + user-keyed join + per-user "
+    "MIN; the relation shrinks monotonically, raw events never move "
+    "past the first aggregation. The dashboard-tier question over the "
+    "curated events layer (SURVEY.md 2.7's windowed aggregates are "
+    "the single-step case).",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import funnel_stages
+
+    out = funnel_stages(
+        _events(spark, sf_dir), steps=("signup", "click", "purchase")
+    )
+    return out.select(
+        F.col("stage").cast("long").alias("stage"), "step", "n_users"
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH a AS (SELECT DISTINCT user_id AS u,
+                      CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+               FROM events),
+    c AS (SELECT u, MIN(w) AS cohort_week FROM a GROUP BY 1)
+    SELECT c.cohort_week, a.w - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (u) GROUP BY 1, 2
+    """,
+    ("events", "analytics", "ext"),
+    "Cohort retention triangle: users bucketed by first-activity "
+    "epoch-week, counted in each later week they return (offset 0 = "
+    "cohort size). Two user-keyed aggregations over distinct "
+    "(user, week) pairs — map-side combine collapses duplicates "
+    "before the shuffle; integer epoch-week arithmetic, no calendar.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+@_register(
+    "gapfill_15min",
+    """
+    WITH o AS (SELECT event_type AS g,
+                      CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+                        AS sum_value
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT g, MIN(slot) AS lo, MAX(slot) AS hi FROM o GROUP BY 1),
+    grid AS (SELECT g, unnest(generate_series(lo, hi)) AS slot FROM r)
+    SELECT grid.g AS event_type, grid.slot,
+           last_value(o.sum_value IGNORE NULLS) OVER (
+             PARTITION BY grid.g ORDER BY grid.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+           CAST(o.sum_value IS NOT NULL AS INT) AS is_observed
+    FROM grid LEFT JOIN o ON grid.g = o.g AND grid.slot = o.slot
+    """,
+    ("events", "timeseries", "window", "ext"),
+    "Regular 15-min grid resampling with forward fill: observed slot "
+    "sums (decimal-routed) left-joined onto an exploded "
+    "sequence(min_slot, max_slot) grid per event type, gaps carrying "
+    "the last observed aggregate via IGNORE NULLS running last() over "
+    "a PARTITIONED window. Grid size is calendar-bounded (|groups| x "
+    "|slots|), never event-volume-bounded — the gap-free series every "
+    "downstream window/dashboard expects.",
+)
+def q_gapfill_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import gapfill_forward
+
+    return gapfill_forward(_events(spark, sf_dir))
+
+
+@_register(
+    "near_dup_verified",
+    f"""
+    WITH cand AS (SELECT * FROM ({_minhash_pairs_oracle()}) mh),
+    t AS (SELECT doc_id, substr(lower(text), 1, 1000) AS tt FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.tt, b.tt) AS BIGINT) AS dist,
+           CASE WHEN greatest(strlen(a.tt), strlen(b.tt)) > 0
+                THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
+                     / greatest(strlen(a.tt), strlen(b.tt))
+                ELSE 0.0 END AS dist_frac
+    FROM cand c
+    JOIN t a ON c.doc_a = a.doc_id
+    JOIN t b ON c.doc_b = b.doc_id
+    WHERE CASE WHEN greatest(strlen(a.tt), strlen(b.tt)) > 0
+               THEN CAST(levenshtein(a.tt, b.tt) AS DOUBLE)
+                    / greatest(strlen(a.tt), strlen(b.tt))
+               ELSE 0.0 END <= 0.4
+    """,
+    ("dedup", "ext", "llm"),
+    "Candidate-then-verify dedup, the verify stage: MinHash-LSH "
+    "candidate pairs re-checked by exact Levenshtein distance "
+    "(normalized by the longer side, kept at <= 0.4) over the "
+    "lowercased first 1000 chars. Bodies move only for actual "
+    "candidates (two id-keyed joins); per-pair DP cost is capped at "
+    "max_chars^2 regardless of document length. Distance unit is "
+    "UTF-8 bytes on BOTH sides: DuckDB's levenshtein/strlen are "
+    "byte-based, and the engine matches via the encode/ISO-8859-1 "
+    "byte-per-codepoint trick (see near_dup_verify) — Spark's native "
+    "code-point levenshtein diverges on non-ASCII text (fuzz-sweep "
+    "finding, round 10).",
+)
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import near_dup_verify
+
+    docs = _docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    return near_dup_verify(docs, cands, max_dist_frac=0.4)
+
+
+
+@_register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0
+    """,
+    ("aggregate", "olap", "ext"),
+    "GROUPING SETS aggregation (the general member of the "
+    "rollup/cube OLAP trio, both already in the catalog): revenue by "
+    "returnflag, by linestatus, and the grand total in ONE pass — "
+    "Spark expands the sets into a single Expand + hash aggregate, "
+    "one scan instead of three. grouping_id disambiguates NULL-as-"
+    "aggregate from NULL-as-data, identical bitmask semantics in "
+    "both engines. On EMPTY input Spark's grouping-sets expansion emits ZERO rows where the SQL standard (and DuckDB) emit the grand-total row with count 0; HAVING COUNT(*) > 0 states Spark's semantics in the oracle and is a no-op on any non-empty input (every materialized cell has count >= 1) — round-10 oracle-compared empty sweep.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "revenue")
+    )
+
+
+@_register(
+    "unpivot_metrics",
+    f"""
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n,
+           {_osum('val')} AS total
+    FROM long GROUP BY 1, 2
+    """,
+    ("reshape", "ext"),
+    "Wide-to-long unpivot (melt) + aggregate: three measure columns "
+    "stacked into (metric, value) rows via the native DataFrame "
+    "unpivot (Spark's Expand node — one scan, rows fan out 3x "
+    "map-side, no shuffle until the aggregate), then a decimal-routed "
+    "per-(flag, metric) rollup. The oracle states the UNION ALL "
+    "expansion unpivot is sugar for.",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"), dsum("val").alias("total")
+    )
+
+
+@_register(
+    "wow_growth",
+    """
+    WITH w AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, week, sum_value,
+           lag(sum_value) OVER (PARTITION BY event_type ORDER BY week)
+             AS prev_value,
+           sum_value - lag(sum_value) OVER (PARTITION BY event_type
+                                            ORDER BY week) AS delta
+    FROM w
+    """,
+    ("events", "analytics", "window", "ext"),
+    "Week-over-week growth: weekly decimal-routed sums per event type "
+    "with lag() deltas over a PARTITIONED window (weeks per type are "
+    "calendar-bounded; the window never sees raw events). First week "
+    "per type emits NULL prev/delta — the honest representation. "
+    "Subtraction of two decimal-routed doubles is bit-portable where "
+    "a growth *ratio* would hang on division edge cases. Null-ts rows "
+    "are excluded on BOTH sides (round-10 temporal-null family rule): "
+    "an undated event belongs to no week, and a NULL week group would "
+    "sit at opposite ends of the lag chain per engine (Spark NULLS "
+    "FIRST ascending, DuckDB NULLS LAST), shifting every delta.",
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
+    weekly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("secs") / F.lit(604800)).cast("long").alias("week"),
+    ).agg(dsum("value").alias("sum_value"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("sum_value").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "sum_value",
+        prev.alias("prev_value"),
+        (F.col("sum_value") - prev).alias("delta"),
+    )
+
+
+@_register(
+    "dq_expectations",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+    v AS (
+      SELECT 'quantity_in_range' AS rule,
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_quantity BETWEEN 1 AND 50, FALSE)) AS BIGINT) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_max_5pct',
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_discount <= 0.05, FALSE)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_positive',
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_extendedprice > 0, FALSE)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_not_null',
+             CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain',
+             CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+               l_returnflag IN ('A', 'N', 'R'), FALSE)) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT v.rule, v.n_violations, n.n_rows,
+           CASE WHEN n.n_rows = 0 THEN 0.0
+                ELSE CAST(v.n_violations AS DOUBLE) / n.n_rows
+           END AS violation_frac
+    FROM v CROSS JOIN n
+    """,
+    ("quality", "aggregate", "ext"),
+    "Data-quality expectation suite (operators.aggregates.dq_check): "
+    "five rules — range, threshold, positivity, non-null, domain "
+    "membership — evaluated in ONE aggregation pass (conditional sums "
+    "collapse map-side; one scan + a 1-row shuffle, not one scan per "
+    "rule; the oracle's per-rule scans state the semantics, not the "
+    "plan). A violation is a row where the predicate is NOT TRUE, so "
+    "NULLs fail closed — the promote-gate a layered lake runs before "
+    "publishing. On an EMPTY relation every rule reports frac 0.0 "
+    "(dq_check's documented fail-closed shape); the oracle states the "
+    "same CASE instead of 0/0, which DuckDB turns into NULL (round-10 "
+    "oracle-compared empty sweep).",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import dq_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dq_check(
+        li,
+        {
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "discount_max_5pct": F.col("l_discount") <= 0.05,
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+
+@_register(
+    "pq_knn",
+    None,  # approximate by construction; exact-reconstruction ADC
+    # equality and recall vs cosine_knn asserted in tests
+    ("similarity", "ext", "pq"),
+    "Product-quantization approximate top-5 (FAISS PQ/ADC shape: "
+    "per-subvector codebooks, one-byte codes, LUT-gather asymmetric "
+    "distance scoring in a single Arrow encode+score pass) — the "
+    "memory-compression axis of the ANN family: 64-dim floats become "
+    "m=8 bytes, so 100 TB of vectors score from a 32x smaller, "
+    "bandwidth-bound working set. Complements IVF's candidate-pruning "
+    "axis; composing the two (IVF cells + PQ codes per cell) is the "
+    "standard billion-scale FAISS deployment.",
+)
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import pq_knn
+
+    emb = _emb(spark, sf_dir)
+    return pq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+
+@_register(
+    "anomaly_slots",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, slot, sum_value,
+             CAST(CAST(SUM(CAST(sum_value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE)
+               AS wsum,
+             CAST(CAST(SUM(CAST(sum_value * sum_value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS wsumsq,
+             COUNT(*) OVER w AS n
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY slot
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, slot, sum_value,
+           (sum_value - wsum / n)
+             / sqrt(wsumsq / n - (wsum / n) * (wsum / n)) AS zscore
+    FROM t
+    WHERE n >= 8
+      AND wsumsq / n - (wsum / n) * (wsum / n) > 0
+      AND abs((sum_value - wsum / n)
+              / sqrt(wsumsq / n - (wsum / n) * (wsum / n))) > 2.0
+    """,
+    ("events", "timeseries", "window", "ext"),
+    "Trailing-window anomaly detection: each observed 15-min slot sum "
+    "scored against the mean/std of its previous 8 observed slots "
+    "(frame ROWS 8 PRECEDING TO 1 PRECEDING — the detector never sees "
+    "the point it judges), flagged at |z| > 2 with a full-history "
+    "warm-up guard (n >= 8) and a zero-variance guard. Window is "
+    "PARTITIONED by type and ordered by the calendar-bounded slot "
+    "grid; sums stay decimal-routed inside the frame so the zscore "
+    "is bit-portable — the streaming twin is the same expression "
+    "over the watermarked windowed aggregate. Temporal-null family "
+    "rule: an undated event belongs to no slot, so NULL-ts rows are "
+    "excluded on both sides (a NULL slot would sort first in Spark's "
+    "frame and last in the oracle's, shifting every trailing window).",
+)
+def q_anomaly_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.event_analytics import anomaly_scores
+
+    ev = _events(spark, sf_dir).filter(F.col("secs").isNotNull())
+    s = ev.groupBy(
+        "event_type",
+        F.floor(F.col("secs") / F.lit(900)).cast("long").alias("slot"),
+    ).agg(dsum("value").alias("sum_value"))
+    return anomaly_scores(s, trailing=8, z_threshold=2.0)
+
+
+@_register(
+    "vector_norm_udf",
+    f"""
+    SELECT vec_id,
+           CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS BIGINT)
+             AS qnorm
+    FROM embeddings
+    """,
+    ("udf", "similarity", "ext"),
+    "Scalar Arrow pandas_udf (the vectorized-scalar member of the UDF "
+    "surface, SURVEY.md 2.8): exact squared norm of the quantized "
+    "embedding computed in a Python Arrow batch — integer arithmetic "
+    "end to end, so a Python-UDF execution path grades against a SQL "
+    "oracle bit-for-bit. Column batches in/out; usable inside any "
+    "expression, unlike mapInPandas which replaces the row stream.",
+)
+def q_vector_norm_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import (
+        quantized_embedding,
+        quantized_norm_pandas_udf,
+    )
+
+    qnorm = quantized_norm_pandas_udf()
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        qnorm(quantized_embedding(F.col("embedding"))).alias("qnorm"),
+    )
+
+
+
+@_register(
+    "ivfpq_knn",
+    None,  # approximate by construction; composed exactness (probe-all
+    # + covering codebook == cosine_knn) asserted in tests
+    ("similarity", "ext", "ivf", "pq"),
+    "IVF + PQ composed approximate top-5 — the standard billion-scale "
+    "FAISS deployment: the coarse quantizer prunes WHICH candidates "
+    "each query scores (n_probe=4 of 16 cells), PQ/ADC compresses HOW "
+    "the survivors are scored (m=8 one-byte codes, LUT-gather "
+    "asymmetric distance). One Arrow pass assigns, encodes, scores, "
+    "and probe-masks per batch; candidates never shuffle; both models "
+    "train driver-side on the bounded sample contract.",
+)
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import ivfpq_knn
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+
+@_register(
+    "pretrain_pipeline",
+    rf"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(replace(lower(text), ' ', ''))
+    ),
+    quality AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d
+      JOIN keepers USING (doc_id)
+      WHERE d.n_chars BETWEEN 100 AND 2000
+    ),
+    base AS (
+      SELECT doc_id, text,
+             CASE WHEN {_MD5INT.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    train AS (
+      SELECT q.doc_id, q.text, q.lang FROM quality q
+      JOIN base b USING (doc_id) WHERE b.split = 'train'
+    ),
+    split_docs AS (
+      SELECT doc_id, 'train' AS split, text FROM train
+      UNION ALL
+      SELECT doc_id, 'test' AS split, text FROM base WHERE split = 'test'
+    ),
+    sh AS ({_ngram_expr_sql(8)}),
+    held AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (shingle)
+      WHERE s.split = 'train'
+    ),
+    clean AS (
+      SELECT t.doc_id, t.lang FROM train t
+      LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    cnt AS (SELECT lang, COUNT(*) AS c FROM clean
+            WHERE lang IS NOT NULL GROUP BY 1),
+    mn AS (SELECT MIN(c) AS c_min FROM cnt),
+    rt AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c AS DOUBLE))
+                        * 1000000) AS BIGINT) AS keep_ppm
+      FROM cnt CROSS JOIN mn
+    )
+    SELECT cl.doc_id, cl.lang,
+           {_MD5INT.format(x="'epoch0:' || CAST(cl.doc_id AS VARCHAR)")}
+             AS shuffle_key
+    FROM clean cl JOIN rt USING (lang)
+    WHERE {_MD5INT.format(x="'temp:' || CAST(cl.doc_id AS VARCHAR)")}
+            % 1000000 < keep_ppm
+    """,
+    ("pipeline", "dedup", "sampling", "ext", "llm"),
+    "End-to-end pretraining-data curation DAG, one declarative plan: "
+    "exact dedup (min-id survivor per md5 fingerprint) -> quality gate "
+    "(n_chars range) -> train/test split -> benchmark decontamination "
+    "(drop train docs sharing any 8-gram with the held-out split; "
+    "held shingles broadcast) -> sqrt-temperature language rebalance "
+    "-> epoch-0 shuffle key. Every stage is a previously-graded "
+    "operator; composing them keeps the whole pipeline inside ONE "
+    "Catalyst plan, so column pruning crosses stage boundaries: each "
+    "of the plan's scans reads ONLY its stage's columns (ReadSchema "
+    "shows doc_id+text for fingerprint/shingle stages, "
+    "doc_id+lang+n_chars where bodies are not needed) and no "
+    "intermediate layer is materialized to disk between stages — the "
+    "argument for an engine over a script chain that writes and "
+    "re-reads each hop. Deterministic end to end: md5 "
+    "split/thinning/shuffle keys.",
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup_text import decontaminate, exact_dedup_groups
+    from ..extensions.sampling import (
+        shuffle_key,
+        split_assign,
+        temperature_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")
+    quality = kept.filter(F.col("n_chars").between(100, 2000))
+    split = split_assign(F.col("doc_id"))
+    train = quality.filter(split == "train")
+    held = docs.filter(split == "test")
+    contaminated = decontaminate(train, held, n=8).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    mixed = temperature_sample(clean, source_col="lang")
+    return mixed.select(
+        "doc_id",
+        "lang",
+        shuffle_key(F.col("doc_id")).alias("shuffle_key"),
+    )
+
+
+
+@_register(
+    "hll_mergeable_rollup",
+    None,  # sketch estimates are engine-specific; estimate-vs-exact
+    # tolerance and the merge==direct property asserted in tests
+    ("aggregate", "sketch", "approx", "ext"),
+    "MERGEABLE distinct-count sketches (Datasketches HLL via "
+    "hll_sketch_agg / hll_union_agg): per-day per-type user sketches "
+    "built once, then rolled up to per-type totals by UNIONING THE "
+    "SKETCHES — no re-scan of the events, no re-shuffle of the user "
+    "universe. This is the real 100 TB sketch story approx_count_"
+    "distinct alone doesn't show: daily sketch rows are the stored "
+    "partial state (kilobytes per group), and any coarser rollup "
+    "(weekly, all-time, cross-region) is an aggregation over sketches "
+    "alone. Merge-then-estimate equals a direct one-pass sketch of "
+    "the same data — pinned in tests.",
+)
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.col("secs") / F.lit(86400)).cast("long").alias("day")
+    daily = ev.groupBy("event_type", day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_days"),
+        )
+        .select("event_type", "est_users", "n_events", "n_days")
+    )
+
+
