@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Six axes:
+configurations, then diff the sorted results. Seven axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -38,6 +38,12 @@ configurations, then diff the sorted results. Six axes:
     DST shift on a :30 base offset, the only transition class that can
     alias with the engine's 15-minute grid arithmetic (Kathmandu never
     transitions; New York transitions by whole hours).
+
+``row-reader``
+    ``spark.sql.parquet.enableVectorizedReader=false`` — every scan
+    decodes through the row-based parquet reader, a separate
+    implementation production falls back to on its own for schemas
+    the vectorized reader can't handle.
 
 ``tiny-splits``
     ``spark.sql.files.maxPartitionBytes=64K`` — every table scan
@@ -113,6 +119,16 @@ VARIANTS: dict[str, dict[str, str]] = {
     # against the same class).
     "small-batches": {
         "spark.sql.execution.arrow.maxRecordsPerBatch": "16",
+    },
+    # Parquet-decoder independence: the row-based (non-vectorized)
+    # parquet reader is a SEPARATE decode implementation from the
+    # default columnar one (different null/dictionary/decimal paths),
+    # and production flips to it on its own for schemas the vectorized
+    # reader can't handle (nested types beyond its support, wide
+    # decimals). Every scan in the engine must read identical values
+    # through both.
+    "row-reader": {
+        "spark.sql.parquet.enableVectorizedReader": "false",
     },
 }
 

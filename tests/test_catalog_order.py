@@ -303,3 +303,41 @@ def test_cli_verify_max_rows_cap(spark):
         == 0
     )
     assert buf.getvalue().startswith("MATCH")
+
+
+def test_catalog_part_modules_import_standalone():
+    """Round-11 split invariant: every catalog part module must import
+    on its own in a FRESH interpreter — a hidden cross-part reference
+    that only resolves through the assembler's import order would make
+    the module layout load-bearing in a way no reader expects (the
+    explicit cross-part imports in each part's header are the
+    contract). Subprocess per module because this session's interpreter
+    already has every part cached in sys.modules."""
+    import subprocess
+    import sys
+
+    parts = [
+        "catalog_base", "catalog_core", "catalog_text", "catalog_index",
+        "catalog_analytics", "catalog_dashboard", "catalog_advanced",
+        "catalog_streaming",
+    ]
+    code = (
+        "import importlib,sys\n"
+        "for m in sys.argv[1:]:\n"
+        "    importlib.import_module("
+        "'twitch_stream_data_pipeline_spark.plans.'+m)\n"
+        "print('ok')\n"
+    )
+    # one subprocess per part (not one for all: an earlier import must
+    # not satisfy a later part's missing dependency)
+    for part in parts:
+        proc = subprocess.run(
+            [sys.executable, "-c", code, part],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0 and proc.stdout.strip() == "ok", (
+            part,
+            proc.stderr[-1500:],
+        )

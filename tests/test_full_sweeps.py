@@ -11,7 +11,11 @@ Round 10 added three more axes behind the same flag: engine-config
 independence (``tests/config_sweep.py`` — interpreted evaluator +
 shifted session timezone), seeded-random corpora diffed against every
 graded oracle (``tests/fuzz_sweep.py``), and input row-order
-independence (``tests/order_sweep.py``).
+independence (``tests/order_sweep.py``). Round 11 added the
+sub-hour-DST and row-based-parquet-reader config axes, round-salted
+the fuzz seeds, and added JVM-locale independence
+(``tests/locale_sweep.py`` — fresh subprocess per pass because the
+JVM default locale is below SparkSession).
 
 Opt-in (skipped without the env var) for two reasons: together the
 sweeps run every catalog query many times over (~25 min), and the
@@ -85,6 +89,7 @@ def test_config_sweep_whole_catalog(capsys):
     assert "queries identical under tz-dst-half" in out
     assert "queries identical under tiny-splits" in out
     assert "queries identical under small-batches" in out
+    assert "queries identical under row-reader" in out
 
 
 def test_fuzz_sweep_whole_catalog(capsys):
@@ -108,6 +113,22 @@ def test_fuzz_sweep_whole_catalog(capsys):
     print(out)
     assert rc == 0, f"fuzz-sweep failures:\n{out}"
     assert "query-runs clean across 2 fuzz seeds" in out
+
+
+def test_locale_sweep_whole_catalog(capsys):
+    """Every registered query must produce identical results when the
+    JVM runs under a Turkish default locale (the dotted/dotless-i
+    casing trap + locale number formatting) — process-creation state
+    no SparkSession conf can vary, so each pass runs in a fresh
+    subprocess with JAVA_TOOL_OPTIONS. Proves the engine's
+    Locale.ROOT-only contract catalog-wide."""
+    from . import locale_sweep
+
+    rc = locale_sweep.main()
+    out = capsys.readouterr().out
+    print(out)
+    assert rc == 0, f"locale-dependent queries:\n{out}"
+    assert "queries identical under tr-jvm" in out
 
 
 def test_order_sweep_whole_catalog(capsys):
