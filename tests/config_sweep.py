@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Seven axes:
+configurations, then diff the sorted results. Eight axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -44,6 +44,13 @@ configurations, then diff the sorted results. Seven axes:
     decodes through the row-based parquet reader, a separate
     implementation production falls back to on its own for schemas
     the vectorized reader can't handle.
+
+``sort-strategies``
+    ``spark.sql.execution.useObjectHashAggregateExec=false`` +
+    ``spark.sql.join.preferSortMergeJoin=true`` — SortAggregate and
+    sort-merge joins accumulate in different row orders than the
+    default hash operators, so any float aggregation not routed
+    through the DECIMAL order-independence rule diverges here.
 
 ``tiny-splits``
     ``spark.sql.files.maxPartitionBytes=64K`` — every table scan
@@ -129,6 +136,19 @@ VARIANTS: dict[str, dict[str, str]] = {
     # through both.
     "row-reader": {
         "spark.sql.parquet.enableVectorizedReader": "false",
+    },
+    # Physical-strategy independence: force SortAggregate where
+    # ObjectHashAggregate would run (collect_list/sketch-typed
+    # aggregates) and prefer sort-merge over shuffled-hash joins —
+    # different physical operators accumulate in DIFFERENT row orders,
+    # so this axis has real teeth against float aggregation: any sum
+    # not routed through the catalog's order-independent DECIMAL rule
+    # diverges here. Catalyst picks these operators on its own from
+    # data statistics at scale; results must never depend on which
+    # one ran.
+    "sort-strategies": {
+        "spark.sql.execution.useObjectHashAggregateExec": "false",
+        "spark.sql.join.preferSortMergeJoin": "true",
     },
 }
 

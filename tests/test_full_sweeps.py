@@ -90,6 +90,7 @@ def test_config_sweep_whole_catalog(capsys):
     assert "queries identical under tiny-splits" in out
     assert "queries identical under small-batches" in out
     assert "queries identical under row-reader" in out
+    assert "queries identical under sort-strategies" in out
 
 
 def test_fuzz_sweep_whole_catalog(capsys):
