@@ -83,9 +83,11 @@ def graded_oracle(name: str) -> str | None:
     after. Returns None only for genuinely oracle-less queries
     (iterative algorithms, rows-only driver history)."""
     from twitch_stream_data_pipeline_spark.plans.catalog import (
+        BPE_STAGED_ORACLES,
         CATALOG,
         CONTRACT_STAGED_ORACLES,
         DASHBOARD_STAGED_ORACLES,
+        PACKING_STAGED_ORACLES,
         STREAMING_STAGED_ORACLES,
     )
 
@@ -94,6 +96,8 @@ def graded_oracle(name: str) -> str | None:
         or DASHBOARD_STAGED_ORACLES.get(name)
         or STREAMING_STAGED_ORACLES.get(name)
         or CONTRACT_STAGED_ORACLES.get(name)
+        or PACKING_STAGED_ORACLES.get(name)
+        or BPE_STAGED_ORACLES.get(name)
     )
 
 

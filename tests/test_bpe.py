@@ -430,10 +430,10 @@ def test_bpe_train_matches_unrolled_sql_oracle(spark, duck):
     comparison is EXACT: identical merge sequence and pair counts.
     Staged for promotion into the bpe_train_merges registration via a
     later round's graded-window swap (round 9's went to pagerank)."""
-    from twitch_stream_data_pipeline_spark.extensions.bpe import (
-        bpe_oracle_sql,
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        BPE_STAGED_ORACLES,
+        CATALOG,
     )
-    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
 
     from .conftest import SF_SMOKE
 
@@ -441,6 +441,6 @@ def test_bpe_train_matches_unrolled_sql_oracle(spark, duck):
         (r["rank"], r["left"], r["right"], r["pair_freq"])
         for r in CATALOG["bpe_train_merges"].fn(spark, SF_SMOKE).collect()
     ]
-    want = duck.execute(bpe_oracle_sql(20)).fetchall()
+    want = duck.execute(BPE_STAGED_ORACLES["bpe_train_merges"]).fetchall()
     assert len(got) == len(want) > 0
     assert got == [tuple(r) for r in want]  # integer-exact, no tolerance

@@ -1632,20 +1632,21 @@ def test_pack_groups_matches_recursive_sql_oracle(spark, duck):
     CTE — one linear-recursive row per item, the group-load list
     carried as a BIGINT[] column): first-fit-decreasing reproduced
     step-exactly (first fitting group, else new group under the limit,
-    else FIRST least-loaded — Python's argmin tie-break). Staged for a
-    later round's graded-window swap; pack_groups keeps oracle=None
-    until then."""
-    from twitch_stream_data_pipeline_spark.operators.packing import (
-        pack_oracle_sql,
+    else FIRST least-loaded — Python's argmin tie-break). Staged in
+    PACKING_STAGED_ORACLES for round 12's graded-window swap;
+    pack_groups keeps oracle=None until then. The differential runs
+    the SAME staged SQL object every sweep resolves via graded_oracle,
+    so the statement graded at promotion is the one proven here."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CATALOG,
+        PACKING_STAGED_ORACLES,
     )
-    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
 
     from .conftest import SF_SMOKE
 
     got = [
         tuple(r) for r in CATALOG["pack_groups"].fn(spark, SF_SMOKE).collect()
     ]
-    items = "SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS w FROM events GROUP BY user_id"
-    want = duck.execute(pack_oracle_sql(items)).fetchall()
+    want = duck.execute(PACKING_STAGED_ORACLES["pack_groups"]).fetchall()
     assert len(got) == len(want) > 0
     assert got == [tuple(r) for r in want]  # integer-exact

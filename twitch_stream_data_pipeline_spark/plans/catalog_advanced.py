@@ -204,16 +204,33 @@ def q_ivfpq_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_staged_oracle() -> str:
+    from ..extensions.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(20)
+
+
+#: Full DuckDB oracle for bpe_train_merges (the 20 catalog merges
+#: unrolled as chained MATERIALIZED CTEs), STAGED for promotion when a
+#: graded-window slot opens (last in the section-2 promotion queue).
+#: Living here — not only in the pytest differential — so
+#: tests/conftest.graded_oracle resolves it and every whole-catalog
+#: sweep poison-proves it before its swap round.
+BPE_STAGED_ORACLES: dict[str, str] = {
+    "bpe_train_merges": _bpe_staged_oracle(),
+}
+
+
 @_register(
     "bpe_train_merges",
     None,  # iterative merge loop. A full DuckDB oracle now EXISTS —
-    # bpe.bpe_oracle_sql unrolls the 20 rounds as chained MATERIALIZED
-    # CTEs (wrapped-string replace == the greedy single-round fold),
-    # bit-exact, differentially pinned in
-    # tests/test_bpe.py::test_bpe_train_matches_unrolled_sql_oracle —
+    # BPE_STAGED_ORACLES above (bpe.bpe_oracle_sql) unrolls the 20
+    # rounds as chained MATERIALIZED CTEs (wrapped-string replace ==
+    # the greedy single-round fold), bit-exact, differentially pinned
+    # in tests/test_bpe.py::test_bpe_train_matches_unrolled_sql_oracle
+    # and resolved by every whole-catalog sweep via graded_oracle —
     # but stays out of this registration until the entry can take a
-    # graded-window slot (round 9's permitted swap went to
-    # pagerank_copresence; the window-discipline gate in
+    # graded-window slot (the window-discipline gate in
     # tests/test_catalog_order.py forbids an out-of-window oracle
     # query with zero driver greens). The merge SEQUENCE is also
     # pinned exactly against an independent pure-Python BPE trainer in

@@ -23,6 +23,7 @@ from ..extensions.dedup_text import (
 )
 from ..extensions.multimodal import attach_binary_payload
 from ..extensions.text_analysis import text_fingerprint, tfidf_top_terms, token_count
+from ..operators.packing import pack_oracle_sql
 from .catalog_base import (
     _register,
     _t,
@@ -575,17 +576,36 @@ def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(ev, ["event_type"], "user_id", buckets=32)
 
 
+#: Full DuckDB oracle for pack_groups, STAGED for promotion as round
+#: 12's single window swap (first in the section-2 promotion queue —
+#: A4 is the only SURVEY §2 operator with no driver-graded row through
+#: round 10). Built by operators.packing.pack_oracle_sql over the SAME
+#: NULL-filtered weight aggregation the registration computes (the
+#: registration drops NULL user_ids — anonymous events carry no
+#: routable shard key — so the oracle must too, or any NULL-bearing
+#: sweep corpus diverges). Lives here, not only in the pytest
+#: differential, so tests/conftest.graded_oracle resolves it and every
+#: whole-catalog sweep poison-proves it BEFORE its swap round, exactly
+#: like the dashboard/streaming/contract staged tiers.
+PACKING_STAGED_ORACLES: dict[str, str] = {
+    "pack_groups": pack_oracle_sql(
+        "SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
+    ),
+}
+
+
 @_register(
     "pack_groups",
     None,  # greedy bin-packing is iterative/procedural. A full DuckDB
-    # oracle now EXISTS — operators.packing.pack_oracle_sql states
+    # oracle now EXISTS — PACKING_STAGED_ORACLES above states
     # first-fit-decreasing as a genuine RECURSIVE CTE (one
     # linear-recursive row per item, group loads carried as a BIGINT[]
     # column), bit-exact, differentially pinned in
     # tests/test_operators.py::test_pack_groups_matches_recursive_sql_oracle
-    # — but stays out of this registration until the entry can take a
-    # graded-window slot (window-discipline gate; round 9's single
-    # swap went to pagerank_copresence)
+    # and resolved by every whole-catalog sweep via graded_oracle —
+    # but stays out of this registration until the entry takes its
+    # graded-window slot (queued as round 12's swap)
     ("driver", "A4", "packing"),
     "Greedy weighted bin-packing (SURVEY.md A4, "
     "scripts/other/create_category_group_messages.py:57-80): pack per-user "
