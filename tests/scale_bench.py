@@ -26,7 +26,10 @@ from twitch_stream_data_pipeline_spark.session import get_spark
 #: plus (round 9, late) the two streaming-replay entries — their ratio
 #: measures how an availableNow replay's end-to-end cost (listing,
 #: micro-batch execution, state store, complete-mode materialization)
-#: grows with volume.
+#: grows with volume — plus (round 11) the dashboard star trio, graded
+#: since dash_hours_by_category's window swap: constant-size output by
+#: construction, so the ratio isolates the fact-scan + broadcast-join
+#: cost (measured 0.80x/1.34x/1.39x at the first 5x point, BENCHNOTES).
 HEAVIES = (
     "embedding_ingest",
     "dedup_ingest",
@@ -41,6 +44,9 @@ HEAVIES = (
     "kmeans_clusters",
     "stream_window_counts",
     "stream_session_windows",
+    "dash_hours_by_category",
+    "dash_streamers_by_day",
+    "dash_viewers_by_hour",
 )
 
 
