@@ -71,3 +71,96 @@ def test_idle_host_gate_quiet_host_never_sleeps():
         sleep=lambda s: (_ for _ in ()).throw(AssertionError("slept")),
     )
     assert gate == "idle" and waits == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 #4): per-segment external-cpu gate — the split
+# phase re-gates before EACH segment on cpu consumed OUTSIDE the
+# bench's own process tree, so r11's "gate satisfied at phase start,
+# segments measured under loadavg 9-11" cannot recur silently.
+# ---------------------------------------------------------------------------
+
+
+def test_external_cpu_gate_waits_then_passes(monkeypatch):
+    import bench
+
+    ext = iter([5.3, 2.1, 0.4])
+    slept = []
+    monkeypatch.setenv("SPARK_GRAFT_EXT_CPU_SLEEP", "20")
+    start, gate, waits, ext_max = bench.wait_for_quiet_external_cpu(
+        measure=lambda: next(ext), sleep=slept.append
+    )
+    assert gate == "idle" and waits == 2 and start == 0.4
+    assert slept == [20.0, 20.0] and ext_max == 1.0
+
+
+def test_external_cpu_gate_exhausts_and_says_so(monkeypatch):
+    """A persistently contended segment still gets measured, but its
+    gate reads 'exhausted' — the record never silently mixes loaded
+    segments with idle ones (the r11 ivf_index_knn 2.35->26.83s build
+    outlier failure mode)."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_EXT_CPU_TRIES", "2")
+    start, gate, waits, _ = bench.wait_for_quiet_external_cpu(
+        measure=lambda: 8.0, sleep=lambda s: None
+    )
+    assert gate == "exhausted" and waits == 2 and start == 8.0
+
+
+def test_external_cpu_measures_outside_own_subtree():
+    """external_cpu_cores must NOT count this process's own burn: spin
+    a cpu-bound child of our own for the sample window and assert the
+    reading stays near zero (the whole point vs loadavg — our own
+    trailing/concurrent work never triggers segment waits)."""
+    import multiprocessing as mp
+
+    import bench
+
+    def burn(stop):
+        x = 0
+        while not stop.is_set():
+            x += 1
+
+    stop = mp.Event()
+    procs = [mp.Process(target=burn, args=(stop,)) for _ in range(4)]
+    for p in procs:
+        p.start()
+    try:
+        ext = bench.external_cpu_cores(window=1.0)
+    finally:
+        stop.set()
+        for p in procs:
+            p.join(timeout=5)
+    # 4 cores of OUR OWN burn must not register as external; allow a
+    # generous slack for unrelated background daemons on the host.
+    assert ext < 2.0, f"own subtree counted as external: {ext:.2f} cores"
+
+
+def test_subtree_jiffies_counts_own_children():
+    """The subtree walker actually sees a live descendant's cpu time:
+    burn ~0.3s in a child that stays alive across both samples."""
+    import multiprocessing as mp
+    import time as _time
+
+    import bench
+
+    def burn_then_wait(ready, stop):
+        t0 = _time.process_time()
+        while _time.process_time() - t0 < 0.3:
+            pass
+        ready.set()
+        stop.wait(10)
+
+    ready, stop = mp.Event(), mp.Event()
+    before = bench._subtree_jiffies()
+    p = mp.Process(target=burn_then_wait, args=(ready, stop))
+    p.start()
+    try:
+        assert ready.wait(10)
+        after = bench._subtree_jiffies()
+    finally:
+        stop.set()
+        p.join(timeout=5)
+    hz = __import__("os").sysconf("SC_CLK_TCK")
+    assert (after - before) / hz >= 0.2, (before, after)

@@ -184,21 +184,22 @@ def test_cli_list_and_lookup():
         main(["oracle", "lsh_knn"])
 
 
-def test_window_is_documented_r11_rotation():
-    """VERDICT r10 next-round #1/#2: the round-11 window is the
-    round-10 window held STABLE — the 42 round-6 first-timers keep
-    their exact slots, ivfpq_index_exact holds (four greens r07-r10),
-    kmeans_assign_exact holds (three greens r08-r10),
-    pagerank_copresence holds (two greens r09/r10) and
-    stream_window_counts (one green, r10) for its second — with
-    exactly ONE permitted change: dash_hours_by_category, the
-    reference's headline QuickSight query whose star-join DuckDB
-    oracle was staged in pytest during rounds 9-10, is promoted into
-    the graded window (the first driver-graded row of the dashboard
-    tier) and takes the slot of variant_topk_props, a retained query
-    with five green rounds (r06-r10); variant_topk_props joins the
-    rotated-out tail. This pins the exact graded order for the r11
-    run."""
+def test_window_is_documented_r12_rotation():
+    """VERDICT r11 next-round #1/#2: the round-12 window is the
+    round-11 window held STABLE — the 42 round-6 first-timers keep
+    their exact slots, ivfpq_index_exact holds (five greens r07-r11),
+    kmeans_assign_exact holds (four greens r08-r11),
+    pagerank_copresence holds (three greens r09-r11),
+    stream_window_counts holds (two greens r10/r11) and
+    dash_hours_by_category (one green, r11) for its second — with
+    exactly ONE permitted change: pack_groups, the SURVEY §2 A4
+    operator (the only §2 row without driver-graded evidence through
+    eleven rounds) whose RECURSIVE-CTE first-fit-decreasing DuckDB
+    oracle was staged in pytest during rounds 10-11, is promoted into
+    the graded window (closing §2 driver coverage entirely) and takes
+    the slot of stratified_sample, a retained query with six green
+    rounds (r06-r11); stratified_sample joins the rotated-out tail.
+    This pins the exact graded order for the r12 run."""
     expected = [
         # 1a flagship round-5 tiers
         "pretrain_pipeline", "nb_lang_classifier", "semantic_dedup",
@@ -226,18 +227,19 @@ def test_window_is_documented_r11_rotation():
         "embedding_ingest",
         # 2 retained (+ the r7 swap-in ivfpq_index_exact, + the r8
         # swap-in kmeans_assign_exact, + the r9 swap-in
-        # pagerank_copresence, + the r10 swap-in stream_window_counts
-        # holding for its second grade, + the one r11 swap-in
-        # dash_hours_by_category)
+        # pagerank_copresence, + the r10 swap-in stream_window_counts,
+        # + the r11 swap-in dash_hours_by_category holding for its
+        # second grade, + the one r12 swap-in pack_groups)
         "pagerank_copresence", "stream_window_counts",
         "dash_hours_by_category",
-        "stratified_sample", "ivf_knn_exact", "multimodal_decode",
+        "pack_groups", "ivf_knn_exact", "multimodal_decode",
         "ivfpq_index_exact", "kmeans_assign_exact",
     ]
     assert list(EXPOSURE_ORDER[:HARNESS_WINDOW]) == expected
     # rotated-out queries stay registered and oracle-bearing in the tail
     tail = set(EXPOSURE_ORDER[HARNESS_WINDOW:])
     rotated_out = {
+        "stratified_sample",
         "variant_topk_props",
         "bpe_token_stats",
         "winnow_near_dup",
@@ -258,7 +260,7 @@ def test_window_is_documented_r11_rotation():
         "embedding_near_dup", "topk_per_group", "cube_volume",
         "asof_join_click_attribution", "range_join_quantity_buckets",
     }
-    assert len(rotated_out) == 47
+    assert len(rotated_out) == 48
     for name in rotated_out:
         assert name in tail and CATALOG[name].oracle, name
 

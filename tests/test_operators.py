@@ -1633,20 +1633,20 @@ def test_pack_groups_matches_recursive_sql_oracle(spark, duck):
     carried as a BIGINT[] column): first-fit-decreasing reproduced
     step-exactly (first fitting group, else new group under the limit,
     else FIRST least-loaded — Python's argmin tie-break). Staged in
-    PACKING_STAGED_ORACLES for round 12's graded-window swap;
-    pack_groups keeps oracle=None until then. The differential runs
-    the SAME staged SQL object every sweep resolves via graded_oracle,
-    so the statement graded at promotion is the one proven here."""
-    from twitch_stream_data_pipeline_spark.plans.catalog import (
-        CATALOG,
-        PACKING_STAGED_ORACLES,
-    )
+    PACKING_STAGED_ORACLES rounds 10-11, PROMOTED into the
+    registration as round 12's graded-window swap (VERDICT r11
+    next-round #1); the differential keeps running the registration's
+    oracle — the same statement every sweep resolved pre-promotion —
+    so the SQL the driver grades is the SQL proven here."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import CATALOG
 
     from .conftest import SF_SMOKE
 
+    oracle = CATALOG["pack_groups"].oracle
+    assert oracle is not None  # promoted in round 12
     got = [
         tuple(r) for r in CATALOG["pack_groups"].fn(spark, SF_SMOKE).collect()
     ]
-    want = duck.execute(PACKING_STAGED_ORACLES["pack_groups"]).fetchall()
+    want = duck.execute(oracle).fetchall()
     assert len(got) == len(want) > 0
     assert got == [tuple(r) for r in want]  # integer-exact

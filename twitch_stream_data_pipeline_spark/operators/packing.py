@@ -87,10 +87,11 @@ def pack_oracle_sql(
     weight). Output: ``(group_id, n_keys, total_weight)`` in group-
     creation order, the ``pack_groups`` catalog shape.
 
-    Registered-catalog status: STAGED (``pack_groups`` keeps
-    ``oracle=None``) — differentially pinned in
-    tests/test_operators.py, queued for a later round's single
-    graded-window swap per the window-discipline gate."""
+    Registered-catalog status: PROMOTED — the ``pack_groups``
+    registration carries this oracle since round 12's single
+    graded-window swap (staged rounds 10-11 in
+    ``PACKING_STAGED_ORACLES``, differentially pinned in
+    tests/test_operators.py and sweep-resolved throughout)."""
     return f"""
     WITH RECURSIVE items AS MATERIALIZED (
       SELECT k, w, row_number() OVER (ORDER BY w DESC, k) AS rnk

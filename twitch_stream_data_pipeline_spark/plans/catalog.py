@@ -210,49 +210,52 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "lsh_index_probe",
     "dedup_ingest",
     "embedding_ingest",
-    # -- 2. retained in-window (8 as of r11): three round-5/6 retainees
+    # -- 2. retained in-window (8 as of r12): two round-6 retainees
     #    holding for consecutive grades, the round-7 swap-in
-    #    ivfpq_index_exact (four greens r07-r10), the round-8 swap-in
-    #    kmeans_assign_exact (three greens r08-r10), the round-9
-    #    swap-in pagerank_copresence (two greens r09/r10), the
-    #    round-10 swap-in stream_window_counts (ONE green as of r10 —
-    #    must stay for its second consecutive grade per the
-    #    window-stability rule), and the one ROUND-11 swap-in
-    #    dash_hours_by_category (VERDICT r10 next-round #1: the
-    #    reference's headline QuickSight query, README.md:6-9 — its
-    #    staged DuckDB oracle promoted from DASHBOARD_STAGED_ORACLES
-    #    into the registration, the first driver-graded row of the
-    #    dashboard star-join tier. It takes the slot of
-    #    variant_topk_props, a retainee with FIVE green rounds
-    #    r06-r10, tied for the most evidence of the section;
-    #    variant_topk_props moves to the head of section 3, still
+    #    ivfpq_index_exact (five greens r07-r11), the round-8 swap-in
+    #    kmeans_assign_exact (four greens r08-r11), the round-9
+    #    swap-in pagerank_copresence (three greens r09-r11), the
+    #    round-10 swap-in stream_window_counts (two greens r10/r11),
+    #    the round-11 swap-in dash_hours_by_category (ONE green as of
+    #    r11 — must stay for its second consecutive grade per the
+    #    window-stability rule), and the one ROUND-12 swap-in
+    #    pack_groups (VERDICT r11 next-round #1: A4, the only SURVEY
+    #    §2 operator with no driver-graded row through eleven rounds —
+    #    its RECURSIVE-CTE first-fit-decreasing oracle promoted from
+    #    PACKING_STAGED_ORACLES into the registration, closing §2
+    #    driver coverage entirely. It takes the slot of
+    #    stratified_sample, a retainee with SIX green rounds r06-r11,
+    #    tied for the most evidence of the section;
+    #    stratified_sample moves to the head of section 3, still
     #    pytest-oracle-covered every session).
     #
     #    PROMOTION QUEUE for later rounds' single swaps (each already
-    #    differentially pinned in pytest): round 12 takes pack_groups
-    #    (A4 — the ONLY SURVEY §2 operator with no driver-graded row
-    #    through round 10, VERDICT r10 next-round #5; RECURSIVE-CTE
-    #    oracle staged in operators/packing.py, differential in
-    #    tests/test_operators.py), then stream_session_windows
-    #    (STREAMING_STAGED_ORACLES), then the remaining dash_* pair,
-    #    then embedding_dim_check / value_finite_check /
-    #    embedding_finite_check (CONTRACT_STAGED_ORACLES), then
-    #    bpe_train_merges. Eligible slot donors, most-evidenced first:
-    #    stratified_sample / ivf_knn_exact / multimodal_decode (6
-    #    greens after r11), ivfpq_index_exact (5),
-    #    kmeans_assign_exact (4), pagerank_copresence (3).
+    #    differentially pinned in pytest and sweep-resolvable via
+    #    tests/conftest.graded_oracle): round 13 takes
+    #    dash_streamers_by_day (the second QuickSight tile,
+    #    DASHBOARD_STAGED_ORACLES, VERDICT r11 next-round #5), then
+    #    stream_session_windows (STREAMING_STAGED_ORACLES), then
+    #    dash_viewers_by_hour, then embedding_dim_check /
+    #    value_finite_check / embedding_finite_check
+    #    (CONTRACT_STAGED_ORACLES), then bpe_train_merges. Eligible
+    #    slot donors, most-evidenced first: ivf_knn_exact /
+    #    multimodal_decode (7 greens after r12), ivfpq_index_exact
+    #    (6), kmeans_assign_exact (5), pagerank_copresence (4),
+    #    stream_window_counts (3).
     "pagerank_copresence",
     "stream_window_counts",
     "dash_hours_by_category",
-    "stratified_sample",
+    "pack_groups",
     "ivf_knn_exact",
     "multimodal_decode",
     "ivfpq_index_exact",
     "kmeans_assign_exact",
     # ---------------- 50-query harness window ends here ----------------
-    # -- 3. rotated out in rounds 6-11 (each >= 2 green driver rounds;
+    # -- 3. rotated out in rounds 6-12 (each >= 2 green driver rounds;
     #    all remain covered every session by
-    #    tests/test_oracle_parity.py; variant_topk_props (5 rounds
+    #    tests/test_oracle_parity.py; stratified_sample (6 rounds
+    #    r06-r11) gave its slot to pack_groups in round 12;
+    #    variant_topk_props (5 rounds
     #    r06-r10) gave its slot to dash_hours_by_category in round 11;
     #    bpe_token_stats (5 rounds r05-r09) gave its to
     #    stream_window_counts in round 10; winnow_near_dup (4 rounds
@@ -262,6 +265,7 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     #    ivfpq_index_exact in round 7; curate_events (4),
     #    corpus_curation (3) and dedup_clusters (3) gave theirs to the
     #    round-6 index/ingest queries)
+    "stratified_sample",
     "variant_topk_props",
     "bpe_token_stats",
     "winnow_near_dup",
@@ -362,7 +366,6 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     "ivfpq_index_knn",
     "approx_distinct_users",
     "pca_project",
-    "pack_groups",
     # round 7 late additions (rows-only: iterative k-means and its
     # dependent sampler — the Lloyd loop's data-dependent round count
     # defeats the fixed-unroll oracle trick that promoted

@@ -576,36 +576,36 @@ def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(ev, ["event_type"], "user_id", buckets=32)
 
 
-#: Full DuckDB oracle for pack_groups, STAGED for promotion as round
-#: 12's single window swap (first in the section-2 promotion queue —
-#: A4 is the only SURVEY §2 operator with no driver-graded row through
-#: round 10). Built by operators.packing.pack_oracle_sql over the SAME
+#: The pack_groups DuckDB oracle — staged rounds 10-11 in
+#: PACKING_STAGED_ORACLES, PROMOTED into the registration below as
+#: round 12's single window swap (VERDICT r11 next-round #1: A4 was
+#: the only SURVEY §2 operator without a driver-graded row through
+#: round 11). Built by operators.packing.pack_oracle_sql over the SAME
 #: NULL-filtered weight aggregation the registration computes (the
 #: registration drops NULL user_ids — anonymous events carry no
 #: routable shard key — so the oracle must too, or any NULL-bearing
-#: sweep corpus diverges). Lives here, not only in the pytest
-#: differential, so tests/conftest.graded_oracle resolves it and every
-#: whole-catalog sweep poison-proves it BEFORE its swap round, exactly
-#: like the dashboard/streaming/contract staged tiers.
-PACKING_STAGED_ORACLES: dict[str, str] = {
-    "pack_groups": pack_oracle_sql(
-        "SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS w "
-        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
-    ),
-}
+#: sweep corpus diverges). The RECURSIVE CTE states first-fit-
+#: decreasing exactly (one linear-recursive row per item, group loads
+#: carried as a BIGINT[] column), so the statement graded by the
+#: driver is the one every sweep poison-proved pre-promotion.
+_PACK_GROUPS_ORACLE: str = pack_oracle_sql(
+    "SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS w "
+    "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
+)
+
+#: Emptied in round 12 when pack_groups' oracle moved into its
+#: registration (the tier's only staged entry). The dict survives so
+#: tests/conftest.graded_oracle's staged-tier resolution order stays
+#: uniform across tiers.
+PACKING_STAGED_ORACLES: dict[str, str] = {}
 
 
 @_register(
     "pack_groups",
-    None,  # greedy bin-packing is iterative/procedural. A full DuckDB
-    # oracle now EXISTS — PACKING_STAGED_ORACLES above states
-    # first-fit-decreasing as a genuine RECURSIVE CTE (one
-    # linear-recursive row per item, group loads carried as a BIGINT[]
-    # column), bit-exact, differentially pinned in
-    # tests/test_operators.py::test_pack_groups_matches_recursive_sql_oracle
-    # and resolved by every whole-catalog sweep via graded_oracle —
-    # but stays out of this registration until the entry takes its
-    # graded-window slot (queued as round 12's swap)
+    _PACK_GROUPS_ORACLE,  # staged rounds 10-11 (differential pinned
+    # every session in tests/test_operators.py, sweep-resolvable via
+    # graded_oracle), PROMOTED into the graded window as round 12's
+    # single swap (VERDICT r11 next-round #1)
     ("driver", "A4", "packing"),
     "Greedy weighted bin-packing (SURVEY.md A4, "
     "scripts/other/create_category_group_messages.py:57-80): pack per-user "
