@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Eight axes:
+configurations, then diff the sorted results. Ten axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -61,6 +61,17 @@ configurations, then diff the sorted results. Eight axes:
     ``spark.sql.execution.arrow.maxRecordsPerBatch=16`` — every
     pandas/arrow UDF sees reshaped batches; results must not depend
     on how rows happen to be batched.
+
+``legacy-nonansi``
+    ``spark.sql.ansi.enabled=false`` — the Spark 3.x evaluation regime
+    (silent overflow wrap, NULL on bad cast, NULL on x/0) production
+    clusters still run for compatibility. No catalog result may depend
+    on which regime evaluated it.
+
+``no-pushdown``
+    ``spark.sql.parquet.filterPushdown=false`` (+ aggregatePushdown) —
+    every predicate evaluates post-scan instead of inside the parquet
+    reader; both paths are reachable in production and must agree.
 
 Like the determinism sweep, each pass runs in its OWN SparkSession
 (stopped between passes) because these confs are session-creation
@@ -149,6 +160,32 @@ VARIANTS: dict[str, dict[str, str]] = {
     "sort-strategies": {
         "spark.sql.execution.useObjectHashAggregateExec": "false",
         "spark.sql.join.preferSortMergeJoin": "true",
+    },
+    # ANSI-mode independence (round 12): Spark 4 defaults
+    # spark.sql.ansi.enabled=true, but production clusters routinely
+    # run ansi=false for 3.x compatibility — a SEPARATE evaluation
+    # regime where overflow wraps silently, bad casts return NULL
+    # instead of raising, and x/0 is NULL. The catalog's contract is
+    # that no query depends on ANSI error behavior (TRY_CAST and
+    # explicit guards everywhere a malformed value is in-domain), so
+    # results must be bit-identical under both regimes; any divergence
+    # means an expression silently relies on ANSI raising (or on
+    # legacy wrapping) somewhere in its domain.
+    "legacy-nonansi": {
+        "spark.sql.ansi.enabled": "false",
+    },
+    # Scan-pushdown independence (round 12): with filterPushdown off,
+    # every predicate evaluates post-scan in the JVM instead of inside
+    # the parquet reader (row-group statistics, dictionary and bloom
+    # pruning). Pushdown is a separate predicate-evaluation
+    # implementation with its own storied bug class (NULL handling on
+    # nested fields, timestamp/decimal comparisons at row-group
+    # boundaries), and Spark disables it by itself for predicates it
+    # can't translate — both paths are reachable in production, so
+    # every graded result must be identical through either.
+    "no-pushdown": {
+        "spark.sql.parquet.filterPushdown": "false",
+        "spark.sql.parquet.aggregatePushdown": "false",
     },
 }
 

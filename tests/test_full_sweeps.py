@@ -15,7 +15,9 @@ independence (``tests/order_sweep.py``). Round 11 added the
 sub-hour-DST and row-based-parquet-reader config axes, round-salted
 the fuzz seeds, and added JVM-locale independence
 (``tests/locale_sweep.py`` — fresh subprocess per pass because the
-JVM default locale is below SparkSession).
+JVM default locale is below SparkSession). Round 12 added the
+legacy-nonansi and no-pushdown config axes and the JVM
+default-charset locale axis (``-Dfile.encoding=ISO-8859-1``).
 
 Opt-in (skipped without the env var) for two reasons: together the
 sweeps run every catalog query many times over (~25 min), and the
@@ -91,6 +93,8 @@ def test_config_sweep_whole_catalog(capsys):
     assert "queries identical under small-batches" in out
     assert "queries identical under row-reader" in out
     assert "queries identical under sort-strategies" in out
+    assert "queries identical under legacy-nonansi" in out
+    assert "queries identical under no-pushdown" in out
 
 
 def test_fuzz_sweep_whole_catalog(capsys):
@@ -119,10 +123,12 @@ def test_fuzz_sweep_whole_catalog(capsys):
 def test_locale_sweep_whole_catalog(capsys):
     """Every registered query must produce identical results when the
     JVM runs under a Turkish default locale (the dotted/dotless-i
-    casing trap + locale number formatting) — process-creation state
-    no SparkSession conf can vary, so each pass runs in a fresh
-    subprocess with JAVA_TOOL_OPTIONS. Proves the engine's
-    Locale.ROOT-only contract catalog-wide."""
+    casing trap + locale number formatting) or a non-UTF-8 default
+    charset (ISO-8859-1 — any getBytes()/new String(bytes) that forgot
+    an explicit charset) — process-creation state no SparkSession conf
+    can vary, so each pass runs in a fresh subprocess with
+    JAVA_TOOL_OPTIONS. Proves the engine's Locale.ROOT-only and
+    explicit-charset contracts catalog-wide."""
     from . import locale_sweep
 
     rc = locale_sweep.main()
@@ -130,6 +136,7 @@ def test_locale_sweep_whole_catalog(capsys):
     print(out)
     assert rc == 0, f"locale-dependent queries:\n{out}"
     assert "queries identical under tr-jvm" in out
+    assert "queries identical under latin1-jvm" in out
 
 
 def test_order_sweep_whole_catalog(capsys):
