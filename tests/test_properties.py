@@ -694,3 +694,50 @@ def test_unit_rows_zero_safe(rows):
             assert (U[i] == 0).all()
         else:
             assert abs(np.linalg.norm(U[i]) - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the promoted pack_groups oracle under adversarial weights.
+# The fixed corpora and the fuzz sweep exercise the RECURSIVE-CTE
+# first-fit-decreasing restatement on realistic distributions; this
+# property drives the SAME SQL against the Python packer on hostile
+# shapes the data never produces densely — all-equal weights (every
+# placement is a tie), single items exactly at / just over the cap,
+# zero weights, one-item and cap-1 corners. Pure DuckDB vs pure
+# Python: no Spark session involved, so the search is cheap and wide.
+# ---------------------------------------------------------------------------
+
+_pack_weights = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=24
+)
+
+
+@given(_pack_weights, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=30))
+@settings(max_examples=60, deadline=None)
+def test_pack_oracle_cte_equals_python_packer(weights, max_groups, cap):
+    import duckdb
+
+    from twitch_stream_data_pipeline_spark.operators.packing import (
+        pack_into_groups,
+        pack_oracle_sql,
+    )
+
+    items = [(f"k{i:02d}", w) for i, w in enumerate(weights)]
+    groups = pack_into_groups(items, max_groups=max_groups, cap=cap)
+    want = [
+        (gid, len(g), sum(w for k, w in items if k in set(g)))
+        for gid, g in enumerate(groups)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE w (k VARCHAR, wt BIGINT)"
+    )
+    con.executemany("INSERT INTO w VALUES (?, ?)", items)
+    sql = pack_oracle_sql(
+        "SELECT k, wt AS w FROM w",
+        max_groups=max_groups,
+        cap_sql=str(cap),
+    )
+    got = con.execute(sql).fetchall()
+    assert [tuple(r) for r in got] == want, (weights, max_groups, cap)
