@@ -791,3 +791,16 @@ def test_contract_checks_fold_equals_component_locators(spark, probe_dir):
             )
         )
     assert fold == want
+
+
+def test_contract_checks_fuses_the_embedding_scans(spark):
+    """100 TB shape pin for the fold: the two embedding contracts must
+    derive from the ONE checkpointed (dim, vector_class) cell table —
+    the final plan may scan events (once) but must NOT scan
+    embeddings.parquet at all (both derivations read the materialized
+    cells; without the localCheckpoint cap the lineage would appear
+    twice and the battery would pay two full embedding passes)."""
+    df = CATALOG["contract_checks"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("embeddings.parquet") == 0, plan
+    assert plan.count("events.parquet") == 1, plan

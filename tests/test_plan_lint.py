@@ -89,7 +89,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "skew_report_lang": "cumulative share over the per-language aggregate (|langs| rows)",
     "pareto_abc": "cumulative revenue share over the per-brand aggregate (|brands| rows)",
     "embedding_dim_check": "modal-dim first() over the per-dimension histogram (|distinct dims| rows, corpus-bounded)",
-    "contract_checks": "the fold reuses embedding_dim_check's plan verbatim — same modal-dim first() over the histogram",
+    "contract_checks": "same modal-dim first() as embedding_dim_check, over the per-dim histogram derived from the fused (dims x classes) cell table",
 }
 
 

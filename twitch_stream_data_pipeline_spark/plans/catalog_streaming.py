@@ -491,35 +491,79 @@ CONTRACT_STAGED_ORACLES["contract_checks"] = f"""
     "r11 #8): embedding_dim_check + value_finite_check + "
     "embedding_finite_check union-mapped into long format (contract, "
     "key, status, n, first_id) — a lake runs the whole promote-boundary "
-    "gate battery as one job (three bounded scans, one result), and "
-    "one graded-window swap covers all three contracts. Each component "
-    "IS the registered locator's plan (the q_ functions are reused, "
-    "never re-derived), so fold==components by construction and the "
-    "individual locators stay registered for targeted runs.",
+    "gate battery as one job, and one graded-window swap covers all "
+    "three contracts. The two embedding contracts are FUSED into a "
+    "single scan: one per-row (dim, vector_class) projection, one "
+    "aggregation to a (dims x classes)-sized cell table "
+    "(localCheckpoint-capped so the lineage runs once), then both "
+    "histograms derive from the cells by algebra — at 100 TB the "
+    "battery costs one embeddings pass + one events pass instead of "
+    "three table scans. fold==components is NOT by construction here; "
+    "it is pinned row-for-row by "
+    "tests/test_boundary_probes.py::"
+    "test_contract_checks_fold_equals_component_locators.",
 )
 def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dim = q_embedding_dim_check(spark, sf_dir).select(
+    emb = _t(spark, sf_dir, "embeddings")
+    inf = float("inf")
+    has_null_elem = F.exists("embedding", lambda x: x.isNull())
+    nonfinite = F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))
+    )
+    vcls = (
+        F.when(F.col("embedding").isNull(), "null")
+        .when(has_null_elem, "null_element")
+        .when(nonfinite, "nonfinite")
+        .otherwise("finite")
+    )
+    # ONE embeddings scan -> the (dim, vector_class) cell table; both
+    # embedding contracts are algebra over these <= |dims| x 4 rows.
+    # Lazy localCheckpoint (the rfm_segments pattern) caps the lineage:
+    # the two derivations below must not re-execute the full scan.
+    cells = (
+        emb.select(
+            F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim"),
+            vcls.alias("vector_class"),
+            "vec_id",
+        )
+        .groupBy("dim", "vector_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("first_vec_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # embedding_dim_check: per-dim totals + modal flag (same desc-n /
+    # asc-dim tie-break as the component locator)
+    dim_hist = cells.groupBy("dim").agg(F.sum("n").alias("n_vectors"))
+    w = Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
+    dim = dim_hist.withColumn("modal", F.first("dim").over(w)).select(
         F.lit("embedding_dim").alias("contract"),
         F.col("dim").cast("string").alias("key"),
-        F.when(F.col("is_modal"), "modal")
+        F.when(F.col("dim") == F.col("modal"), "modal")
         .otherwise("nonmodal")
         .alias("status"),
         F.col("n_vectors").alias("n"),
         F.lit(None).cast("long").alias("first_id"),
     )
+    # embedding_finite_check: per-class totals + lowest offending id
+    ef = cells.groupBy("vector_class").agg(
+        F.sum("n").alias("n_vectors"),
+        F.min("first_vec_id").alias("first_vec_id"),
+    ).select(
+        F.lit("embedding_finite").alias("contract"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("vector_class").alias("status"),
+        F.col("n_vectors").alias("n"),
+        F.col("first_vec_id").cast("long").alias("first_id"),
+    )
+    # value_finite_check: its own (single) events scan, plan reused
     vf = q_value_finite_check(spark, sf_dir).select(
         F.lit("value_finite").alias("contract"),
         F.col("event_type").alias("key"),
         F.col("value_class").alias("status"),
         F.col("n"),
         F.lit(None).cast("long").alias("first_id"),
-    )
-    ef = q_embedding_finite_check(spark, sf_dir).select(
-        F.lit("embedding_finite").alias("contract"),
-        F.lit(None).cast("string").alias("key"),
-        F.col("vector_class").alias("status"),
-        F.col("n_vectors").alias("n"),
-        F.col("first_vec_id").cast("long").alias("first_id"),
     )
     return (
         dim.unionByName(vf)
