@@ -308,6 +308,10 @@ def external_cpu_cores(window: float = 1.0) -> float:
     time.sleep(window)
     h1, s1 = _host_busy_jiffies(), _subtree_jiffies()
     hz = os.sysconf("SC_CLK_TCK")
+    # If one of our children EXITS mid-window its accumulated jiffies
+    # vanish from the subtree sum (s1 - s0 goes negative), inflating
+    # the external estimate — the safe direction for a gate (a rare
+    # spurious wait, never a silently-loaded measurement).
     return max(0.0, ((h1 - h0) - (s1 - s0)) / hz / window)
 
 
