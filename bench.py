@@ -330,7 +330,11 @@ def wait_for_quiet_external_cpu(
     contended segment costs at most 2 extra minutes). If the budget
     runs out the segment is still measured but its gate reads
     "exhausted" — no silent loaded measurements. Returns
-    (external_cores_at_start, gate, attempts, threshold)."""
+    (external_cores_at_gate_exit, gate, attempts, threshold): the
+    cores value is the FINAL (post-wait) reading — the load the
+    segment actually measured under; how contended the host was
+    BEFORE the gate is carried by the attempts count (recorded as
+    split_segment_wait_attempts)."""
     ext_max = float(os.environ.get("SPARK_GRAFT_EXT_CPU_MAX", "1.0"))
     tries = int(os.environ.get("SPARK_GRAFT_EXT_CPU_TRIES", "6"))
     nap = float(os.environ.get("SPARK_GRAFT_EXT_CPU_SLEEP", "20"))
@@ -461,10 +465,15 @@ def main() -> None:
     # (budget exhausted) says so in split_segment_gates.
     split_ext_cpu: dict[str, float] = {}
     split_segment_gates: dict[str, str] = {}
+    split_segment_waits: dict[str, int] = {}
     for name, (build, probe) in _index_splits(sf_dir).items():
-        seg_ext, seg_gate, _seg_waits, _ = wait_for_quiet_external_cpu()
-        split_ext_cpu[name] = round(seg_ext, 2)
+        seg_ext, seg_gate, seg_waits, _ = wait_for_quiet_external_cpu()
+        split_ext_cpu[name] = round(seg_ext, 2)  # gate-exit reading
         split_segment_gates[name] = seg_gate
+        # waits>0 with gate=idle means "host was contended right
+        # before this segment and decayed" — adjudication needs that
+        # distinct from an instantly-quiet host (r11 ivf lesson)
+        split_segment_waits[name] = seg_waits
         split_loadavg[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         ctx = build(spark)
@@ -527,6 +536,7 @@ def main() -> None:
                 "split_loadavg": split_loadavg,
                 "split_ext_cpu_cores": split_ext_cpu,
                 "split_segment_gates": split_segment_gates,
+                "split_segment_wait_attempts": split_segment_waits,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "load_gate": load_gate,
                 "load_wait_attempts": load_waits,

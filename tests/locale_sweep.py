@@ -48,21 +48,42 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: (label, JAVA_TOOL_OPTIONS, took-effect check over the child's
-#: probes). The check runs in the PARENT so a silently-ignored knob
-#: fails the sweep instead of greenwashing it.
-VARIANTS: tuple[tuple[str, str, object], ...] = (
-    (
-        "tr-jvm",
-        "-Duser.language=tr -Duser.country=TR",
-        lambda probes: probes["jvm_locale"].startswith("tr"),
-    ),
-    (
-        "latin1-jvm",
-        "-Dfile.encoding=ISO-8859-1",
-        lambda probes: probes["jvm_charset"] == "ISO-8859-1",
-    ),
-)
+def _variants(base_probes: dict) -> list[tuple[str, str, dict, object]]:
+    """(label, JAVA_TOOL_OPTIONS, extra env, took-effect check) per
+    axis. The check runs in the PARENT so a silently-ignored knob
+    fails the sweep instead of greenwashing it.
+
+    The charset axis ("latin1-jvm" — the label means "non-UTF-8
+    default charset", kept stable for the sweep wrapper) branches on
+    the BASE child's JVM feature version: JDK <=17 honors
+    ``-Dfile.encoding=ISO-8859-1`` directly, while JDK 18+ (JEP 400)
+    only honors UTF-8/COMPAT — there the COMPAT mode adopts
+    native.encoding, which ``LC_ALL=C`` pins to US-ASCII. Either way
+    the child must report a non-UTF-8 default charset or the sweep
+    fails as "knob ignored"."""
+    if base_probes["jvm_major"] >= 18:
+        charset = (
+            "latin1-jvm",
+            "-Dfile.encoding=COMPAT",
+            {"LC_ALL": "C", "LANG": "C"},
+            lambda p: p["jvm_charset"] != "UTF-8",
+        )
+    else:
+        charset = (
+            "latin1-jvm",
+            "-Dfile.encoding=ISO-8859-1",
+            {},
+            lambda p: p["jvm_charset"] == "ISO-8859-1",
+        )
+    return [
+        (
+            "tr-jvm",
+            "-Duser.language=tr -Duser.country=TR",
+            {},
+            lambda p: p["jvm_locale"].startswith("tr"),
+        ),
+        charset,
+    ]
 
 
 def child(out_path: str, sf: str) -> None:
@@ -72,11 +93,11 @@ def child(out_path: str, sf: str) -> None:
     spark = get_spark("locale-sweep", cpus=8, shuffle_partitions=8)
     # prove the knob took: the JVM's process defaults are what the
     # variant says, not whatever the parent ran under
+    jvm = spark._jvm  # noqa: SLF001
     probes = {
-        "jvm_locale": spark._jvm.java.util.Locale.getDefault().toString(),  # noqa: SLF001
-        "jvm_charset": (
-            spark._jvm.java.nio.charset.Charset.defaultCharset().name()  # noqa: SLF001
-        ),
+        "jvm_locale": jvm.java.util.Locale.getDefault().toString(),
+        "jvm_charset": jvm.java.nio.charset.Charset.defaultCharset().name(),
+        "jvm_major": jvm.java.lang.Runtime.version().feature(),
     }
     snap = collect_catalog_snapshot(spark, sf)
     with open(out_path, "wb") as f:
@@ -90,11 +111,11 @@ def main() -> int:
         sf = sys.argv[sys.argv.index("--sf") + 1]
 
     results = {}
-    passes = [("base", None)] + [(lb, opts) for lb, opts, _ in VARIANTS]
     with tempfile.TemporaryDirectory(prefix="locale_sweep_") as d:
-        for label, tool_opts in passes:
+
+        def run_pass(label: str, tool_opts: str | None, extra_env: dict):
             out = os.path.join(d, f"{label}.pkl")
-            env = {**os.environ}
+            env = {**os.environ, **extra_env}
             # the base pass must NOT inherit JAVA_TOOL_OPTIONS from the
             # caller's environment; variants fully replace it
             env.pop("JAVA_TOOL_OPTIONS", None)
@@ -109,19 +130,31 @@ def main() -> int:
             )
             if proc.returncode != 0:
                 print(f"child {label} failed:\n{proc.stderr[-2000:]}")
-                return 1
+                return None
             with open(out, "rb") as f:
-                results[label] = pickle.load(f)
+                return pickle.load(f)
+
+        results["base"] = run_pass("base", None, {})
+        if results["base"] is None:
+            return 1
+        # the charset mechanism depends on the base child's JDK
+        # feature version (JEP 400), so variants are chosen AFTER the
+        # base probe
+        variants = _variants(results["base"])
+        for label, tool_opts, extra_env, _took in variants:
+            results[label] = run_pass(label, tool_opts, extra_env)
+            if results[label] is None:
+                return 1
 
     base = results["base"]["snap"]
     rc = 0
-    for label, _opts, took in VARIANTS:
+    for label, _opts, _env, took in variants:
         res = results[label]
         if not took(res):
             print(
                 f"variant {label} did not take "
-                f"(locale={res['jvm_locale']!r} charset={res['jvm_charset']!r}); "
-                "JAVA_TOOL_OPTIONS was ignored"
+                f"(locale={res['jvm_locale']!r} charset={res['jvm_charset']!r} "
+                f"jdk={res['jvm_major']}); JAVA_TOOL_OPTIONS was ignored"
             )
             return 1
         var = res["snap"]

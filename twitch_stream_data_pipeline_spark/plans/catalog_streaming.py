@@ -307,6 +307,42 @@ CONTRACT_STAGED_ORACLES: dict[str, str] = {
 }
 
 
+def _embedding_dim_col():
+    """The dim key both the locator and the fold group by: NULL
+    embeddings report dim -1 — an explicit group instead of a NULL dim
+    key, so the modal tie-break is engine-identical (Spark sorts NULLS
+    FIRST in asc, DuckDB NULLS LAST) and is_modal can never be NULL on
+    exactly the defective corpora the gate locates."""
+    return F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim")
+
+
+def _modal_dim_window():
+    """Modal-dim tie-break shared by the locator and the fold: highest
+    count wins, ties to the SMALLER dim."""
+    return Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
+
+
+def _vector_class_col():
+    """The vector classification CASE shared by embedding_finite_check
+    and the contract_checks fold — single-sourced so a predicate fix
+    propagates to both (the SQL side is equally single-sourced through
+    the staged-oracle composition). Class order matters: null elements
+    are classified before the finiteness scan so three-valued logic
+    never reaches the isnan/isfinite lambda."""
+    inf = float("inf")
+    has_null_elem = F.exists("embedding", lambda x: x.isNull())
+    nonfinite = F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))
+    )
+    return (
+        F.when(F.col("embedding").isNull(), "null")
+        .when(has_null_elem, "null_element")
+        .when(nonfinite, "nonfinite")
+        .otherwise("finite")
+        .alias("vector_class")
+    )
+
+
 @_register(
     "embedding_dim_check",
     None,  # full oracle STAGED in CONTRACT_STAGED_ORACLES (window
@@ -324,16 +360,11 @@ CONTRACT_STAGED_ORACLES: dict[str, str] = {
 )
 def q_embedding_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    # NULL embeddings report dim -1: an explicit group instead of a
-    # NULL dim key, so the modal tie-break is engine-identical (Spark
-    # sorts NULLS FIRST in asc, DuckDB NULLS LAST) and is_modal can
-    # never be NULL on exactly the defective corpora this gate locates
-    d = emb.groupBy(
-        F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim")
-    ).agg(F.count(F.lit(1)).alias("n_vectors"))
-    w = Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
+    d = emb.groupBy(_embedding_dim_col()).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
     return (
-        d.withColumn("modal", F.first("dim").over(w))
+        d.withColumn("modal", F.first("dim").over(_modal_dim_window()))
         .select(
             F.col("dim").cast("int").alias("dim"),
             "n_vectors",
@@ -395,26 +426,16 @@ def q_value_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this full-scan locator is the promote-boundary gate (fourth "
     "member of the contract family: epoch, embedding-dim, "
     "value-finite, embedding-finite). Reads the table raw (no probe): "
-    "the gate must run exactly when the contract is broken. Class "
-    "order in the CASE matters: null elements are classified before "
-    "the finiteness scan so three-valued logic never reaches the "
-    "isnan/isfinite lambda.",
+    "the gate must run exactly when the contract is broken. The "
+    "classification CASE is single-sourced in _vector_class_col "
+    "(shared with the contract_checks fold); class order matters — "
+    "null elements are classified before the finiteness scan so "
+    "three-valued logic never reaches the isnan/isfinite lambda.",
 )
 def q_embedding_finite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    inf = float("inf")
-    has_null_elem = F.exists("embedding", lambda x: x.isNull())
-    nonfinite = F.exists(
-        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))
-    )
-    cls = (
-        F.when(F.col("embedding").isNull(), "null")
-        .when(has_null_elem, "null_element")
-        .when(nonfinite, "nonfinite")
-        .otherwise("finite")
-    )
     return (
-        emb.groupBy(cls.alias("vector_class"))
+        emb.groupBy(_vector_class_col())
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.min("vec_id").alias("first_vec_id"),
@@ -505,27 +526,16 @@ CONTRACT_STAGED_ORACLES["contract_checks"] = f"""
 )
 def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    inf = float("inf")
-    has_null_elem = F.exists("embedding", lambda x: x.isNull())
-    nonfinite = F.exists(
-        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(inf))
-    )
-    vcls = (
-        F.when(F.col("embedding").isNull(), "null")
-        .when(has_null_elem, "null_element")
-        .when(nonfinite, "nonfinite")
-        .otherwise("finite")
-    )
     # ONE embeddings scan -> the (dim, vector_class) cell table; both
     # embedding contracts are algebra over these <= |dims| x 4 rows.
-    # Lazy localCheckpoint (the rfm_segments pattern) caps the lineage:
-    # the two derivations below must not re-execute the full scan.
+    # The dim key and the classification CASE are the SAME expression
+    # objects the component locators group by (_embedding_dim_col /
+    # _vector_class_col), so a predicate fix propagates to fold and
+    # components alike. Lazy localCheckpoint (the rfm_segments
+    # pattern) caps the lineage: the two derivations below must not
+    # re-execute the full scan.
     cells = (
-        emb.select(
-            F.coalesce(F.size("embedding"), F.lit(-1)).alias("dim"),
-            vcls.alias("vector_class"),
-            "vec_id",
-        )
+        emb.select(_embedding_dim_col(), _vector_class_col(), "vec_id")
         .groupBy("dim", "vector_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -533,11 +543,12 @@ def q_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    # embedding_dim_check: per-dim totals + modal flag (same desc-n /
-    # asc-dim tie-break as the component locator)
+    # embedding_dim_check: per-dim totals + modal flag (same shared
+    # desc-n / asc-dim tie-break window as the component locator)
     dim_hist = cells.groupBy("dim").agg(F.sum("n").alias("n_vectors"))
-    w = Window.orderBy(F.desc("n_vectors"), F.asc("dim"))
-    dim = dim_hist.withColumn("modal", F.first("dim").over(w)).select(
+    dim = dim_hist.withColumn(
+        "modal", F.first("dim").over(_modal_dim_window())
+    ).select(
         F.lit("embedding_dim").alias("contract"),
         F.col("dim").cast("string").alias("key"),
         F.when(F.col("dim") == F.col("modal"), "modal")
