@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Ten axes:
+configurations, then diff the sorted results. Eleven axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -72,6 +72,12 @@ configurations, then diff the sorted results. Ten axes:
     ``spark.sql.parquet.filterPushdown=false`` (+ aggregatePushdown) —
     every predicate evaluates post-scan instead of inside the parquet
     reader; both paths are reachable in production and must agree.
+
+``kryo``
+    ``spark.serializer=KryoSerializer`` — the near-universal
+    production tuning knob; broadcasts, cached blocks, and closure
+    state cross a different encoder. Results must not depend on which
+    serializer carried them.
 
 Like the determinism sweep, each pass runs in its OWN SparkSession
 (stopped between passes) because these confs are session-creation
@@ -186,6 +192,17 @@ VARIANTS: dict[str, dict[str, str]] = {
     "no-pushdown": {
         "spark.sql.parquet.filterPushdown": "false",
         "spark.sql.parquet.aggregatePushdown": "false",
+    },
+    # Serializer independence (round 12): KryoSerializer instead of
+    # the default JavaSerializer — a near-universal production tuning
+    # knob that changes how broadcast variables, cached blocks, and
+    # shuffled non-Tungsten objects are encoded. SQL row data rides
+    # Tungsten either way, but driver-built broadcasts (the dims,
+    # persisted model params) and any accidentally-serialized closure
+    # state cross Kryo here; results must not depend on which
+    # serializer carried them.
+    "kryo": {
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     },
 }
 

@@ -95,6 +95,7 @@ def test_config_sweep_whole_catalog(capsys):
     assert "queries identical under sort-strategies" in out
     assert "queries identical under legacy-nonansi" in out
     assert "queries identical under no-pushdown" in out
+    assert "queries identical under kryo" in out
 
 
 def test_fuzz_sweep_whole_catalog(capsys):
