@@ -11,6 +11,7 @@ the Postgres warehouse load (K3).
 
 from __future__ import annotations
 
+import os
 import threading
 from collections.abc import Sequence
 
@@ -504,14 +505,17 @@ def acquire_maintenance_lease(
     hook — so decommissioning a cadence means calling
     :func:`release_maintenance_lease` (or deleting the marker file,
     which every refusal message names). Acquisition is RACE-SAFE
-    (ADVICE r9): the marker is written with Hadoop's exclusive create
-    (``overwrite=false`` — atomic on HDFS and object stores;
-    best-effort on local disk, whose Hadoop create is itself
-    check-then-act), so two concurrent acquirers resolve to exactly
-    one winner; the loser re-reads (waiting out an in-flight token
-    write) and either tolerates its own token (a racing retry of the
-    same cadence) or raises; a create failure with NO marker present
-    propagates as itself, never as a bogus lease conflict."""
+    (ADVICE r9; local-disk gap closed in round 12 — VERDICT r11
+    "what's wrong" #2): on HDFS and object stores the marker is
+    written with Hadoop's exclusive create (``overwrite=false``,
+    atomic there); on the LOCAL filesystem — where Hadoop's exclusive
+    create is itself check-then-act — the marker is created with the
+    kernel's ``O_CREAT|O_EXCL``, which POSIX guarantees atomic. Either
+    way two concurrent acquirers resolve to exactly one winner; the
+    loser re-reads (waiting out an in-flight token write) and either
+    tolerates its own token (a racing retry of the same cadence) or
+    raises; a create failure with NO marker present propagates as
+    itself, never as a bogus lease conflict."""
     lease = _maintenance_lease_path(path)
 
     def refuse(holder):
@@ -521,31 +525,10 @@ def acquire_maintenance_lease(
             f"delete {lease}) before attaching a new cadence."
         )
 
-    current = read_maintenance_lease(spark, path)
-    if current is not None:
-        if current != owner:
-            refuse(current)
-        return  # idempotent re-acquire: the marker already says us
-    # ADVICE r9: read-then-create-with-overwrite let two DIFFERENT
-    # owners both pass the read and the second silently clobber the
-    # first. Create EXCLUSIVELY (overwrite=false): atomic on HDFS and
-    # object stores; on LOCAL disk Hadoop's exclusive create is itself
-    # check-then-act, so same-host serialization is best-effort there
-    # (pinned in tests/test_sinks.py). On "already exists", someone
-    # won the race since our read: re-read and compare, so exactly one
-    # acquirer proceeds.
-    hpath = spark._jvm.org.apache.hadoop.fs.Path
-    jlease = hpath(lease)
-    fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        out = fs.create(jlease, False)
-    except Exception:
+    def resolve_lost_race():
+        # someone created the marker since our pre-flight read:
+        # re-read and compare, so exactly one acquirer proceeds
         raced = read_maintenance_lease(spark, path)
-        if raced is None:
-            # no marker exists: the create failed for a NON-race
-            # reason (permissions, transient IO) — the real cause
-            # must propagate, not a bogus "leased by None" diagnosis
-            raise
         if raced == "":
             # the winner created the marker but its token write is
             # still in flight — bounded wait for the content
@@ -559,6 +542,54 @@ def acquire_maintenance_lease(
         if raced == owner:
             return  # lost the race to our own retry — still leased
         refuse(raced)
+
+    current = read_maintenance_lease(spark, path)
+    if current is not None:
+        if current != owner:
+            refuse(current)
+        return  # idempotent re-acquire: the marker already says us
+    # ADVICE r9: read-then-create-with-overwrite let two DIFFERENT
+    # owners both pass the read and the second silently clobber the
+    # first. Create EXCLUSIVELY instead, picking the primitive that is
+    # actually atomic on the marker's filesystem.
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jlease = hpath(lease)
+    fs = jlease.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() == "file":
+        # LOCAL disk: Hadoop's create(overwrite=false) is exists()-
+        # then-create and can double-admit under a true concurrent
+        # race. The kernel's O_EXCL is the atomic primitive here.
+        local = jlease.toUri().getPath()
+        parent = os.path.dirname(local)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        try:
+            fd = os.open(
+                local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+            )
+        except FileExistsError:
+            if read_maintenance_lease(spark, path) is None:
+                # the racing holder RELEASED between our open and this
+                # read — the path is unleased again; take it fresh
+                acquire_maintenance_lease(spark, path, owner)
+                return
+            resolve_lost_race()
+            return
+        try:
+            os.write(fd, owner.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return
+    try:
+        out = fs.create(jlease, False)
+    except Exception:
+        if read_maintenance_lease(spark, path) is None:
+            # no marker exists: the create failed for a NON-race
+            # reason (permissions, transient IO) — the real cause
+            # must propagate, not a bogus "leased by None" diagnosis
+            raise
+        resolve_lost_race()
+        return
     try:
         out.write(bytearray(owner.encode("utf-8")))
     finally:
