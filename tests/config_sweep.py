@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """One-off engine-config-independence sweep: run EVERY catalog query
 under the tuned default session AND under hostile-but-legal engine
-configurations, then diff the sorted results. Eleven axes:
+configurations, then diff the sorted results. Thirteen axes:
 
 ``interpreted``
     ``spark.sql.codegen.wholeStage=false`` +
@@ -78,6 +78,24 @@ configurations, then diff the sorted results. Eleven axes:
     production tuning knob; broadcasts, cached blocks, and closure
     state cross a different encoder. Results must not depend on which
     serializer carried them.
+
+``no-broadcast``
+    ``spark.sql.autoBroadcastJoinThreshold=-1`` — auto-broadcast OFF,
+    the standard ops mitigation for driver OOM on mis-estimated join
+    sides. Every join Catalyst would have broadcast on its own becomes
+    a shuffle join (explicit ``F.broadcast`` hints still broadcast),
+    feeding downstream aggregates in different row orders — a
+    join-physicalization class ``sort-strategies`` cannot reach
+    (that axis only re-picks AMONG shuffle joins).
+
+``cores``
+    ``spark.master=local[3]`` — a different executor-core count
+    changes ``sc.defaultParallelism``, the partition count of every
+    ``createDataFrame``/``parallelize``/``range`` without explicit
+    slices (the generator dims, every driver-built broadcast
+    relation). The determinism sweep varies SHUFFLE partitions;
+    this varies the INPUT parallelism of driver-originated data —
+    on a real cluster it is never the local default.
 
 Like the determinism sweep, each pass runs in its OWN SparkSession
 (stopped between passes) because these confs are session-creation
@@ -203,6 +221,34 @@ VARIANTS: dict[str, dict[str, str]] = {
     # serializer carried them.
     "kryo": {
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    },
+    # Join-physicalization independence (round 12): auto-broadcast
+    # disabled — the standard production mitigation when size
+    # estimates lie (a "small" side that isn't OOMs the driver).
+    # Joins that the baseline session auto-broadcasts (64 MB
+    # threshold) become shuffle joins, so their downstream aggregates
+    # consume rows in different orders; explicit F.broadcast hints
+    # (the dashboard/star dims) still broadcast, which is exactly the
+    # production contract — hinted plans are pinned, unhinted plans
+    # are Catalyst's to re-physicalize, and results must survive
+    # either choice. Distinct from sort-strategies, which only
+    # re-picks among SHUFFLE join implementations.
+    "no-broadcast": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    },
+    # Input-parallelism independence (round 12): a different core
+    # count changes sc.defaultParallelism and with it the slicing of
+    # every createDataFrame/parallelize/range without explicit
+    # numSlices — the generator dims, driver-built model relations,
+    # test fixtures. The determinism sweep varies shuffle partitions
+    # (7 vs 32); this varies how driver-originated data is SPLIT
+    # before the first shuffle, which on a real cluster is set by the
+    # cluster manager, never by the local default. spark.master is a
+    # builder option like any other conf, applied after the factory's
+    # .master() call, so the variant mechanism carries it; the
+    # took-effect check reads it back from spark.conf.
+    "cores": {
+        "spark.master": "local[3]",
     },
 }
 

@@ -16,7 +16,8 @@ sub-hour-DST and row-based-parquet-reader config axes, round-salted
 the fuzz seeds, and added JVM-locale independence
 (``tests/locale_sweep.py`` — fresh subprocess per pass because the
 JVM default locale is below SparkSession). Round 12 added the
-legacy-nonansi and no-pushdown config axes and the JVM
+legacy-nonansi, no-pushdown, kryo, no-broadcast (auto-broadcast off)
+and cores (local[3] defaultParallelism) config axes and the JVM
 default-charset locale axis (``-Dfile.encoding=ISO-8859-1``).
 
 Opt-in (skipped without the env var) for two reasons: together the
@@ -96,6 +97,8 @@ def test_config_sweep_whole_catalog(capsys):
     assert "queries identical under legacy-nonansi" in out
     assert "queries identical under no-pushdown" in out
     assert "queries identical under kryo" in out
+    assert "queries identical under no-broadcast" in out
+    assert "queries identical under cores" in out
 
 
 def test_fuzz_sweep_whole_catalog(capsys):
