@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""JVM process-default independence sweep (round 11, beyond the brief;
-round 12 adds the default-charset axis, VERDICT r11 next-round #7).
+"""Process-default independence sweep (round 11, beyond the brief;
+round 12 adds the default-charset axis — VERDICT r11 next-round #7 —
+and the Python hash-seed axis).
 
 The config sweep covers everything expressible as a SparkSession conf,
-but two pieces of JVM *process-creation* state are pinned by py4j at
-first launch — ``spark.stop()`` + a new session keeps the old JVM, so
-no in-process sweep can vary them:
+but some *process-creation* state is pinned before any conf applies —
+two JVM knobs fixed by py4j at first launch (``spark.stop()`` + a new
+session keeps the old JVM, so no in-process sweep can vary them) and
+one CPython knob fixed at interpreter start:
 
 - **default locale**: a cluster whose JVMs run under
   ``-Duser.language=tr`` applies Turkish casing rules to any
@@ -18,8 +20,17 @@ no in-process sweep can vary them:
   non-UTF-8 platform default — the charset twin of the tr_TR trap.
   Text fingerprints, byte-length arithmetic, and CSV/JSON edges must
   not move with it.
+- **Python hash seed** (``PYTHONHASHSEED``): CPython salts ``str``
+  hashing per process, so SET iteration order differs run-to-run —
+  and on a real cluster every executor's Python workers draw a
+  DIFFERENT seed unless the deployment pins one, so any pandas-UDF or
+  driver-side helper whose output order or float accumulation rides a
+  ``set``/frozenset iteration is partition-placement-dependent in
+  production. The axis pins the whole process tree (driver + JVM +
+  forked Python workers) to seed 0 and requires results identical to
+  the base pass's randomly-salted tree.
 
-The engine's contract is that results NEVER move with either knob —
+The engine's contract is that results NEVER move with any such knob —
 Spark's ``upper``/``lower``/casts are Locale.ROOT by design,
 UTF8String is encoding-independent, and the catalog uses no
 locale-sensitive formatting — but the contract deserves the same
@@ -83,6 +94,18 @@ def _variants(base_probes: dict) -> list[tuple[str, str, dict, object]]:
             lambda p: p["jvm_locale"].startswith("tr"),
         ),
         charset,
+        (
+            # no JAVA_TOOL_OPTIONS: this axis varies CPython, not the
+            # JVM. Seed 0 disables hash randomization entirely
+            # (sys.flags.hash_randomization == 0 — the one seed whose
+            # taking-effect is flag-observable), giving a tree whose
+            # set-iteration orders deterministically DIFFER from the
+            # base child's random salt.
+            "pyhashseed",
+            None,
+            {"PYTHONHASHSEED": "0"},
+            lambda p: p.get("py_hash_flag") == 0,
+        ),
     ]
 
 
@@ -98,6 +121,7 @@ def child(out_path: str, sf: str) -> None:
         "jvm_locale": jvm.java.util.Locale.getDefault().toString(),
         "jvm_charset": jvm.java.nio.charset.Charset.defaultCharset().name(),
         "jvm_major": jvm.java.lang.Runtime.version().feature(),
+        "py_hash_flag": sys.flags.hash_randomization,
     }
     snap = collect_catalog_snapshot(spark, sf)
     with open(out_path, "wb") as f:
@@ -115,10 +139,12 @@ def main() -> int:
 
         def run_pass(label: str, tool_opts: str | None, extra_env: dict):
             out = os.path.join(d, f"{label}.pkl")
-            env = {**os.environ, **extra_env}
-            # the base pass must NOT inherit JAVA_TOOL_OPTIONS from the
-            # caller's environment; variants fully replace it
+            env = dict(os.environ)
+            # the base pass must NOT inherit the swept knobs from the
+            # caller's environment; variants fully replace them
             env.pop("JAVA_TOOL_OPTIONS", None)
+            env.pop("PYTHONHASHSEED", None)
+            env.update(extra_env)
             if tool_opts:
                 env["JAVA_TOOL_OPTIONS"] = tool_opts
             proc = subprocess.run(

@@ -17,8 +17,9 @@ the fuzz seeds, and added JVM-locale independence
 (``tests/locale_sweep.py`` — fresh subprocess per pass because the
 JVM default locale is below SparkSession). Round 12 added the
 legacy-nonansi, no-pushdown, kryo, no-broadcast (auto-broadcast off)
-and cores (local[3] defaultParallelism) config axes and the JVM
-default-charset locale axis (``-Dfile.encoding=ISO-8859-1``).
+and cores (local[3] defaultParallelism) config axes, the JVM
+default-charset locale axis (``-Dfile.encoding=ISO-8859-1``), and the
+Python hash-seed axis (``PYTHONHASHSEED=0``).
 
 Opt-in (skipped without the env var) for two reasons: together the
 sweeps run every catalog query many times over (~25 min), and the
@@ -127,12 +128,14 @@ def test_fuzz_sweep_whole_catalog(capsys):
 def test_locale_sweep_whole_catalog(capsys):
     """Every registered query must produce identical results when the
     JVM runs under a Turkish default locale (the dotted/dotless-i
-    casing trap + locale number formatting) or a non-UTF-8 default
+    casing trap + locale number formatting), a non-UTF-8 default
     charset (ISO-8859-1 — any getBytes()/new String(bytes) that forgot
-    an explicit charset) — process-creation state no SparkSession conf
-    can vary, so each pass runs in a fresh subprocess with
-    JAVA_TOOL_OPTIONS. Proves the engine's Locale.ROOT-only and
-    explicit-charset contracts catalog-wide."""
+    an explicit charset), or a pinned Python hash seed (set-iteration
+    order differs per process salt — on a real cluster every
+    executor's Python workers draw a different one) — process-creation
+    state no SparkSession conf can vary, so each pass runs in a fresh
+    subprocess. Proves the engine's Locale.ROOT-only,
+    explicit-charset, and no-builtin-hash contracts catalog-wide."""
     from . import locale_sweep
 
     rc = locale_sweep.main()
@@ -141,6 +144,7 @@ def test_locale_sweep_whole_catalog(capsys):
     assert rc == 0, f"locale-dependent queries:\n{out}"
     assert "queries identical under tr-jvm" in out
     assert "queries identical under latin1-jvm" in out
+    assert "queries identical under pyhashseed" in out
 
 
 def test_order_sweep_whole_catalog(capsys):
