@@ -47,7 +47,13 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE, TABLES, make_duck_views, sweep_differential
+from .conftest import (
+    SF_SMOKE,
+    TABLES,
+    make_duck_views,
+    sweep_differential,
+    tail_sampled_out,
+)
 
 T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 
@@ -167,10 +173,17 @@ def null_poison_dir(spark, tmp_path_factory):
 
 
 def test_null_poison_whole_catalog(spark, null_poison_dir):
+    # round-salted >=5-green rotated-tail sampling (VERDICT r11 #9;
+    # rationale on tail_sampled_out in conftest); dropped names are
+    # printed, never silent, and SPARK_GRAFT_FULL_TAIL=1 restores full
+    sampled = tail_sampled_out()
+    if sampled:
+        print(f"tail-sampled out this round ({len(sampled)}): {sorted(sampled)}")
     con = make_duck_views(duckdb.connect(), null_poison_dir, glob_parts=True)
     failures = [
         f
         for name, q in sorted(CATALOG.items())
-        if (f := sweep_differential(spark, con, name, q, null_poison_dir))
+        if name not in sampled
+        and (f := sweep_differential(spark, con, name, q, null_poison_dir))
     ]
     assert not failures, "\n".join(sorted(failures))

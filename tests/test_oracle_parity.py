@@ -11,7 +11,13 @@ import pytest
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE, normalize_rows
+from .conftest import (
+    SF_SMOKE,
+    TAIL_KEEP_1_IN,
+    TAIL_SAMPLE_ENV,
+    normalize_rows,
+    tail_sampled_out,
+)
 
 #: canonical name many sibling modules import; the implementation now
 #: lives in conftest so every differential (parity, dashboards,
@@ -37,8 +43,20 @@ EMPTY_OK = {
 }
 
 
+#: round-salted >=5-green rotated-tail sampling (VERDICT r11 #9; full
+#: rationale on the helper in conftest). Skips are EXPLICIT pytest
+#: skips naming the override flag — never a silent drop.
+TAIL_SAMPLED_OUT = tail_sampled_out()
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
+    if name in TAIL_SAMPLED_OUT:
+        pytest.skip(
+            f">=5-green rotated-tail query sampled out this round "
+            f"(re-runs in full within {TAIL_KEEP_1_IN} rounds; "
+            f"{TAIL_SAMPLE_ENV}=1 runs the full set now)"
+        )
     q = CATALOG[name]
     sdf = q.fn(spark, SF_SMOKE)
     spark_rows = [tuple(r) for r in sdf.collect()]

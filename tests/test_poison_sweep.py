@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE, TABLES, make_duck_views, sweep_differential
+from .conftest import (
+    SF_SMOKE,
+    TABLES,
+    make_duck_views,
+    sweep_differential,
+    tail_sampled_out,
+)
 
 T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
 
@@ -236,10 +242,17 @@ def test_all_empty_corpus_document_queries(spark, all_empty_docs_dir):
 
 
 def test_poison_sweep_whole_catalog(spark, poison_dir):
+    # round-salted >=5-green rotated-tail sampling (VERDICT r11 #9;
+    # rationale on tail_sampled_out in conftest); dropped names are
+    # printed, never silent, and SPARK_GRAFT_FULL_TAIL=1 restores full
+    sampled = tail_sampled_out()
+    if sampled:
+        print(f"tail-sampled out this round ({len(sampled)}): {sorted(sampled)}")
     con = make_duck_views(duckdb.connect(), poison_dir, glob_parts=True)
     failures = [
         f
         for name, q in sorted(CATALOG.items())
-        if (f := sweep_differential(spark, con, name, q, poison_dir))
+        if name not in sampled
+        and (f := sweep_differential(spark, con, name, q, poison_dir))
     ]
     assert not failures, "\n".join(failures)

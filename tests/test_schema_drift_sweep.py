@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 
-from .conftest import SF_SMOKE, TABLES, make_duck_views, sweep_differential
+from .conftest import (
+    SF_SMOKE,
+    TABLES,
+    make_duck_views,
+    sweep_differential,
+    tail_sampled_out,
+)
 
 
 @pytest.fixture(scope="module")
@@ -45,11 +51,18 @@ def drift_dir(spark, tmp_path_factory):
 
 
 def test_schema_drift_whole_catalog(spark, drift_dir):
+    # round-salted >=5-green rotated-tail sampling (VERDICT r11 #9;
+    # rationale on tail_sampled_out in conftest); dropped names are
+    # printed, never silent, and SPARK_GRAFT_FULL_TAIL=1 restores full
+    sampled = tail_sampled_out()
+    if sampled:
+        print(f"tail-sampled out this round ({len(sampled)}): {sorted(sampled)}")
     con = make_duck_views(duckdb.connect(), drift_dir, glob_parts=True)
     failures = [
         f
         for name, q in sorted(CATALOG.items())
-        if (
+        if name not in sampled
+        and (
             f := sweep_differential(
                 spark, con, name, q, drift_dir, forbid_cols={"_drift_col"}
             )
