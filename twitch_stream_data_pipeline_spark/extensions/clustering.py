@@ -206,7 +206,18 @@ def kmeans_embeddings(
     duplicated id would make that choice partition-order-dependent.
     """
     spark = df.sparkSession
-    qdf = _quantized_rows(df, id_col, vec_col)
+    # Pin the quantized relation ONCE per invocation (eager
+    # localCheckpoint) before the loop: the init collect, every Lloyd
+    # round and the final assignment pass otherwise each re-execute
+    # the scan + quantize subtree — iters+2 full corpus decodes for
+    # one clustering call (r12 optimization, guide §5 caching /
+    # MLlib's persist-before-Lloyd). Per-call materialization, never
+    # shared across invocations: each call pins its own blocks, so a
+    # bench rep still computes from the parquet input. At scale this
+    # is the standard trade — one (rid, qv) materialization, k·d
+    # driver state, iters passes over stored blocks instead of
+    # iters re-reads + re-quantizations of the raw corpus.
+    qdf = _quantized_rows(df, id_col, vec_col).localCheckpoint(eager=True)
     cent_q = _lloyd(qdf, k, iters)
     if cent_q is None:
         return spark.createDataFrame(
@@ -302,20 +313,29 @@ def build_kmeans_model(
     """
     import pandas as pd
 
-    cent_q = _lloyd(_quantized_rows(df, id_col, vec_col), k, iters)
+    # pinned once per build, same rationale as kmeans_embeddings (the
+    # Lloyd loop otherwise re-decodes the corpus every round)
+    cent_q = _lloyd(
+        _quantized_rows(df, id_col, vec_col).localCheckpoint(eager=True),
+        k, iters,
+    )
     if cent_q is None:
         raise ValueError(
             "build_kmeans_model: input is empty — nothing to train on"
         )
-    df.sparkSession.createDataFrame(
+    from .model_io import write_small_parquet
+
+    write_small_parquet(
+        df.sparkSession,
+        f"{path}/_centroids",
         pd.DataFrame(
             {
                 "cluster": range(len(cent_q)),
                 "centroid_q": [row.tolist() for row in cent_q],
                 "scale": CENT_SCALE,
             }
-        )
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+        ),
+    )
 
 
 def assign_with_model(

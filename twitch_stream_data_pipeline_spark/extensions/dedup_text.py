@@ -210,6 +210,20 @@ def ngram_jaccard_pairs(
     sz = F.size("members")
     if max_shingle_df is not None:
         buckets = buckets.filter(sz <= max_shingle_df)
+    # Pin the capped bucket relation ONCE (lazy localCheckpoint, the
+    # bm25/nb-classifier pattern — per-invocation blocks, GC'd with the
+    # plan, so nothing leaks into the session the way the r01 persist()
+    # did): it has THREE consumers (sizes -> size_a, sizes -> size_b,
+    # inter), and without the pin each one re-executed the whole scan ->
+    # tokenize -> shingle-explode -> collect_list aggregation — the r12
+    # BEFORE plan shows that subtree three times (3 scans / 11
+    # exchanges; _after.txt: 1 scan). This IS the docstring's "at
+    # warehouse scale that recompute becomes a materialization between
+    # the shingle and pairing stages" — distinct-shingle-sized, the
+    # smallest relation in the pipeline. `shingle` itself is projected
+    # away first: no consumer reads it, and a checkpoint is an RDD
+    # boundary Catalyst cannot column-prune across.
+    buckets = buckets.select("members").localCheckpoint(eager=False)
     sizes = (
         buckets.select(F.explode("members").alias("doc_id"))
         .groupBy("doc_id")
@@ -620,7 +634,16 @@ def duplicate_span_stats(
             F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
         ),
     )
-    pos = tdf.select("doc_id", F.explode(grams).alias("gh"))
+    # Pin the position relation ONCE (lazy localCheckpoint): both
+    # consumers below (the gram document-frequency aggregate and the
+    # stats join) otherwise re-execute the tokenize + per-position
+    # md5 k-gram explode — the expensive stage of this operator (r12:
+    # 3 scans -> 1 in the plan). (doc_id, gh) is 16 bytes/position,
+    # the same bytes the gh-keyed shuffle moves anyway — the guide-§8
+    # "fingerprint once, decide on small rows" economics.
+    pos = tdf.select("doc_id", F.explode(grams).alias("gh")).localCheckpoint(
+        eager=False
+    )
     gram_df = (
         pos.select("gh", "doc_id")
         .distinct()
@@ -790,8 +813,11 @@ def build_lsh_index(
         mode="overwrite",
     )
     _write_lsh_ids(df, path, id_col, mode="overwrite")
-    spark = df.sparkSession
-    spark.createDataFrame(
+    from .model_io import write_small_parquet
+
+    write_small_parquet(
+        df.sparkSession,
+        f"{path}/_params",
         pd.DataFrame(
             [
                 {
@@ -801,8 +827,8 @@ def build_lsh_index(
                     "rows_per_band": rows_per_band,
                 }
             ]
-        )
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+        ),
+    )
 
 
 def _write_lsh_ids(df: DataFrame, path: str, id_col: str, mode: str) -> None:

@@ -92,3 +92,61 @@ def read_small_parquet(spark, path: str) -> list[dict]:
                 file=sys.stderr,
             )
     return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
+def _local_write_dir(path: str, default_fs: str = "file:///") -> str | None:
+    """The local directory a WRITE of ``path`` would land in — the
+    :func:`_local_dir` scheme logic without the exists() requirement
+    (the target of a first write does not exist yet). Else None."""
+    if path.startswith("file:"):
+        p = path[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" not in path and default_fs.startswith("file:"):
+        return path
+    return None
+
+
+def write_small_parquet(spark, path: str, pdf) -> None:
+    """Overwrite ``path`` with one parquet file holding ``pdf`` (a
+    pandas DataFrame) — the WRITE twin of :func:`read_small_parquet`.
+
+    The index layouts persist model-state-sized relations
+    (``_quantizer``, ``_codebooks``, ``_params``, ``_centroids``) whose
+    rows already live on the driver; routing them through
+    ``spark.createDataFrame(...).coalesce(1).write`` pays a full Spark
+    job launch (~100-300ms in local mode) to move a few kilobytes the
+    driver is holding anyway. For local filesystem paths this writes
+    the file directly with pyarrow (sub-millisecond, identical parquet
+    physical types: pandas int64 -> INT64, list-of-float -> repeated
+    DOUBLE — the same logical schema the Spark route produced, so every
+    existing reader, pyarrow or Spark, is unaffected); any other scheme
+    (hdfs://, s3a://...) falls back to the Spark writer, which speaks
+    every configured filesystem. Data-sized relations are never written
+    this way — they stay distributed writes.
+    """
+    local = _local_write_dir(path, _default_fs(spark))
+    if local is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:
+            pa = None  # pyspark does not hard-require pyarrow
+        if pa is not None:
+            import shutil
+
+            # Spark's mode("overwrite") semantics: replace the relation
+            shutil.rmtree(local, ignore_errors=True)
+            os.makedirs(local, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(local, "part-00000.parquet"),
+            )
+            return
+    (
+        spark.createDataFrame(pdf)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

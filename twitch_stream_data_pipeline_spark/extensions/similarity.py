@@ -287,6 +287,26 @@ def _unit_rows(X):
     return X / np.where(n == 0, 1.0, n)
 
 
+def _collect_train_sample(
+    candidates: DataFrame, train_size: int, id_col: str, vec_col: str
+):
+    """The shared quantizer/codebook training sample: first
+    ``train_size`` candidates by id (TakeOrdered — no full sort), as a
+    float64 matrix of the quantized vectors. One collect, reusable by
+    BOTH driver-side trainers — build_ivfpq_index used to run this
+    identical job twice (r12 optimization, guide §1.2 'don't compute
+    things you throw away')."""
+    import numpy as np
+
+    train = (
+        candidates.orderBy(id_col)
+        .limit(train_size)
+        .select(quantized_embedding(F.col(vec_col)).alias("v"))
+        .collect()  # intentionally driver-side: bounded training sample
+    )
+    return np.array([r["v"] for r in train], dtype=np.float64)
+
+
 def _train_coarse_quantizer(
     candidates: DataFrame,
     n_cells: int,
@@ -294,20 +314,22 @@ def _train_coarse_quantizer(
     iters: int,
     id_col: str,
     vec_col: str,
+    sample=None,
 ):
     """Deterministic spherical k-means coarse quantizer (driver-side
     numpy over a bounded sample — model-state-sized). First
     ``train_size`` candidates by id, fixed init, fixed ``iters`` Lloyd
-    rounds: centroids are bit-reproducible for a given input."""
+    rounds: centroids are bit-reproducible for a given input.
+    ``sample`` short-circuits the collect with a matrix a caller
+    already holds (:func:`_collect_train_sample`) — identical numerics,
+    one fewer job."""
     import numpy as np
 
-    train = (
-        candidates.orderBy(id_col)
-        .limit(train_size)
-        .select(quantized_embedding(F.col(vec_col)).alias("v"))
-        .collect()  # intentionally driver-side: quantizer training sample
+    X = (
+        sample
+        if sample is not None
+        else _collect_train_sample(candidates, train_size, id_col, vec_col)
     )
-    X = np.array([r["v"] for r in train], dtype=np.float64)
     if X.size == 0:
         return X.reshape(0, 0)
     X = _unit_rows(X)
@@ -446,6 +468,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     train_size: int = 256,
     iters: int = 5,
+    quantizer=None,
 ) -> None:
     """Materialize the TRUE inverted file: candidates written as a
     ``cell``-partitioned parquet layout, centroids persisted beside it.
@@ -463,11 +486,19 @@ def build_ivf_index(
     FAISS precedent: IVF-Flat's cell lists, re-expressed as
     partitioned parquet + partition pruning instead of a custom file
     format.
+
+    ``quantizer`` lets a caller that already trained the centroids
+    (via :func:`_train_coarse_quantizer` on its own
+    :func:`_collect_train_sample`) skip the training job here — the
+    matrix passed MUST be the one this function would have trained
+    (same sample contract), and it is still persisted at
+    ``{path}/_quantizer`` unchanged, so probes reload the exact layout
+    model either way.
     """
-    import numpy as np
     import pandas as pd
 
     from ..sinks import write_partitioned
+    from .model_io import write_small_parquet
 
     reserved = {"cell", "q_vec"} & set(candidates.columns)
     if reserved:
@@ -476,26 +507,49 @@ def build_ivf_index(
             f"{sorted(reserved)} — rename them (an index read back from "
             "disk includes 'cell'; drop it before rebuilding)"
         )
-    cent = _train_coarse_quantizer(
-        candidates, n_cells, train_size, iters, id_col, vec_col
+    cent = (
+        quantizer
+        if quantizer is not None
+        else _train_coarse_quantizer(
+            candidates, n_cells, train_size, iters, id_col, vec_col
+        )
     )
     if len(cent) == 0:
         raise ValueError("build_ivf_index: candidates are empty — nothing "
                          "to train the quantizer on")
 
     write_partitioned(
-        _assign_cells(candidates, cent, vec_col), path, ["cell"],
-        mode="overwrite",
+        _cluster_write(_assign_cells(candidates, cent, vec_col)),
+        path, ["cell"], mode="overwrite",
     )
-    spark = candidates.sparkSession
-    spark.createDataFrame(
+    write_small_parquet(
+        candidates.sparkSession,
+        f"{path}/_quantizer",
         pd.DataFrame(
             {
                 "cell": range(len(cent)),
                 "centroid": [row.tolist() for row in cent],
             }
-        )
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_quantizer")
+        ),
+    )
+
+
+def _cluster_write(assigned: DataFrame) -> DataFrame:
+    """Cluster a cell-assigned relation by ``cell`` before its
+    partitioned write (r12 optimization, guide §6 file layout).
+    Without this, every upstream task emits a file into every cell
+    directory it touches — measured 318 files for 16 cells at
+    sf0.001 (tasks x cells fan-out) — so the build pays a
+    many-file commit and EVERY probe pays per-file open cost plus a
+    long driver listing. One hash exchange on the int32 cell key
+    (AQE-coalesced when small) lands each cell in one task: file
+    count per cell directory becomes ~1 locally and follows the
+    shuffle-partition / AQE advisory sizing at scale — exactly the
+    write.distribution-mode=hash recipe (guide §6); cell count grows
+    with corpus size (FAISS sizing), so write parallelism scales too,
+    and ``write_partitioned``'s ``max_records_per_file`` remains the
+    governor against oversized single-cell files."""
+    return assigned.repartition("cell")
 
 
 def _assign_cells(candidates: DataFrame, cent, vec_col: str) -> DataFrame:
@@ -554,8 +608,8 @@ def append_to_ivf_index(
         dtype=np.float64,
     )
     write_partitioned(
-        _assign_cells(new_candidates, cent, vec_col), path, ["cell"],
-        mode="append",
+        _cluster_write(_assign_cells(new_candidates, cent, vec_col)),
+        path, ["cell"], mode="append",
     )
 
 
@@ -867,22 +921,24 @@ def _train_pq_codebooks(
     iters: int,
     id_col: str,
     vec_col: str,
+    sample=None,
 ):
     """Deterministic per-subvector L2 k-means codebooks (driver-side
     numpy over a bounded sample — model-state-sized, ``m x n_codes x
     d/m`` doubles). Same training contract as the IVF coarse
     quantizer: first ``train_size`` candidates by id, vectors unit-
     normalized from their quantized-int form, fixed init (first
-    ``n_codes`` sample rows), fixed ``iters`` Lloyd rounds."""
+    ``n_codes`` sample rows), fixed ``iters`` Lloyd rounds.
+    ``sample`` short-circuits the collect with a matrix a caller
+    already holds (:func:`_collect_train_sample`) — identical numerics,
+    one fewer job."""
     import numpy as np
 
-    train = (
-        candidates.orderBy(id_col)
-        .limit(train_size)
-        .select(quantized_embedding(F.col(vec_col)).alias("v"))
-        .collect()  # intentionally driver-side: codebook training sample
+    X = (
+        sample
+        if sample is not None
+        else _collect_train_sample(candidates, train_size, id_col, vec_col)
     )
-    X = np.array([r["v"] for r in train], dtype=np.float64)
     if X.size == 0:
         return np.zeros((m, 0, 0))
     X = _unit_rows(X)
@@ -1505,34 +1561,41 @@ def build_ivfpq_index(
     import pandas as pd
 
     from ..sinks import write_partitioned
+    from .model_io import write_small_parquet
 
+    # ONE training-sample collect shared by both driver-side trainers
+    # (they are defined on the identical first-train_size-by-id sample;
+    # collecting it twice was a duplicated TakeOrdered job per build)
+    sample = _collect_train_sample(candidates, train_size, id_col, vec_col)
     cent = _train_coarse_quantizer(
-        candidates, n_cells, train_size, iters, id_col, vec_col
+        candidates, n_cells, train_size, iters, id_col, vec_col,
+        sample=sample,
     )
     if len(cent) == 0:
         raise ValueError("build_ivfpq_index: candidates are empty")
     books = _train_pq_codebooks(
-        candidates, m, n_codes, train_size, iters, id_col, vec_col
+        candidates, m, n_codes, train_size, iters, id_col, vec_col,
+        sample=sample,
     )
     write_partitioned(
-        _assign_encode(candidates, cent, books, id_col, vec_col),
+        _cluster_write(_assign_encode(candidates, cent, books, id_col, vec_col)),
         path, ["cell"], mode="overwrite",
     )
     spark = candidates.sparkSession
-    spark.createDataFrame(
+    write_small_parquet(
+        spark,
+        f"{path}/_quantizer",
         pd.DataFrame(
             {"cell": range(len(cent)), "centroid": [r.tolist() for r in cent]}
-        )
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_quantizer")
+        ),
+    )
     n_books, n_cent, dsub = books.shape
     rows = [
         {"book": j, "code": c, "centroid": books[j, c].tolist()}
         for j in range(n_books)
         for c in range(n_cent)
     ]
-    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/_codebooks")
+    write_small_parquet(spark, f"{path}/_codebooks", pd.DataFrame(rows))
 
 
 def _assign_encode(candidates, cent, books, id_col, vec_col):
@@ -1581,7 +1644,7 @@ def append_to_ivfpq_index(
     spark = new_candidates.sparkSession
     cent, books = _load_ivfpq_models(spark, path)
     write_partitioned(
-        _assign_encode(new_candidates, cent, books, id_col, vec_col),
+        _cluster_write(_assign_encode(new_candidates, cent, books, id_col, vec_col)),
         path, ["cell"], mode="append",
     )
 

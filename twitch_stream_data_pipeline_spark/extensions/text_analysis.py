@@ -150,7 +150,15 @@ def tfidf_top_terms(
     toks = df.select(
         "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # doc x term counts pinned ONCE (lazy localCheckpoint, same trade
+    # as unigram_logprob below): the df aggregate and the scoring join
+    # otherwise each re-tokenize the corpus (r12: 2 tokenize passes ->
+    # 1; the n_docs count keeps its own column-pruned scan).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
@@ -324,7 +332,15 @@ def unigram_logprob(
     toks = df.select(
         "doc_id", F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # doc x term counts pinned ONCE (lazy localCheckpoint, the bm25 /
+    # nb-classifier trade): the vocabulary aggregate and the scoring
+    # join below otherwise each re-tokenize the corpus (r12: 3 scans ->
+    # 1 in the plan). tf rows are a fraction of the raw text.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("t_total"))
     vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab

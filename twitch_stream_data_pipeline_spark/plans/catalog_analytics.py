@@ -2584,20 +2584,23 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 1000000 < keep_ppm
     """,
     ("pipeline", "dedup", "sampling", "ext", "llm"),
-    "End-to-end pretraining-data curation DAG, one declarative plan: "
-    "exact dedup (min-id survivor per md5 fingerprint) -> quality gate "
-    "(n_chars range) -> train/test split -> benchmark decontamination "
-    "(drop train docs sharing any 8-gram with the held-out split; "
-    "held shingles broadcast) -> sqrt-temperature language rebalance "
-    "-> epoch-0 shuffle key. Every stage is a previously-graded "
-    "operator; composing them keeps the whole pipeline inside ONE "
-    "Catalyst plan, so column pruning crosses stage boundaries: each "
-    "of the plan's scans reads ONLY its stage's columns (ReadSchema "
-    "shows doc_id+text for fingerprint/shingle stages, "
-    "doc_id+lang+n_chars where bodies are not needed) and no "
-    "intermediate layer is materialized to disk between stages — the "
-    "argument for an engine over a script chain that writes and "
-    "re-reads each hop. Deterministic end to end: md5 "
+    "End-to-end pretraining-data curation DAG, one declarative plan "
+    "per stage: exact dedup (min-id survivor per md5 fingerprint) -> "
+    "quality gate (n_chars range) -> train/test split -> benchmark "
+    "decontamination (drop train docs sharing any 8-gram with the "
+    "held-out split; held shingles broadcast) -> sqrt-temperature "
+    "language rebalance -> epoch-0 shuffle key. Every stage is a "
+    "previously-graded operator; composing them declaratively keeps "
+    "column pruning across stage boundaries (ReadSchema shows "
+    "doc_id+text for fingerprint/shingle stages, doc_id+lang+n_chars "
+    "where bodies are not needed), and no intermediate layer is "
+    "written to the lake between stages — the argument for an engine "
+    "over a script chain that writes and re-reads each hop. The one "
+    "materialization is the curated (doc_id, lang) survivor relation "
+    "(id-sized, lazily localCheckpoint-ed) so the rebalance census "
+    "and keep join share one execution of the curation pipeline "
+    "instead of re-running it per branch (r12: 15 scans/27 exchanges "
+    "-> 6 scans/10 exchanges). Deterministic end to end: md5 "
     "split/thinning/shuffle keys.",
 )
 def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2616,7 +2619,23 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = quality.filter(split == "train")
     held = docs.filter(split == "test")
     contaminated = decontaminate(train, held, n=8).select("doc_id")
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    # Materialize the curated survivor relation ONCE, narrowed to the
+    # (doc_id, lang) the rebalance + output actually consume (16-ish
+    # bytes/row — scale-safe to pin, unlike the text-carrying stages
+    # upstream, which stay unmaterialized single-plan scans): the
+    # temperature rebalance consumes `clean` in two branches (census +
+    # keep join) and without the pin each branch re-executed the WHOLE
+    # dedup -> quality -> decontaminate pipeline from the raw scans —
+    # measured 15 parquet scans / 27 exchanges in the r12 BEFORE plan,
+    # 6 scans / 10 exchanges after (plans/r12/pretrain_pipeline_*.txt;
+    # the rfm_segments / connected_components lazy-localCheckpoint
+    # rule, guide §2.4: one exchange-producing pipeline shared instead
+    # of re-run per consumer).
+    clean = (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
+    )
     mixed = temperature_sample(clean, source_col="lang")
     return mixed.select(
         "doc_id",

@@ -41,8 +41,45 @@ def _register(name: str, oracle: str | None, tags: tuple[str, ...], doc: str = "
     return deco
 
 
+#: Per-session memo of RESOLVED SCAN PLANS (DataFrames — lazy plans,
+#: never results or data) for the driver's static input tables, keyed
+#: by the live SparkSession (weakly — entries die with the session)
+#: then by path. Why (r12 optimization, guide §1.2 driver-side work):
+#: every `spark.read.parquet(path)` pays ~85-120ms of driver work
+#: (footer schema inference + file-index construction) and `_spread`'s
+#: partition probe another ~40ms — per CALL, uncached by Spark — so a
+#: bench pass over the catalog spent seconds re-resolving the same ten
+#: immutable files. Memoizing the resolved plan is exactly what a
+#: notebook user does by holding `df` in a variable; it caches METADATA
+#: (schema + listing), not computation — every action on the returned
+#: plan still reads the parquet from disk. Safe because the memo
+#: covers only the read-only driver testdata layout: the catalog never
+#: writes into an sf_dir, and every sweep/fixture builds a FRESH temp
+#: dir before querying it (same lifecycle argument as the
+#: _EMB_CONTRACT_OK / _EVENTS_CONTRACT_OK per-path memos below).
+#: Mutable relations (index layouts, sinks) are NEVER memoized here.
+from weakref import WeakKeyDictionary
+
+_SCAN_MEMO: "WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _scan_memo(spark: SparkSession, key: str, build):
+    per = _SCAN_MEMO.get(spark)
+    if per is None:
+        per = {}
+        _SCAN_MEMO[spark] = per
+    df = per.get(key)
+    if df is None:
+        df = build()
+        per[key] = df
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    return _scan_memo(spark, path, lambda: spark.read.parquet(path))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -64,7 +101,11 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table, spread across cores when the scan is narrow."""
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+    return _scan_memo(
+        spark,
+        f"docs-spread:{sf_dir}",
+        lambda: _spread(_t(spark, sf_dir, "documents"), "doc_id"),
+    )
 
 
 _EMB_CONTRACT_OK: set[str] = set()
@@ -128,9 +169,11 @@ def _check_embedding_dim_contract(path: str, emb: DataFrame) -> None:
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table, spread across cores when the scan is narrow."""
     path = f"{sf_dir}/embeddings.parquet"
-    emb = spark.read.parquet(path)
-    _check_embedding_dim_contract(path, emb)
-    return _spread(emb, "vec_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    _check_embedding_dim_contract(path, emb)  # per-path memo inside
+    return _scan_memo(
+        spark, f"emb-spread:{sf_dir}", lambda: _spread(emb, "vec_id")
+    )
 
 
 # Plausible-epoch bounds for the events data contract: decoded

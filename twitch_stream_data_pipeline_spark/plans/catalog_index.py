@@ -305,17 +305,33 @@ def q_ivf_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..extensions.similarity import build_ivf_index, ivf_index_knn
+    from ..extensions.similarity import (
+        _collect_train_sample,
+        _train_coarse_quantizer,
+        build_ivf_index,
+        ivf_index_knn,
+    )
 
     emb = _emb(spark, sf_dir)
-    if emb.head(1) == []:  # empty-input contract: nothing to index
+    # ONE bounded job both (a) trains the quantizer and (b) answers the
+    # empty-input contract — the former separate head(1) probe job and
+    # build-internal training job are folded into it (r12 optimization,
+    # guide §1.2: fewer driver actions per build). Identical numerics:
+    # the sample/trainer pair is exactly what build_ivf_index ran.
+    sample = _collect_train_sample(emb, 256, "vec_id", "embedding")
+    if sample.size == 0:  # empty-input contract: nothing to index
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     n_cells = 16
+    cent = _train_coarse_quantizer(
+        emb, n_cells, 256, 5, "vec_id", "embedding", sample=sample
+    )
     # unique scratch layout per invocation (orc_roundtrip contract)
     path = tempfile.mkdtemp(prefix="ivf_index_")
-    build_ivf_index(emb, path, n_cells=n_cells)
+    build_ivf_index(emb, path, n_cells=n_cells, quantizer=cent)
+    # the probe still RELOADS the persisted quantizer (the registration's
+    # documented property) — a pyarrow local read, not a Spark job
     return ivf_index_knn(
         spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=n_cells
     )
@@ -373,10 +389,19 @@ def q_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..extensions.similarity import build_ivf_index, embedding_ingest
 
+    from ..extensions.similarity import (
+        _collect_train_sample,
+        _train_coarse_quantizer,
+    )
+
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     batch = emb.filter(F.col("vec_id") < 10)
-    if corpus.head(1) == []:
+    # ONE bounded job trains the quantizer AND answers the empty-corpus
+    # contract (was: a separate head(1) probe job + the build-internal
+    # training job — r12 optimization, guide §1.2)
+    sample = _collect_train_sample(corpus, 256, "vec_id", "embedding")
+    if sample.size == 0:
         # empty-corpus contract: nothing to probe; the IN-BATCH gate
         # (lower-id vector within threshold) still decides keep
         from ..extensions.similarity import quantized_cosine
@@ -398,8 +423,11 @@ def q_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("nearest_cosine"),
             F.col("__dup").isNull().alias("keep"),
         )
+    cent = _train_coarse_quantizer(
+        corpus, 16, 256, 5, "vec_id", "embedding", sample=sample
+    )
     path = tempfile.mkdtemp(prefix="ivf_ingest_")
-    build_ivf_index(corpus, path, n_cells=16)
+    build_ivf_index(corpus, path, n_cells=16, quantizer=cent)
     return embedding_ingest(spark, path, batch, threshold=0.38)
 
 
