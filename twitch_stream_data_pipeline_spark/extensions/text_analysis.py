@@ -396,7 +396,15 @@ def boilerplate_ratio(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
         ).alias("gram"),
     )
-    gram_cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    # distinct-grams-per-doc pinned ONCE (lazy localCheckpoint, same
+    # trade as unigram_logprob / tfidf_top_terms): the df aggregate and
+    # the weights join otherwise each re-run tokenize + n-gram explode
+    # over the corpus (r12: 2 gram passes -> 1).
+    gram_cnt = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     gram_df = gram_cnt.groupBy("gram").agg(F.count("*").alias("df"))
     return (
         gram_cnt.join(gram_df, "gram")
