@@ -356,6 +356,27 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_foreign_endpoint_semantics(spark):
+    """Edge endpoints absent from ``vertices`` neither appear in the
+    output nor donate their ids (they never held a label row in the
+    pre-r12 corpus-sized loop; the r12 edge-touched loop's semi-join
+    seed pins the same rule). Edge (5, 3) with 3 outside the vertex
+    set must leave 5 in its own component, not relabel it 3."""
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(5, 3), (6, 7), (9, 8)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {5: 5, 6: 6, 7: 6}
+
+
 def test_mixture_sample_rates_and_stability(spark):
     from twitch_stream_data_pipeline_spark.extensions.sampling import mixture_sample
 

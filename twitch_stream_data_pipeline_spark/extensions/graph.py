@@ -46,8 +46,24 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     ).localCheckpoint(eager=True)
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    vids = vertices.select(F.col(id_col).alias("id"))
+    # Iterate over EDGE-TOUCHED vertices only (r12 optimization): a
+    # vertex with no incident edge has no neighbor row in any round,
+    # so its label can never change — looping it is pure cost. The old
+    # corpus-sized labels relation made every round two corpus-scale
+    # shuffles at 100 TB even when the near-dup edge set touches a
+    # tiny fraction of documents; now rounds are edge-vertex-sized and
+    # the corpus is touched exactly twice (the semi-join seed below
+    # and the singleton fill-in after convergence), independent of
+    # round count. The semi-join keeps semantics EXACT: an edge
+    # endpoint absent from `vertices` never held a label row in the
+    # old loop (it could neither adopt nor donate one through itself),
+    # and it gets none here.
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .join(vids, "id", "left_semi")
+        .select("id", F.col("id").alias("label"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
@@ -72,8 +88,11 @@ def connected_components(
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
-            return labels.select(
-                F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+            # singleton fill-in: every vertex outside the converged
+            # edge-touched relation is its own component
+            return vids.join(labels, "id", "left").select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
