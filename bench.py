@@ -2,9 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (the FINAL stdout line — the driver parses the
+last line of a ~2000-byte stdout tail, so it must be exactly one
+tail-sized object; see compact_record):
     {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: steady_sec, ...}, ...totals..., "sf": 0.1}
+The full verbose record (first-pass per-query map, split timings, load
+gates) is written to plans/bench_last_verbose.json (override with
+SPARK_GRAFT_BENCH_RECORD) and committed per round under plans/rNN/.
 """
 
 from __future__ import annotations
@@ -353,6 +358,31 @@ def wait_for_quiet_external_cpu(
     return ext, gate, waits, ext_max
 
 
+def compact_record(verbose: dict) -> str:
+    """The single final stdout line, derived from the verbose record:
+    contract keys (metric/value/unit/queries/sf) plus the cross-round
+    totals, compact-separated so 52 queries at 2 decimals stay well
+    under the driver's ~2000-byte stdout tail window. ``queries``
+    carries per-query steady-min seconds; ``value`` stays the
+    baseline-15 first-pass total (round-1 methodology)."""
+    steady = verbose["steady_queries"]
+    return json.dumps(
+        {
+            "metric": verbose["metric"],
+            "value": verbose["value"],
+            "unit": verbose["unit"],
+            "queries": {n: round(steady[n], 2) for n in HEADLINE},
+            "first_pass_total": verbose["value"],
+            "steady_total": verbose["steady_total"],
+            "extended_total": verbose["extended_total"],
+            "steady_extended_total": verbose["steady_extended_total"],
+            "load_gate": verbose["load_gate"],
+            "sf": verbose["sf"],
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -506,67 +536,75 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in BASELINE_HEADLINE), 4)
     extended_total = round(sum(timings[n] for n in EXTENDED), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended_total": extended_total,
-                "steady_total": round(sum(steady[n] for n in BASELINE_HEADLINE), 4),
-                "steady_extended_total": round(
-                    sum(steady[n] for n in EXTENDED), 4
-                ),
-                "steady_queries": steady,
-                "steady_median_total": round(
-                    sum(steady_median[n] for n in BASELINE_HEADLINE), 4
-                ),
-                "steady_median_extended_total": round(
-                    sum(steady_median[n] for n in EXTENDED), 4
-                ),
-                "steady_median_queries": steady_median,
-                "index_build_sec": build_sec,
-                "probe_queries": probe_first,
-                "steady_probe_queries": steady_probe,
-                "steady_median_probe_queries": steady_median_probe,
-                "split_load_gate": split_gate,
-                "split_load_wait_attempts": split_waits,
-                "split_loadavg_start": [round(x, 2) for x in split_load],
-                "split_loadavg": split_loadavg,
-                "split_ext_cpu_cores": split_ext_cpu,
-                "split_segment_gates": split_segment_gates,
-                "split_segment_wait_attempts": split_segment_waits,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "load_gate": load_gate,
-                "load_wait_attempts": load_waits,
-                "load_gate_max": load_max,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "sf": sf,
-            }
-        )
+    verbose = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extended_total": extended_total,
+        "steady_total": round(sum(steady[n] for n in BASELINE_HEADLINE), 4),
+        "steady_extended_total": round(sum(steady[n] for n in EXTENDED), 4),
+        "steady_queries": steady,
+        "steady_median_total": round(
+            sum(steady_median[n] for n in BASELINE_HEADLINE), 4
+        ),
+        "steady_median_extended_total": round(
+            sum(steady_median[n] for n in EXTENDED), 4
+        ),
+        "steady_median_queries": steady_median,
+        "index_build_sec": build_sec,
+        "probe_queries": probe_first,
+        "steady_probe_queries": steady_probe,
+        "steady_median_probe_queries": steady_median_probe,
+        "split_load_gate": split_gate,
+        "split_load_wait_attempts": split_waits,
+        "split_loadavg_start": [round(x, 2) for x in split_load],
+        "split_loadavg": split_loadavg,
+        "split_ext_cpu_cores": split_ext_cpu,
+        "split_segment_gates": split_segment_gates,
+        "split_segment_wait_attempts": split_segment_waits,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "load_gate": load_gate,
+        "load_wait_attempts": load_waits,
+        "load_gate_max": load_max,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "sf": sf,
+    }
+    # The driver keeps only the last ~2000 bytes of stdout and parses the
+    # LAST stdout line as the bench record. Round 12 printed the verbose
+    # record plus a compact trailer — the trailer had no per-query map,
+    # so the driver's per-query and scaling comparisons came back empty
+    # (VERDICT r12 "what's wrong" #1). Restore the ONE-line contract:
+    # the single final stdout line carries the contract keys
+    # (metric/value/unit/queries/sf) PLUS the cross-round totals, sized
+    # under the tail window (52 queries at 2 decimals ~= 1.5 KB).
+    # ``queries`` carries per-query STEADY-MIN seconds (2-decimal) — the
+    # noise-robust estimator VERDICT r12 mandated for the driver's
+    # per-query comparison; ``value`` stays the baseline-15 FIRST-PASS
+    # total (the round-1 17.83s methodology, unchanged since round 1).
+    # The full record — including the historical first-pass per-query
+    # map and every load/gate annotation — goes to a file (default
+    # plans/bench_last_verbose.json next to this script; override with
+    # SPARK_GRAFT_BENCH_RECORD) and is committed per round as
+    # plans/rNN/bench_*.json.
+    record_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_RECORD",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "plans",
+            "bench_last_verbose.json",
+        ),
     )
-    # The driver's BENCH capture keeps only the last ~2000 bytes of
-    # stdout, which truncates the HEAD of the full JSON line above —
-    # so the cross-round comparable (the baseline-15 first-pass total,
-    # the round-1 17.83s methodology) survived only in BENCHNOTES
-    # (VERDICT r10 "what's missing" #3). This trailing compact line is
-    # small enough to always land inside the tail window, making the
-    # driver record self-describing.
-    print(
-        json.dumps(
-            {
-                "baseline15_first_pass": total,
-                "baseline15_steady": round(
-                    sum(steady[n] for n in BASELINE_HEADLINE), 4
-                ),
-                "total_extended": extended_total,
-                "load_gate": load_gate,
-                "sf": sf,
-            }
-        )
-    )
+    try:
+        os.makedirs(os.path.dirname(record_path), exist_ok=True)
+        with open(record_path, "w") as fh:
+            json.dump(verbose, fh, indent=1)
+        print(f"# verbose record: {record_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: keep the record anyway
+        print(f"# verbose record write failed ({exc}):", file=sys.stderr)
+        print(json.dumps(verbose), file=sys.stderr)
+    print(compact_record(verbose))
     spark.stop()
 
 

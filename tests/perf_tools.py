@@ -45,7 +45,11 @@ def _names(args) -> list[str]:
 def cmd_explain(args) -> None:
     spark = get_spark("perf_explain")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in _names(args):
         try:

@@ -172,3 +172,34 @@ def test_subtree_jiffies_counts_own_children():
         p.join(timeout=5)
     hz = __import__("os").sysconf("SC_CLK_TCK")
     assert (after - before) / hz >= 0.2, (before, after)
+
+
+def test_compact_record_is_one_tail_sized_json_line():
+    """Driver contract (VERDICT r12 'what's wrong' #1): the bench must
+    print exactly ONE final JSON line, small enough to survive the
+    driver's ~2000-byte stdout tail, carrying the contract keys plus a
+    per-query map over every headline query."""
+    import json
+
+    import bench
+
+    verbose = {
+        "metric": "headline_queries_total",
+        "value": 123.45,
+        "unit": "sec",
+        "steady_queries": {n: 123.4567 for n in bench.HEADLINE},
+        "steady_total": 12.34,
+        "extended_total": 678.9,
+        "steady_extended_total": 67.89,
+        "load_gate": "exhausted",
+        "sf": 0.001,
+    }
+    line = bench.compact_record(verbose)
+    assert "\n" not in line
+    assert len(line) < 1900, f"{len(line)} bytes won't survive the tail"
+    rec = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in rec, key
+    assert set(rec["queries"]) == set(bench.HEADLINE)
+    assert rec["queries"]["pricing_summary"] == 123.46  # 2-decimal
+    assert rec["value"] == 123.45

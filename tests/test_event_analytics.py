@@ -717,6 +717,37 @@ def test_count_triangles_known_graphs(spark):
     assert tri([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]) == 2
 
 
+def test_count_triangles_scratch_dir_matches_lazy(spark, tmp_path):
+    """The r13 between-jobs arc materialization (scratch_dir) computes
+    exactly what the lazy form computes — on dense, sparse, and EMPTY
+    edge lists (a zero-row materialization must read back as a valid
+    empty scan, not fail schema inference)."""
+    import itertools
+    import random
+
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        count_triangles,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [
+            (a, b)
+            for a, b in itertools.combinations(range(14), 2)
+            if rng.random() < 0.45
+        ],
+        [(0, i) for i in range(1, 7)],  # star: 0 triangles
+        [],  # empty edge list
+    ]
+    for i, edges in enumerate(cases):
+        df = spark.createDataFrame(edges, "ea long, eb long")
+        want = count_triangles(df).collect()[0]["n_triangles"]
+        got = count_triangles(
+            df, scratch_dir=str(tmp_path / f"tri_{i}")
+        ).collect()[0]["n_triangles"]
+        assert got == want, (i, got, want)
+
+
 # ---------------------------------------------------------------------------
 # ntile_scalable (the rfm_segments two-phase quantile rank)
 # ---------------------------------------------------------------------------

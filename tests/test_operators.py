@@ -377,6 +377,31 @@ def test_connected_components_foreign_endpoint_semantics(spark):
     assert got == {5: 5, 6: 6, 7: 6}
 
 
+def test_connected_components_check_cadence_even_round_fixpoint(spark):
+    """The r13 every-2nd-round convergence check (VERDICT r12 #5) must
+    return identical labels when the fixpoint lands on an UNCHECKED
+    even round: a 3-path reaches 0 changes at round index 2, so a
+    tight ``max_iter=3`` exercises the always-check-last rule and a
+    loose one the detect-one-identity-round-later path; both must
+    match the default. A too-small bound must still raise."""
+    import pytest as _pytest
+
+    from twitch_stream_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    for mi in (3, 4, 20):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(vertices, edges, max_iter=mi).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}, mi
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iter=1).collect()
+
+
 def test_mixture_sample_rates_and_stability(spark):
     from twitch_stream_data_pipeline_spark.extensions.sampling import mixture_sample
 
@@ -1027,6 +1052,32 @@ def test_embedding_ingest_gate_and_append(spark, tmp_path):
     for vid, full in d0.items():
         if not d_approx[vid]["keep"]:
             assert not full["keep"]
+
+
+def test_dedup_ingest_catalog_empty_corpus_single_path(spark, tmp_path):
+    """r13 removed q_dedup_ingest's `corpus.head(1)` emptiness branch
+    (one executeTake job per invocation): with an EMPTY corpus
+    (doc_id >= 50 absent) the single build-on-empty path must still
+    produce exactly the in-batch-gate-only result the branch used to
+    compute — duplicates within the batch dropped (lower-id survives),
+    unique docs kept."""
+    from twitch_stream_data_pipeline_spark.plans import CATALOG
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "web", 35),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "web", 35),  # dup of 1
+        (3, "one two three four five six seven", "en", "web", 33),
+        (4, "uno dos tres cuatro cinco seis", "es", "web", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        r["doc_id"]
+        for r in CATALOG["dedup_ingest"].fn(spark, str(tmp_path)).collect()
+    )
+    assert got == [1, 3, 4], got
 
 
 def test_dedup_ingest_in_batch_and_replay_gates(spark, tmp_path):

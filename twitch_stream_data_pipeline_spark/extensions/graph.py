@@ -31,11 +31,21 @@ def connected_components(
     Each round is one join (labels onto the symmetrized edge list) and
     one min-aggregation — both shuffle on vertex id, so a round is two
     hash shuffles of the edge relation, never materializing anything
-    quadratic. The driver loop only reads a scalar changed-count per
-    round (control plane); labels are ``localCheckpoint``-ed so lineage
+    quadratic. The driver loop only reads a scalar changed-count on
+    every SECOND round (control plane; see the cadence note at the
+    check below); labels are ``localCheckpoint``-ed so lineage
     stays O(1) instead of growing by two joins per round. Raises if the
     fixpoint is not reached within ``max_iter`` rounds (diameter bound
     exceeded — for near-dup graphs that means the edge set is wrong).
+
+    ``vertices`` is referenced twice — in the edge-endpoint semi-join
+    seed (materialized eagerly) and again, lazily, in the returned
+    singleton fill-in join — so it must be DETERMINISTIC and cheap to
+    recompute (ADVICE r12: a sample/limit-bearing vertex plan could
+    seed and fill inconsistently; an expensive derived plan pays its
+    derivation twice). Every in-repo call site passes a pruned
+    parquet scan, which is both. Callers with a derived vertex plan
+    should materialize it first (``model_io.materialize_parquet``).
     """
     # materialize the symmetrized edge list ONCE: it is re-joined every
     # round, and without this every round would recompute the upstream
@@ -65,7 +75,7 @@ def connected_components(
         .join(vids, "id", "left_semi")
         .select("id", F.col("id").alias("label"))
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
@@ -85,8 +95,22 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         ).localCheckpoint(eager=False)
-        n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
+        # Convergence-check CADENCE (r13, VERDICT r12 #5): the count is
+        # the round's only driver action, so checking every round makes
+        # driver barriers O(diameter). Hash-min changed-counts are
+        # monotone — once a round reports 0 the fixpoint is reached and
+        # every later round reports 0 — so checking every SECOND round
+        # (plus, always, the last permitted round, which keeps the
+        # raise condition exactly "the final round still had changes")
+        # halves the barrier count without changing the propagation
+        # order or the converged labels: an extra round past the
+        # fixpoint is the identity. The skipped round's lazy checkpoint
+        # simply materializes inside the next checked round's count —
+        # two rounds of stages under one driver action.
+        if it % 2 == 0 and it != max_iter - 1:
+            continue
+        n_changed = updated.filter(F.col("changed")).count()
         if n_changed == 0:
             # singleton fill-in: every vertex outside the converged
             # edge-touched relation is its own component
@@ -103,6 +127,7 @@ def count_triangles(
     edges: DataFrame,
     src_col: str = "ea",
     dst_col: str = "eb",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Distributed triangle count over an undirected simple edge list
     (each edge once, ``src < dst``); returns a 1-row ``n_triangles``.
@@ -118,6 +143,23 @@ def count_triangles(
     Three shuffles (degree agg joined twice, wedge equi-join, closing
     equi-join); each triangle counted exactly once at its minimum-
     order vertex.
+
+    ``scratch_dir`` — Cohen's store-each-derived-relation step: when
+    set, the oriented arc relation is materialized ONCE to
+    ``{scratch_dir}/tri_arcs`` (parquet write + read-back, see
+    :func:`~.model_io.materialize_parquet`) before fanning out to its
+    three consumers (the two wedge sides and the closing-edge lookup).
+    Without it those consumers each inline the full arc derivation —
+    degree aggregation joined twice onto the edges — so the EDGE
+    relation executes five times per call (and 15+ times when the
+    edges themselves are a derived plan); measured as 32 source scans
+    in one plan for the co-presence caller. Callers whose ``edges``
+    is itself expensive to derive should materialize it first and
+    pass the read-back (the catalog's triangle entry does both). The
+    numbers are exact either way — a parquet round-trip of integer
+    keys and counts is bit-identical — so ``scratch_dir=None``
+    (lazy, side-effect-free) remains the default for tests and
+    one-shot callers.
     """
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     deg = (
@@ -138,9 +180,29 @@ def count_triangles(
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("hi_d"),
     )
+    probe = arcs
+    if scratch_dir is not None:
+        from .model_io import materialize_parquet
+
+        arcs = materialize_parquet(arcs, f"{scratch_dir}/tri_arcs")
+        # The stored arc relation is BYTES-small (two ids + a count per
+        # edge) but COMPUTE-explosive: the wedge join emits O(out-deg)
+        # rows per arc. Size-based planning sees only the bytes — it
+        # broadcasts the build side (fine: no shuffle of the huge wedge
+        # stream) but leaves the probe side at file-split parallelism
+        # (one ~10 MB file ≈ 1-8 tasks doing ALL the wedge expansion;
+        # measured 180 s vs 66 s at sf0.1). Pin the probe side to the
+        # session's shuffle parallelism with an EXPLICIT partition
+        # count — AQE never coalesces a user-specified N, so the
+        # expansion keeps cluster-wide parallelism at any scale while
+        # the repartition itself moves only the tiny arc relation.
+        n_shuffle = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        probe = arcs.repartition(n_shuffle, "lo")
     # wedges at the minimum-order vertex: out-neighbors q1 < q2 in the
     # same (degree, id) order the orientation used
-    a1 = arcs.select(
+    a1 = probe.select(
         F.col("lo").alias("p"), F.col("hi").alias("q1"),
         F.col("hi_d").alias("q1_d"),
     )

@@ -540,7 +540,10 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters' components.",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     from ..extensions.graph import count_triangles
+    from ..extensions.model_io import materialize_parquet
     from ..operators.event_analytics import interval_overlap_pairs
 
     ev = _events(spark, sf_dir)
@@ -553,8 +556,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_a").alias("ea"), F.col("user_b").alias("eb"))
         .distinct()
     )
+    # Cohen-style between-jobs materialization (r13; the r12 sweep
+    # measured this plan re-deriving the co-presence edge list 32
+    # times — every consumer of the degree/orientation/wedge pipeline
+    # inlined the events self-join; the r12 localCheckpoint form
+    # measured WORSE, see OPTIMIZATION_r12 change 7): the edge list is
+    # derived once into a per-invocation scratch dir, then n_edges and
+    # the triangle pipeline (which also stores its oriented-arc
+    # relation once, scratch_dir below) fan out over plain columnar
+    # scans of it. Integer keys — the round-trip is bit-exact.
+    scratch = tempfile.mkdtemp(prefix="tri_scratch_")
+    e = materialize_parquet(e, f"{scratch}/edges")
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
-        count_triangles(e)
+        count_triangles(e, scratch_dir=scratch)
     )
 
 
