@@ -16,8 +16,11 @@ windows; MIN is the reported steady estimator (noise-robust floor).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from twitch_stream_data_pipeline_spark.plans import CATALOG
 from twitch_stream_data_pipeline_spark.session import get_spark

@@ -155,11 +155,19 @@ def count_triangles(
     edges themselves are a derived plan); measured as 32 source scans
     in one plan for the co-presence caller. Callers whose ``edges``
     is itself expensive to derive should materialize it first and
-    pass the read-back (the catalog's triangle entry does both). The
+    pass the read-back (``model_io.materialize_parquet``). The
     numbers are exact either way — a parquet round-trip of integer
-    keys and counts is bit-identical — so ``scratch_dir=None``
-    (lazy, side-effect-free) remains the default for tests and
-    one-shot callers.
+    keys and counts is bit-identical — and ``scratch_dir=None``
+    (lazy, side-effect-free) is the default.
+
+    WHEN to set it — measured, not assumed (OPTIMIZATION_r13 change
+    2): storing pays only when the graph is sparse enough (or the
+    edge derivation expensive enough) that re-derivation rivals the
+    wedge work. On the repo's co-presence fixture the graph is
+    COMPLETE, wedge compute is O(n^3) and dominates every scale
+    point, and AQE overlaps the re-derivation stages inside the one
+    DAG — there the lazy form measured faster at sf0.1 AND at 2x
+    volume, so the catalog entry stays lazy.
     """
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     deg = (

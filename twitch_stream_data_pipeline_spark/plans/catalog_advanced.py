@@ -540,10 +540,7 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters' components.",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..extensions.graph import count_triangles
-    from ..extensions.model_io import materialize_parquet
     from ..operators.event_analytics import interval_overlap_pairs
 
     ev = _events(spark, sf_dir)
@@ -556,19 +553,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_a").alias("ea"), F.col("user_b").alias("eb"))
         .distinct()
     )
-    # Cohen-style between-jobs materialization (r13; the r12 sweep
-    # measured this plan re-deriving the co-presence edge list 32
-    # times — every consumer of the degree/orientation/wedge pipeline
-    # inlined the events self-join; the r12 localCheckpoint form
-    # measured WORSE, see OPTIMIZATION_r12 change 7): the edge list is
-    # derived once into a per-invocation scratch dir, then n_edges and
-    # the triangle pipeline (which also stores its oriented-arc
-    # relation once, scratch_dir below) fan out over plain columnar
-    # scans of it. Integer keys — the round-trip is bit-exact.
-    scratch = tempfile.mkdtemp(prefix="tri_scratch_")
-    e = materialize_parquet(e, f"{scratch}/edges")
+    # Deliberately the LAZY single-plan form — measured, twice, against
+    # the "obvious" fixes for its 32 inlined edge-list derivations:
+    # the r12 localCheckpoint pin ran 66->78 s at sf0.1 (stats erasure
+    # + AQE job serialization, OPTIMIZATION_r12 change 7), and the r13
+    # Cohen parquet materialization (count_triangles' scratch_dir,
+    # kept as a tested operator option) ran 61.5->64.5 s at sf0.1 and
+    # 492->601 s at the 2x sibling: on THIS fixture the co-presence
+    # graph is COMPLETE (density 1.000), wedge compute is O(n^3) and
+    # dominates every scale point, and AQE overlaps the re-derivation
+    # stages inside the one DAG while a materialization is a serial
+    # write barrier behind the overlap join's skewed-slot straggler.
+    # scratch_dir is the right call only when the graph is sparse
+    # enough that derivation rivals wedge work (OPTIMIZATION_r13
+    # change 2 has the full study).
     return e.agg(F.count("*").alias("n_edges")).crossJoin(
-        count_triangles(e, scratch_dir=scratch)
+        count_triangles(e)
     )
 
 
