@@ -747,6 +747,27 @@ def near_dup_verify(
     )
 
 
+def _run_concurrently(*thunks) -> None:
+    """Run independent Spark actions from a small driver thread pool
+    (guide §2.6): Spark happily schedules several jobs at once, and a
+    later job's tasks back-fill executors freed by an earlier job's
+    straggler tail. ``inheritable_thread_target`` carries the caller's
+    thread-local JVM properties (job group, description) into the pool
+    threads — without it, concurrent jobs would escape the caller's
+    job-group accounting. Exceptions propagate (first one raised after
+    all complete-or-fail), matching sequential semantics."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(t)) for t in thunks
+        ]
+        for f in futures:
+            f.result()
+
+
 def _as_doc_id(df: DataFrame, id_col: str) -> DataFrame:
     """Internal: present ``id_col`` as the ``doc_id`` the signature /
     banding primitives are written against (no-op for the default)."""
@@ -808,6 +829,13 @@ def build_lsh_index(
     sigs = minhash_signatures(
         _as_doc_id(df, id_col), text_col, num_hashes, n
     )
+    # NOT overlappable (r13 §2.6 study): the postings write is a
+    # STATIC overwrite of the layout ROOT — it deletes everything
+    # under `path` first, `_ids` included — so the `_ids` write has a
+    # real ordering dependency on it (a concurrent attempt raced the
+    # root delete and produced layouts with no `_ids`, tripping the
+    # legacy-layout guard). The append path's two writes ARE disjoint
+    # and run concurrently; see append_to_lsh_index.
     write_partitioned(
         band_keys(sigs, bands, rows_per_band), path, ["band"],
         mode="overwrite",
@@ -907,11 +935,24 @@ def append_to_lsh_index(
     sigs = minhash_signatures(
         _as_doc_id(new_df, id_col), text_col, p["num_hashes"], p["n"]
     )
-    write_partitioned(
-        band_keys(sigs, p["bands"], p["rows_per_band"]), path, ["band"],
-        mode="append",
+    # Independent appends to DISJOINT sub-paths over the pinned batch
+    # (unlike the build, where the postings overwrite deletes the
+    # layout root and so must precede the _ids write) — overlapped per
+    # guide §2.6 so the id-sized _ids job back-fills the postings
+    # append's task tail. inheritable_thread_target carries the
+    # caller's job group/description into the pool threads (the
+    # documented PySpark device), keeping job accounting and UI labels
+    # correct. Failure atomicity matches the sequential form: either
+    # append failing leaves the same partial-layout classes, and
+    # exceptions propagate via result(). The legacy _ids backfill
+    # above stays sequential — the _ids append extends it.
+    _run_concurrently(
+        lambda: write_partitioned(
+            band_keys(sigs, p["bands"], p["rows_per_band"]), path,
+            ["band"], mode="append",
+        ),
+        lambda: _write_lsh_ids(new_df, path, id_col, mode="append"),
     )
-    _write_lsh_ids(new_df, path, id_col, mode="append")
     return new_df
 
 
